@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting, and shingle generation for near-dup detection.
+  *
+  * All pure `Column` expressions (whole-stage-codegen friendly): at 100 TB
+  * these run inside the parquet scan projection with zero shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (a cheap proxy for a real tokenizer's
+    * token count, useful for corpus budgeting). */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Characters of punctuation. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\[\\]{}-]", ""))
+
+  /** Occurrences of common English stopwords (word-boundary matched). */
+  def stopwordCount(c: Column): Column =
+    size(regexp_extract_all(
+      lower(c),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b"),
+      lit(0)))
+
+  /** Composite quality score in [0,1]: blends length, stopword ratio and
+    * punctuation ratio — the standard cheap pre-filter for training-data
+    * pipelines. Deterministic arithmetic only. */
+  def qualityScore(c: Column): Column = {
+    val nTok  = tokenCountWs(c).cast("double")
+    val stopR = when(nTok > 0, stopwordCount(c).cast("double") / nTok).otherwise(lit(0.0))
+    val punR  = when(length(c) > 0, punctCount(c).cast("double") / length(c)).otherwise(lit(0.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    round(least(greatest(
+      lenScore * 0.4 + least(stopR * 4.0, lit(1.0)) * 0.4 + (lit(1.0) - least(punR * 10.0, lit(1.0))) * 0.2,
+      lit(0.0)), lit(1.0)), 6)
+  }
+
+  /** Tiny word-list language-ID heuristic: score = count of marker-word
+    * hits per language, argmax wins ('und' when all zero). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was|that|with)\\b",
+    "es" -> "\\b(el|la|los|las|es|que|con|para)\\b",
+    "fr" -> "\\b(le|la|les|est|que|avec|pour|dans)\\b",
+    "de" -> "\\b(der|die|das|ist|und|mit|nicht)\\b",
+  )
+
+  def langScore(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0)))
+
+  /** Argmax over language marker scores; deterministic tie-break by the
+    * declaration order of [[langMarkers]]. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, p) => (l, langScore(c, p)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Generalizes the reference's content-addressed config hashing
+    * (`scripts/proposal-builder.ts:684-714`) to corpus dedup. */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  /** Character k-shingles (distinct), for MinHash / Jaccard. Empty array
+    * when the text is shorter than k. */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

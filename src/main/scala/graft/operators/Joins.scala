@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable join operators covering SURVEY.md §2.3 (J1–J12).
+  *
+  * Design stance for 100 TB: every join here keeps at least one equi key so
+  * Catalyst plans a hash / sort-merge join (never a nested-loop); small
+  * sides are broadcast explicitly; range and priority predicates are
+  * post-join filters on the equi-joined pairs.
+  */
+object Joins {
+
+  /** Temporal as-of / range join (J3, reference
+    * `sql/calc/run-calculation.sql:107-110`): resolve each fact row to the
+    * dim version whose [from, to] interval covers `ts`; a null `to` means
+    * open-ended. The equi key keeps this a hash/SMJ join — the range is a
+    * residual filter, not the join condition.
+    */
+  def asOfJoin(
+      fact: DataFrame, dim: DataFrame,
+      equi: Column, ts: Column, from: Column, to: Column,
+      joinType: String = "inner", strictUpper: Boolean = false): DataFrame = {
+    val upper = if (strictUpper) ts < to else ts <= to
+    fact.join(dim, equi && ts >= from && (to.isNull || upper), joinType)
+  }
+
+  /** Banded theta join (J5, `sql/calc/run-calculation.sql:293-297`): equi
+    * keys + a value-in-[lo,hi] band; dims with bands are small -> broadcast.
+    */
+  def bandJoin(
+      fact: DataFrame, bands: DataFrame,
+      equi: Option[Column], value: Column, lo: Column, hi: Column): DataFrame = {
+    val cond = equi.map(e => e && value >= lo && value <= hi)
+      .getOrElse(value >= lo && value <= hi)
+    fact.join(broadcast(bands), cond, "inner")
+  }
+
+  /** Nearest-match join (J7, `sql/transforms/09-policies.sql:165-180`):
+    * join on `equi`, rank candidates by `abs(distance)` with a
+    * deterministic tiebreak, keep rank 1.
+    */
+  def nearestMatchJoin(
+      fact: DataFrame, dim: DataFrame, equi: Column,
+      factIdCols: Seq[Column], distance: Column, tiebreak: Seq[Column]): DataFrame = {
+    val joined = fact.join(dim, equi, "inner")
+    val w = Window.partitionBy(factIdCols: _*).orderBy(abs(distance) +: tiebreak: _*)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-1-per-group (J10/W2 — every decorrelated `TOP 1` subquery and
+    * `ROW_NUMBER ... rn=1` in the reference, e.g.
+    * `sql/transforms/09-policies.sql:188-205`). */
+  def top1PerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Wildcard composite-key lookup (J6,
+    * `sql/transforms/09-policies.sql:128-180`): resolve facts against a
+    * rules dim where some key columns may hold the `'*'` wildcard. Tries
+    * the most-specific match first, then progressively wildcarded ones, in
+    * the given priority order; first hit wins.
+    *
+    * `keyCols` maps fact-column -> rule-column; `priority` lists, per tier,
+    * which rule columns must match exactly (the rest must be '*').
+    * The rules dim is broadcast — it is configuration-sized by nature.
+    */
+  def wildcardLookup(
+      fact: DataFrame, rules: DataFrame,
+      keyCols: Seq[(String, String)],
+      priority: Seq[Set[String]],
+      payload: Seq[String]): DataFrame = {
+    val tiers = priority.zipWithIndex.map { case (exactCols, tier) =>
+      val filtered = keyCols.foldLeft(rules) { case (r, (_, rc)) =>
+        if (exactCols.contains(rc)) r.filter(col(rc) =!= "*")
+        else r.filter(col(rc) === "*")
+      }
+      filtered.select(
+        keyCols.map { case (_, rc) => col(rc) } ++
+          payload.map(col) :+ lit(tier).as("__tier"): _*)
+    }
+    val allTiers = tiers.reduce(_ unionByName _)
+    val cond = keyCols.map { case (fc, rc) =>
+      col(s"__r.$rc") === "*" || col(s"__r.$rc") === fact(fc)
+    }.reduce(_ && _)
+    val joined = fact.join(broadcast(allTiers.alias("__r")), cond, "left")
+    // first (lowest-tier) hit per fact row wins
+    val factCols = fact.columns.map(fact(_))
+    val w = Window.partitionBy(factCols: _*).orderBy(col("__tier").asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__tier")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with per-partition decode/feature-extract stages.
+  *
+  * The Spark-side contract is real (schema, batch iteration, partition
+  * parallelism, deterministic outputs); the codec itself is a STUB — this
+  * container has no image/audio libraries, so `decodeStub` derives a
+  * deterministic fake feature vector from the payload bytes. Swapping in a
+  * real decoder changes only the function body, not the plumbing.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("checksum", StringType, nullable = true),
+    )), nullable = true),
+  ))
+
+  /** Wrap any id + string column as a media table: payload = UTF-8 bytes,
+    * metadata struct computed column-natively. */
+  def asMediaTable(df: DataFrame, id: String, content: String, mime: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("media_id"),
+      encode(col(content), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("checksum")))
+
+  /** STUB decoder: a real implementation would decode the payload
+    * (image/audio frame) per partition; here we emit a deterministic fake
+    * 8-dim feature from the payload bytes so the distributed plumbing
+    * (mapPartitions batching, schema, ordering independence) is testable.
+    */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(DoubleType, containsNull = false)))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats: Array[Double] =
+          if (payload == null) Array.fill(8)(0.0)
+          else {
+            val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+            (0 until 8).map(i => (digest(i) & 0xff) / 255.0).toArray
+          }
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sample stance for video-like payloads: deterministic stride
+    * sampling of byte blocks, standing in for frame extraction. */
+  def frameSampleStub(media: DataFrame, blockSize: Int, stride: Int): DataFrame =
+    media.withColumn("frames",
+      transform(
+        sequence(lit(0),
+          greatest((octet_length(col("payload")) - 1) / (blockSize * stride), lit(0))),
+        i => col("payload").substr((i * blockSize * stride + 1).cast("int"), lit(blockSize))))
+}

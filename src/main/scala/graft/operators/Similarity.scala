@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design: brute force is the correctness baseline (queries × corpus
+  * is a broadcast-join when the query set is small — the common "probe"
+  * shape); the LSH path buckets the corpus once (narrow, no shuffle) and
+  * then only joins within buckets, which is the 100 TB-viable shape.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine similarity. Query set should be small enough to
+    * broadcast (driver enforces nothing — caller picks the side).
+    */
+  def bruteForceCosineTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane buckets, exact rerank within the
+    * bucket. Trades recall for a corpus-sized scan with no all-pairs
+    * shuffle — the scale path. */
+  def lshCosineTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+        VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+      .withColumn("bucket", VectorFunctions.lshBucket(col("qv"), dim, nPlanes))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+        VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+      .withColumn("bucket", VectorFunctions.lshBucket(col("cv"), dim, nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}
