@@ -70,6 +70,8 @@ object Cleaning {
     when(cleanStr(c).isNull, lit("00000")).otherwise(trim(c))
 
   /** MM/DD/YYYY date strings (`TRY_CONVERT(DATETIME2, x, 101)`,
-    * `sql/transforms/11-fees.sql`). */
-  def parseUsDate(c: Column): Column = to_date(cleanStr(c), "MM/dd/yyyy")
+    * `sql/transforms/11-fees.sql`). try_-variant: null on garbage even
+    * under ANSI mode (Spark 4 default). */
+  def parseUsDate(c: Column): Column =
+    try_to_timestamp(cleanStr(c), lit("MM/dd/yyyy")).cast("date")
 }

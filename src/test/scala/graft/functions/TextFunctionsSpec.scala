@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val got = Seq("the quick  brown fox", "", "  ", "a,b").toDF("t")
+      .select(TextFunctions.tokenCountWs(col("t")).as("ws"),
+        TextFunctions.tokenCountBpe(col("t")).as("bpe"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(4, 0, 0, 1))
+    // "a,b" -> [a][,][b] = 3 BPE-ish tokens
+    assert(got(3)._2 == 3)
+  }
+
+  test("char shingles") {
+    val got = Seq("abcd", "ab").toDF("t")
+      .select(TextFunctions.charShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "bcd"))
+    assert(got(1).isEmpty)
+  }
+
+  test("word shingles are distinct and ordered windows") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langId picks marker-word argmax, 'und' when silent") {
+    val got = Seq(
+      "the cat and the dog is here with that",
+      "el gato es que con los para",
+      "xyz qqq").toDF("t")
+      .select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val got = Seq("the and of to in a short doc", "", "!!!!....;;;;").toDF("t")
+      .select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}

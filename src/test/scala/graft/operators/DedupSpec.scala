@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup flags whitespace/case variants as duplicates") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "hello  world"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("is_duplicate")).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on shingle sets") {
+    val a = "w1 w2 w3 w4"   // shingles: {w1 w2 w3, w2 w3 w4}
+    val b = "w1 w2 w3 w5"   // shingles: {w1 w2 w3, w2 w3 w5}
+    val df = Seq((1L, a), (2L, b), (3L, "zz yy xx qq")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.1)
+      .as[(Long, Long, Double)].collect()
+    // common = 1, union = 3 -> 1/3
+    assert(got.toSeq == Seq((1L, 2L, 0.333333)))
+  }
+
+  test("minhash est_jaccard approximates true jaccard for near-identical docs") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, words), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 1,2 share 35/41 shingles (true J≈0.85) -> must be LSH candidates with high est
+    val est = pairs.get((1L, 2L))
+    assert(est.isDefined && est.get > 0.5, s"got $pairs")
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.2)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = words + " extra"
+    val far = (200 to 260).map(i => s"z$i").mkString(" ")
+    val got = Seq((1L, words), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select(Dedup.simHash(col("text"), 32)).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0), got(1)) < ham(got(0), got(2)),
+      s"near=${ham(got(0), got(1))} far=${ham(got(0), got(2))}")
+  }
+}

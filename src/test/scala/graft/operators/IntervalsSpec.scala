@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeIntervals merges overlapping and touching ranges per key") {
+    val df = Seq(
+      (1L, "2020-01-01", "2020-01-10"),
+      (1L, "2020-01-05", "2020-01-20"), // overlaps
+      (1L, "2020-01-20", "2020-01-25"), // touches
+      (1L, "2020-02-01", "2020-02-05"), // gap -> new island
+      (2L, "2020-01-01", "2020-01-02"),
+    ).toDF("k", "f", "t")
+      .select(col("k"), to_timestamp(col("f")).as("f"), to_timestamp(col("t")).as("t"))
+    val got = Intervals.mergeIntervals(df, col("k"), col("f"), col("t"))
+      .select(col("key"), col("range_from").cast("string"), col("range_to").cast("string"),
+        col("n_merged"))
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "2020-01-01 00:00:00", "2020-01-25 00:00:00", 3),
+      (1L, "2020-02-01 00:00:00", "2020-02-05 00:00:00", 1),
+      (2L, "2020-01-01 00:00:00", "2020-01-02 00:00:00", 1)))
+  }
+
+  test("sessionize splits on gap > threshold") {
+    val df = Seq(
+      (1L, "2020-01-01 00:00:00"), (1L, "2020-01-01 00:10:00"),
+      (1L, "2020-01-01 01:00:00"), // 50 min gap -> new session
+      (2L, "2020-01-01 00:00:00"),
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = Intervals.sessionize(df, col("user_id"), col("ts"), 1800)
+      .groupBy(col("user_id"), col("session_seq")).count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin resolves each fact to the covering version") {
+    val dim = Seq(
+      (1L, "v1", "2020-01-01", Some("2020-06-30")),
+      (1L, "v2", "2020-07-01", None),
+      (2L, "v1", "2020-01-01", None),
+    ).toDF("dk", "ver", "from_s", "to_s")
+      .select(col("dk"), col("ver"), to_date(col("from_s")).as("f"), to_date(col("to_s")).as("t"))
+    val fact = Seq((1L, "2020-03-15"), (1L, "2020-07-01"), (2L, "2021-01-01"), (3L, "2020-01-01"))
+      .toDF("fk", "ts_s").select(col("fk"), to_date(col("ts_s")).as("ts"))
+    val got = Joins.asOfJoin(fact, dim, col("fk") === col("dk"), col("ts"), col("f"), col("t"))
+      .select(col("fk"), col("ts").cast("string"), col("ver"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "2020-03-15", "v1"), (1L, "2020-07-01", "v2"), (2L, "2021-01-01", "v1")))
+  }
+
+  test("bandJoin matches inclusive bounds") {
+    val bands = Seq((1, 10, "S"), (11, 20, "M")).toDF("lo", "hi", "band")
+    val facts = Seq(1, 10, 11, 25).toDF("v")
+    val got = Joins.bandJoin(facts, bands, None, col("v"), col("lo"), col("hi"))
+      .select(col("v"), col("band")).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "S"), (10, "S"), (11, "M")))
+  }
+
+  test("wildcardLookup resolves most-specific tier first") {
+    val rules = Seq(
+      ("B1", "T1", 10, 1), ("B1", "*", 20, 2), ("*", "T2", 30, 3), ("*", "*", 99, 4))
+      .toDF("r_b", "r_t", "rate", "rule_id")
+    val fact = Seq(("p1", "B1", "T1"), ("p2", "B1", "T9"), ("p3", "B9", "T2"), ("p4", "B9", "T9"))
+      .toDF("id", "b", "t")
+    val got = Joins.wildcardLookup(fact, rules,
+        keyCols = Seq("b" -> "r_b", "t" -> "r_t"),
+        priority = Seq(Set("r_b", "r_t"), Set("r_b"), Set("r_t"), Set.empty),
+        payload = Seq("rate", "rule_id"))
+      .select(col("id"), col("rule_id")).as[(String, Int)].collect().toSet
+    assert(got == Set(("p1", 1), ("p2", 2), ("p3", 3), ("p4", 4)))
+  }
+
+  test("top1PerGroup keeps exactly one row per key") {
+    val df = Seq((1, "a", 3), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "o")
+    val got = Joins.top1PerGroup(df, Seq(col("k")), Seq(col("o").desc))
+      .select(col("k"), col("v")).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "b"), (2, "c")))
+  }
+
+  test("nearestMatchJoin picks minimal distance with tiebreak") {
+    val fact = Seq((1, 10), (2, 7)).toDF("fid", "target")
+    val dim = Seq((1, 100, 8), (1, 101, 12), (1, 102, 12), (2, 200, 7)).toDF("k", "cand", "v")
+    val got = Joins.nearestMatchJoin(fact, dim, col("fid") === col("k"),
+        Seq(col("fid")), col("v") - col("target"), Seq(col("cand")))
+      .select(col("fid"), col("cand")).as[(Int, Int)].collect().toSet
+    // fid=1: |8-10|=2 = |12-10|=2 -> tiebreak lowest cand=100
+    assert(got == Set((1, 100), (2, 200)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine column function matches manual computation") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(
+      VectorFunctions.toDoubleArray(col("a")),
+      VectorFunctions.toDoubleArray(col("b")))).as[Double].collect().head
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceCosineTopK ranks by similarity") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceCosineTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", "vec_id", "embedding", 2)
+      .orderBy(col("rank")).select(col("neighbor_id")).as[Long].collect()
+    assert(got.toSeq == Seq(3L, 1L)) // 3 closer to (1,0) than 1; 2 orthogonal
+  }
+
+  test("lshCosineTopK scores agree with exact cosine on the pairs it returns") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding", 2000)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val approx = Similarity.lshCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding",
+        5, dim = 64, nPlanes = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(approx.nonEmpty)
+    // every ANN pair's cosine must equal the exact computation bit-for-bit
+    approx.foreach { case (a, b, c) => assert(exact((a, b)) == c, s"pair ($a,$b)") }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Intervals
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumblingCounts over a memory stream matches batch group-by") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val events = Seq(
+      StreamOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      StreamOps.Event(2, ts("2024-01-01 00:50:00"), 1, "click", 2.0),
+      StreamOps.Event(3, ts("2024-01-01 01:10:00"), 2, "view", 3.0))
+    input.addData(events: _*)
+    val q = StreamOps.tumblingCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 3.0)))
+  }
+
+  test("sessionizeStream agrees with batch sessionize on session counts") {
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      StreamOps.Event(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+      StreamOps.Event(2, ts("2024-01-01 00:10:00"), 7, "a", 2.0),
+      StreamOps.Event(3, ts("2024-01-01 02:00:00"), 7, "a", 3.0), // new session
+      StreamOps.Event(4, ts("2024-01-01 00:00:00"), 8, "a", 4.0))
+    val input = MemoryStream[StreamOps.Event]
+    input.addData(events: _*)
+    val q = StreamOps.sessionizeStream(input.toDS(), 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only CLOSED sessions: user 7 closed one (2 events)
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("n_events")).as[(Long, Int)].collect().toSet
+    assert(streamed == Set((7L, 2)))
+    // batch twin sees all sessions
+    val batch = Intervals.sessionize(events.toDF(), col("user_id"), col("ts"), 1800)
+      .groupBy(col("user_id"), col("session_seq")).count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}
