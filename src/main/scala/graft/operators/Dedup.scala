@@ -18,6 +18,23 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Distinct word n-gram shingles, exploded to (doc_id, sh) rows.
+    *
+    * Deliberately two projection steps: `toks` is materialized as a row
+    * column and referenced via cheap `get()` lookups, because referencing
+    * `split()` inside a higher-order-function lambda re-evaluates the
+    * split per array element (HOFs are interpreted, no subexpression
+    * elimination) — O(len^2) tokenization. CollapseProject keeps the
+    * boundary since `toks` is referenced more than once.
+    */
+  private[operators] def explodedWordShingles(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"), split(trim(text), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))).as("sh"))
+
   /** Exact dedup: keep the lowest-id representative per normalized-content
     * fingerprint. One shuffle on the fingerprint. */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
@@ -38,11 +55,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double): DataFrame = {
-    val docs = df.select(id.cast("long").as("doc_id"),
-      TextFunctions.wordShingles(text, n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // The exploded shingle table feeds three branches (both self-join
+    // sides + the per-doc sizes); persist it so shingle generation runs
+    // once, not four times.
+    val exploded = explodedWordShingles(df, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_sh"))
     val common = exploded.as("a")
       .join(exploded.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -77,15 +95,25 @@ object Dedup {
 
   /** MinHash + LSH banding: docs sharing any band bucket are candidates;
     * exact Jaccard is then computed only on candidates. Returns candidate
-    * pairs with their estimated (signature-agreement) similarity. */
+    * pairs with their estimated (signature-agreement) similarity.
+    *
+    * Signatures are built by exploding shingles and taking the 16
+    * permutation-mins in ONE hash aggregate: md5 runs once per shingle
+    * (the array-expression form re-evaluates it per permutation —
+    * CollapseProject inlines any intermediate column), and the map-side
+    * partial min makes the shuffle tiny at scale.
+    */
   def minHashLshPairs(
       df: DataFrame, id: Column, text: Column,
       shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = df.select(id.cast("long").as("doc_id"),
-      TextFunctions.wordShingles(text, shingleWords).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val p = 4294967311L
+    val exploded = explodedWordShingles(df, id, text, shingleWords)
+      .withColumn("h", md5Int(col("sh")))
+    val docs = exploded.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map { i =>
+        min((col("h") * (1L + 2L * i) + (11L * i + 7L)) % p)
+      }: _*).as("sig"))
     val banded = docs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
