@@ -359,9 +359,10 @@ object SparkEntry {
               SELECT m.grp, m.n_members, m.n_configs, m.max_cluster, e.entropy,
                      round(m.n_configs::DOUBLE / m.n_members, 6) AS unique_ratio,
                      round(m.max_cluster * 100.0 / m.n_members, 2) AS dominant_pct,
-                     (round(m.n_configs::DOUBLE / m.n_members, 6) > 0.5
-                      OR e.entropy > 2.0
-                      OR round(m.max_cluster * 100.0 / m.n_members, 2) < 50.0) AS route_pha
+                     (m.n_members >= 2 AND
+                      (round(m.n_configs::DOUBLE / m.n_members, 6) > 0.5
+                       OR e.entropy > 2.0
+                       OR round(m.max_cluster * 100.0 / m.n_members, 2) < 50.0)) AS route_pha
               FROM m JOIN e USING (grp)""")),
 
     // ===== W: windows (SURVEY §2.5) =====

@@ -1,0 +1,189 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** The 8-stage commission calculation — the reference's "one real query"
+  * (`sql/calc/run-calculation.sql`, stages at :58-78, :93-110, :125-147,
+  * :162-179, :194-217, :232-297, :312-331, :346-377), re-expressed as one
+  * lazy DataFrame lineage. Stage tables become named intermediate frames;
+  * GL + traceability are projections of the final cached frame.
+  *
+  * Scale design: premiums/certificates are the big facts — every join
+  * keeps an equi key on certificate/group so Catalyst plans hash or SMJ
+  * joins partitioned on those keys; proposals, splits, hierarchy versions,
+  * participants, schedule rates and assignments are configuration-sized
+  * dims and are broadcast. The as-of resolutions (J3) are equi joins with
+  * residual range predicates, never nested loops.
+  *
+  * Inputs (column contracts):
+  *  - premiums: premium_id, cert_id, group_id, amount, txn_date
+  *  - certificates: cert_id, group_id, state, group_size, real_rate
+  *    (nullable certificate-level rate, `run-calculation.sql:265-274`)
+  *  - proposals: proposal_id, group_id, eff_from, eff_to (null = open)
+  *  - splits: proposal_id, split_seq, split_pct, hierarchy_id
+  *  - hierarchy_versions: hierarchy_id, version_id, eff_from, eff_to
+  *  - participants: version_id, tier_level, broker_id, schedule_code,
+  *    participant_rate (nullable)
+  *  - schedule_rates: schedule_code, product_code, state, size_from,
+  *    size_to, rate  ('*' product/state = wildcard row)
+  *  - assignments: broker_id, recipient_id, assigned_pct, eff_from, eff_to
+  */
+object Calc {
+
+  /** Stage 1-2: keep positive premiums, enrich with certificate attrs
+    * (`run-calculation.sql:58-110`; `WHERE Amount > 0` at :78). */
+  def enrich(premiums: DataFrame, certificates: DataFrame): DataFrame =
+    premiums.filter(col("amount") > 0)
+      .join(certificates.select(col("cert_id"), col("state"), col("group_size"),
+        col("real_rate"), col("product_code"), col("plan_code")), Seq("cert_id"), "inner")
+
+  /** Stage 3: resolve the proposal active at the transaction date —
+    * temporal as-of join on group (`run-calculation.sql:107-110`). */
+  def resolveProposal(enriched: DataFrame, proposals: DataFrame): DataFrame =
+    Joins.asOfJoin(enriched, broadcast(proposals),
+      enriched("group_id") === proposals("group_id"),
+      col("txn_date"), proposals("eff_from"), proposals("eff_to"))
+      .drop(proposals("group_id")).drop("eff_from", "eff_to")
+
+  /** Stage 4: explode the proposal's split configuration — 1:N fan-out
+    * (`run-calculation.sql:125-147`). split_premium = round(amount*pct/100, 2)
+    * — round-then-aggregate, replicated exactly (:139). */
+  def explodeSplits(withProposal: DataFrame, splits: DataFrame): DataFrame =
+    withProposal.join(broadcast(splits), Seq("proposal_id"))
+      .withColumn("split_premium",
+        round(col("amount").cast("decimal(18,2)") * col("split_pct").cast("decimal(7,4)") / 100, 2))
+
+  /** Stage 5: resolve the hierarchy version active at the transaction
+    * date (`run-calculation.sql:162-179`). */
+  def resolveHierarchyVersion(withSplits: DataFrame, hierarchyVersions: DataFrame): DataFrame =
+    Joins.asOfJoin(withSplits, broadcast(hierarchyVersions),
+      withSplits("hierarchy_id") === hierarchyVersions("hierarchy_id"),
+      col("txn_date"), hierarchyVersions("eff_from"), hierarchyVersions("eff_to"))
+      .drop(hierarchyVersions("hierarchy_id")).drop("eff_from", "eff_to")
+
+  /** Stage 6: explode hierarchy participants — second 1:N fan-out
+    * (`run-calculation.sql:194-217`). */
+  def explodeParticipants(withVersion: DataFrame, participants: DataFrame): DataFrame =
+    withVersion.join(broadcast(participants), Seq("version_id"))
+
+  /** Stage 7: three-level rate resolution with band lookup
+    * (`run-calculation.sql:232-297`): certificate rate (when > 0) beats
+    * participant rate beats schedule lookup (equi on schedule+product+
+    * state with wildcard rows and a group-size band, :293-297); rate
+    * source is tracked for traceability (:249-260). */
+  def lookupRate(exploded: DataFrame, scheduleRates: DataFrame): DataFrame = {
+    val sr = broadcast(scheduleRates)
+    val joined = exploded.join(sr,
+      exploded("schedule_code") === sr("schedule_code") &&
+        (sr("product_code") === "*" || sr("product_code") === exploded("product_code")) &&
+        (sr("state") === "*" || sr("state") === exploded("state")) &&
+        (sr("size_from").isNull ||
+          (exploded("group_size") >= sr("size_from") && exploded("group_size") <= sr("size_to"))),
+      "left")
+      .drop(sr("schedule_code")).drop(sr("product_code")).drop(sr("state"))
+    // several wildcard rows may match: keep the most specific (exact
+    // product > exact state > banded), deterministically
+    val keys = Seq("premium_id", "split_seq", "version_id", "tier_level", "broker_id")
+    val specificity = when(col("rate").isNull, 9)
+      .otherwise(when(col("product_code") =!= "*", 0).otherwise(2) +
+        when(col("state") =!= "*", 0).otherwise(1))
+    val best = Joins.top1PerGroup(
+      joined.withColumn("__spec", specificity),
+      keys.map(col), Seq(col("__spec").asc, col("rate").desc_nulls_last))
+      .drop("__spec")
+    best.withColumn("resolved_rate",
+        when(col("real_rate").isNotNull && col("real_rate") > 0, col("real_rate"))
+          .when(col("participant_rate").isNotNull, col("participant_rate"))
+          .otherwise(col("rate")))
+      .withColumn("rate_source",
+        when(col("real_rate").isNotNull && col("real_rate") > 0, "CertificateRate")
+          .when(col("participant_rate").isNotNull, "ParticipantRate")
+          .when(col("rate").isNotNull, "ScheduleLookup")
+          .otherwise("NoRate"))
+  }
+
+  /** Stage 8: commission = round(split_premium * rate/100, 2) per
+    * participant (`run-calculation.sql:312-331`, rounding at :330). */
+  def compute(withRates: DataFrame): DataFrame =
+    withRates.withColumn("commission",
+      when(col("resolved_rate").isNotNull,
+        round(col("split_premium").cast("decimal(18,2)") *
+          col("resolved_rate").cast("decimal(9,4)") / 100, 2))
+        .otherwise(lit(null).cast("decimal(18,2)")))
+
+  /** Assignment application (`run-calculation.sql:346-377`): a broker
+    * with an active assignment forwards assigned_pct of the commission;
+    * retained + assigned = commission (both rounded, :368-369). */
+  def applyAssignments(computed: DataFrame, assignments: DataFrame): DataFrame = {
+    val a = broadcast(assignments)
+    Joins.asOfJoin(computed, a, computed("broker_id") === a("broker_id"),
+      col("txn_date"), a("eff_from"), a("eff_to"), joinType = "left")
+      .drop(a("broker_id")).drop("eff_from", "eff_to")
+      .withColumn("assigned_amount",
+        when(col("recipient_id").isNotNull,
+          round(col("commission").cast("decimal(18,2)") * col("assigned_pct").cast("decimal(7,4)") / 100, 2))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+      .withColumn("retained_amount", col("commission") - col("assigned_amount"))
+  }
+
+  /** GL projection (`run-calculation.sql:391-456`): Original rows for the
+    * earning broker (suppressed when fully assigned, :419) and Assigned
+    * rows for the recipient (:456). */
+  def glEntries(finalDf: DataFrame): DataFrame = {
+    val original = finalDf
+      .filter(col("commission").isNotNull && col("retained_amount") =!= 0)
+      .select(col("premium_id"), col("broker_id"), lit("Original").as("entry_type"),
+        col("retained_amount").as("amount"))
+    val assigned = finalDf
+      .filter(col("recipient_id").isNotNull && col("assigned_amount") =!= 0)
+      .select(col("premium_id"), col("recipient_id").as("broker_id"),
+        lit("Assigned").as("entry_type"), col("assigned_amount").as("amount"))
+    original.unionByName(assigned)
+  }
+
+  /** Per-premium traceability rollup (`run-calculation.sql:470-500`). */
+  def traceability(finalDf: DataFrame): DataFrame =
+    finalDf.groupBy(col("premium_id"))
+      .agg(sum(col("commission")).as("total_commission"),
+        countDistinct(col("hierarchy_id")).as("n_hierarchies"),
+        count(lit(1)).as("n_participant_rows"),
+        max(when(col("rate_source") === "NoRate", 1).otherwise(0)).as("has_missing_rate"))
+
+  /** Failure diagnosis (`run-calculation.sql:510-561`): premiums from
+    * stage 2 that never reached stage 8, with the first failing stage. */
+  def failedTraceability(
+      enriched: DataFrame, withProposal: DataFrame, withVersion: DataFrame,
+      finalDf: DataFrame): DataFrame = {
+    val p0 = enriched.select(col("premium_id")).distinct()
+    val p3 = withProposal.select(col("premium_id")).distinct()
+    val p5 = withVersion.select(col("premium_id")).distinct()
+    val p8 = finalDf.filter(col("commission").isNotNull).select(col("premium_id")).distinct()
+    p0.join(p8, Seq("premium_id"), "left_anti")
+      .join(p3.withColumn("__p3", lit(1)), Seq("premium_id"), "left")
+      .join(p5.withColumn("__p5", lit(1)), Seq("premium_id"), "left")
+      .withColumn("failure_reason",
+        when(col("__p3").isNull, "No active proposal for group/date")
+          .when(col("__p5").isNull, "No active hierarchy version")
+          .otherwise("No rate resolved"))
+      .drop("__p3", "__p5")
+  }
+
+  /** The full cascade as one call; returns the final per-participant
+    * frame (callers derive GL/traceability projections from it). */
+  case class CalcInputs(
+      premiums: DataFrame, certificates: DataFrame, proposals: DataFrame,
+      splits: DataFrame, hierarchyVersions: DataFrame, participants: DataFrame,
+      scheduleRates: DataFrame, assignments: DataFrame)
+
+  def run(in: CalcInputs): DataFrame = {
+    val e = enrich(in.premiums, in.certificates)
+    val p = resolveProposal(e, in.proposals)
+    val s = explodeSplits(p, in.splits)
+    val v = resolveHierarchyVersion(s, in.hierarchyVersions)
+    val x = explodeParticipants(v, in.participants)
+    val r = lookupRate(x, in.scheduleRates)
+    applyAssignments(compute(r), in.assignments)
+  }
+}

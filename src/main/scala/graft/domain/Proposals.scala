@@ -1,0 +1,133 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Routing}
+
+/** The proposal builder re-expressed relationally — the semantics of the
+  * reference's 4,191-line single-threaded TypeScript program
+  * (`scripts/proposal-builder.ts`), as distributed column expressions plus
+  * group-parallel aggregation. Nothing here touches the driver: the
+  * reference loads every certificate into one Node process
+  * (`proposal-builder.ts:2118-2152`); we shuffle by certificate/group and
+  * keep one group per task — the 100 TB stance.
+  *
+  * Input contract (`certificates`): cert_id, group_id, split_seq,
+  * split_pct, tier_level, broker_id, schedule_code, paid_broker_id,
+  * product_code, plan_code, eff_date — one row per
+  * (cert x split-seq x tier), mirroring raw certificate_info
+  * (`sql/01-raw-tables.sql:85-111`).
+  */
+object Proposals {
+
+  /** Per-(cert, split) hierarchy hash: ordered tier array, hashed.
+    * PaidBroker is EXCLUDED from the hierarchy hash and split_seq is
+    * EXCLUDED from the config hash (`proposal-builder.ts:681-714`) —
+    * hashes are content addresses for the split *structure*.
+    * SHA-256 hex uppercase like the reference (`proposal-builder.ts:1973`).
+    */
+  def hierarchyHashes(certificates: DataFrame): DataFrame =
+    certificates
+      .groupBy(col("cert_id"), col("group_id"), col("split_seq"), col("split_pct"))
+      .agg(sort_array(collect_list(struct(
+        col("tier_level"), col("broker_id"), col("schedule_code")))).as("tiers"))
+      .withColumn("tier_sig",
+        concat_ws("|", transform(col("tiers"),
+          t => concat_ws(":", t("tier_level"), t("broker_id"), t("schedule_code")))))
+      .withColumn("hierarchy_hash",
+        upper(sha2(concat_ws("!", col("group_id"), col("split_pct"), col("tier_sig")), 256)))
+
+  /** Per-cert config hash over the split set (split_seq excluded): the
+    * content address compared across certificates of a group
+    * (`proposal-builder.ts:684-714`). */
+  def configHashes(hierHashes: DataFrame): DataFrame =
+    hierHashes
+      .groupBy(col("cert_id"), col("group_id"))
+      .agg(
+        upper(sha2(concat_ws("|", sort_array(collect_list(
+          concat_ws(":", col("split_pct"), col("hierarchy_hash"))))), 256)).as("config_hash"),
+        sum(col("split_pct")).as("total_split_pct"),
+        count(lit(1)).as("n_splits"))
+
+  /** Non-conformance: total split percent != 100 routes the certificate
+    * to the per-certificate PHA path (`proposal-builder.ts:740-779`). */
+  def flagNonConformant(configs: DataFrame, tol: Double = 0.001): DataFrame =
+    configs.withColumn("nonconformant",
+      abs(col("total_split_pct") - 100.0) > tol)
+
+  /** Entropy routing (`proposal-builder.ts:784-880`): fragmented groups
+    * (too many configs / high Shannon entropy / weak dominant cluster)
+    * route whole to PHA. Reuses the generic metrics operator. */
+  def routeGroups(
+      configs: DataFrame,
+      maxUniqueRatio: Double = 0.5, maxEntropy: Double = 2.0,
+      minDominantPct: Double = 50.0): DataFrame = {
+    val m = Routing.entropyRouting(
+      Routing.entropyMetrics(configs.filter(!col("nonconformant")),
+        col("group_id"), col("config_hash")),
+      maxUniqueRatio, maxEntropy, minDominantPct)
+    configs.join(m.select(col("grp").as("group_id"), col("route_pha")), Seq("group_id"), "left")
+      .withColumn("route_pha", coalesce(col("route_pha"), lit(false)) || col("nonconformant"))
+  }
+
+  /** Proposal construction (`proposal-builder.ts:886-1011`): one proposal
+    * per (group, config_hash) over the conformant population; date range
+    * spans the member certs; natural-key proposal id `PROP-{group}-{n}`
+    * (`proposal-builder.ts:926`) with n ordered by first effective date.
+    */
+  def buildProposals(routedConfigs: DataFrame, certificates: DataFrame): DataFrame = {
+    val members = routedConfigs.filter(!col("route_pha"))
+      .select(col("cert_id"), col("group_id"), col("config_hash"))
+    val certDates = certificates
+      .groupBy(col("cert_id")).agg(min(col("eff_date")).as("eff_date"),
+        collect_set(col("product_code")).as("prods"),
+        collect_set(col("plan_code")).as("plans"))
+    val grouped = members.join(certDates, Seq("cert_id"))
+      .groupBy(col("group_id"), col("config_hash"))
+      .agg(min(col("eff_date")).as("eff_from"),
+        max(col("eff_date")).as("max_eff_date"),
+        countDistinct(col("cert_id")).as("n_certs"),
+        array_distinct(flatten(collect_list(col("prods")))).as("product_codes"),
+        array_distinct(flatten(collect_list(col("plans")))).as("plan_codes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id")).orderBy(col("eff_from"), col("config_hash"))
+    grouped.withColumn("proposal_id",
+      concat_ws("-", lit("PROP"), col("group_id"), row_number().over(w)))
+  }
+
+  /** Date-range normalization: close each proposal at the next one's
+    * start minus one day; last stays open
+    * (`sql/transforms/06g-normalize-proposal-date-ranges.sql:24-60`). */
+  def normalizeDateRanges(proposals: DataFrame): DataFrame =
+    graft.operators.Windows.leadClose(proposals,
+      Seq(col("group_id")), Seq(col("eff_from"), col("proposal_id")),
+      "eff_from", "eff_to")
+
+  /** Key-mapping expansion (`proposal-builder.ts:1076-1091,1465-1477`):
+    * proposal x year-range x products x plans, exploded. */
+  def keyMappings(proposals: DataFrame): DataFrame =
+    proposals
+      .withColumn("yr", explode(sequence(
+        year(col("eff_from")),
+        coalesce(year(col("eff_to")), year(col("max_eff_date"))))))
+      .withColumn("product_code", explode(col("product_codes")))
+      .withColumn("plan_code", explode(col("plan_codes")))
+      .select(col("proposal_id"), col("group_id"), col("yr"),
+        col("product_code"), col("plan_code"))
+
+  /** Hierarchy dedup by hash (`proposal-builder.ts:1861-1954`,
+    * `getOrCreateHierarchy`): first-seen hash creates the hierarchy;
+    * deterministic representative = lowest cert then split_seq. */
+  def dedupHierarchies(hierHashes: DataFrame): DataFrame =
+    Joins.top1PerGroup(hierHashes,
+      Seq(col("hierarchy_hash")),
+      Seq(col("cert_id"), col("split_seq")))
+      .select(col("hierarchy_hash"), col("group_id"), col("split_pct"), col("tiers"))
+
+  /** Hash-collision audit (`proposal-builder.ts:1972-1984`): same hash,
+    * different content -> a row here (must be empty). */
+  def hashCollisions(hierHashes: DataFrame): DataFrame =
+    hierHashes.groupBy(col("hierarchy_hash"))
+      .agg(countDistinct(col("group_id"), col("split_pct"), col("tier_sig")).as("n_variants"))
+      .filter(col("n_variants") > 1)
+}

@@ -51,14 +51,18 @@ object Routing {
   }
 
   /** Routing flags per group from the metrics, with the reference's
-    * threshold semantics (`proposal-builder.ts:784-880`). */
+    * threshold semantics (`proposal-builder.ts:784-880`). Groups below
+    * `minMembers` are never entropy-routed — a singleton group trivially
+    * has unique_ratio 1.0 and would always trip the threshold. */
   def entropyRouting(
       metrics: DataFrame,
       maxUniqueRatio: Double = 0.5,
       maxEntropy: Double = 2.0,
-      minDominantPct: Double = 50.0): DataFrame =
+      minDominantPct: Double = 50.0,
+      minMembers: Int = 2): DataFrame =
     metrics.withColumn("route_pha",
-      col("unique_ratio") > maxUniqueRatio ||
-        col("entropy") > maxEntropy ||
-        col("dominant_pct") < minDominantPct)
+      col("n_members") >= minMembers &&
+        (col("unique_ratio") > maxUniqueRatio ||
+          col("entropy") > maxEntropy ||
+          col("dominant_pct") < minDominantPct))
 }
