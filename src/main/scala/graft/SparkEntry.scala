@@ -293,7 +293,56 @@ object SparkEntry {
               QUALIFY row_number() OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""")),
 
+    Q("j4_fanout_join", (s, d) =>
+      // 1:N explosion join (J4, run-calculation.sql stages 3/5): each part
+      // fans out to its lineitems; per-part rollup proves the multiplicity
+      prt(s, d).join(li(s, d), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("total_qty")),
+      Some("""SELECT p_partkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
+              FROM part JOIN lineitem ON p_partkey = l_partkey GROUP BY 1""")),
+
+    Q("j11_lateral_count", (s, d) => {
+      // CROSS APPLY participant-count (J11, 08-hierarchy-splits.sql:313-317)
+      // decorrelated: groupBy-count + join back
+      val counts = li(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      ord(s, d).join(counts, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+    },
+      Some("""SELECT o_orderkey,
+              coalesce((SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), 0) AS n_lines
+              FROM orders o""")),
+
+    Q("j12_transferee_anti", (s, d) => {
+      // transferee-exclusion shape (J12, README.md:311-335): customers in
+      // segment BUILDING are "reassigned"; exclude those that also appear
+      // as an earner (here: have an order in 1995) via left-anti self-join
+      val c = cst(s, d)
+      val reassigned = c.filter(col("c_mktsegment") === "BUILDING")
+      val earners = ord(s, d).filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+      reassigned.join(earners, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE c_mktsegment = 'BUILDING'
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND year(o.o_orderdate) = 1995)""")),
+
     // ===== A: aggregations (SURVEY §2.4) =====
+
+    Q("a6_rate_rep", (s, d) =>
+      // rate-representative agg (A6, run-calculation.sql:265-273):
+      // MIN(positive value) per composite key
+      li(s, d).filter(col("l_discount") > 0)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc")),
+      Some("""SELECT l_orderkey, l_suppkey, min(l_discount) AS min_disc,
+              max(l_discount) AS max_disc
+              FROM lineitem WHERE l_discount > 0 GROUP BY 1, 2""")),
 
     Q("a1_agg", (s, d) =>
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
