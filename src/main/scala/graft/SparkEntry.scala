@@ -647,6 +647,13 @@ object SparkEntry {
         k = 5, dim = 64, nPlanes = 8)
     }, None), // hyperplane construction not SQL-expressible; recall vs exact in ScalaTest
 
+    Q("v_ann_ivf", (s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfCosineTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }, None), // IVF cell assignment checked against exact scores in ScalaTest
+
     // ===== X: text analysis =====
 
     Q("x_lang_id", (s, d) =>

@@ -1,0 +1,133 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+import graft.operators.Joins
+
+/** Core entity transforms (SURVEY §7.1 module 3): brokers (01), groups
+  * (02), schedules + rates (04), fees (11). Each is a pure
+  * `DataFrame => DataFrame` with the reference script as the behavioral
+  * spec. All dimension-sized; shuffles only on the natural keys.
+  */
+object CoreTransforms {
+
+  /** Broker status decode (`sql/transforms/01-brokers.sql:39-44`). */
+  def decodeBrokerStatus(c: Column): Column =
+    when(trim(c) === "Active", "ACTIVE")
+      .when(trim(c) === "Terminated", "TERMINATED")
+      .when(trim(c) === "Terminated Residuals", "TERMINATED_RESIDUALS")
+      .otherwise("UNKNOWN")
+
+  /** Brokers from individual + org rosters, with placeholder rows for
+    * brokers referenced by certificates but absent from both rosters
+    * (`sql/transforms/01-brokers.sql:151-191`). */
+  def brokers(
+      individual: DataFrame, org: DataFrame, certificateBrokerIds: DataFrame): DataFrame = {
+    val ind = individual.select(
+      Cleaning.cleanStr(col("PartyUniqueId")).as("broker_ext_id"),
+      Cleaning.cleanStr(col("Name")).as("name"),
+      decodeBrokerStatus(col("CurrentStatus")).as("status"),
+      lit("INDIVIDUAL").as("broker_type"))
+    val orgB = org.select(
+      Cleaning.cleanStr(col("PartyUniqueId")).as("broker_ext_id"),
+      Cleaning.cleanStr(col("Name")).as("name"),
+      decodeBrokerStatus(col("CurrentStatus")).as("status"),
+      lit("ORGANIZATION").as("broker_type"))
+    val roster = ind.unionByName(orgB)
+      // dedup-union guard (00-references pattern, J9): first roster wins
+      .transform(df => Joins.top1PerGroup(df, Seq(col("broker_ext_id")),
+        Seq(col("broker_type"))))
+    val placeholders = certificateBrokerIds
+      .select(Cleaning.cleanStr(col("broker_id")).as("broker_ext_id")).distinct()
+      .join(roster, Seq("broker_ext_id"), "left_anti")
+      .select(col("broker_ext_id"),
+        concat(lit("Placeholder "), col("broker_ext_id")).as("name"),
+        lit("PLACEHOLDER").as("status"), lit("PLACEHOLDER").as("broker_type"))
+    roster.unionByName(placeholders)
+      .withColumn("broker_id", Cleaning.externalToInternalId(col("broker_ext_id")))
+  }
+
+  /** License date-correction rules (`sql/transforms/01-brokers.sql:199-239`):
+    * null effective date <- expiration date; expired-but-Active ->
+    * sentinel '2027-01-01'. */
+  val licenseFixSentinel = "2027-01-01"
+  def fixLicenseDates(licenses: DataFrame, today: Column = current_date()): DataFrame =
+    licenses
+      .withColumn("eff_date", coalesce(col("eff_date"), col("exp_date")))
+      .withColumn("exp_date",
+        when(col("status") === "Active" && col("exp_date") < today,
+          to_date(lit(licenseFixSentinel))).otherwise(col("exp_date")))
+
+  /** Groups with fallback name/state chains — perf-group beats premium
+    * beats certificate source (`sql/transforms/02-groups.sql:108-121`),
+    * conditional-aggregate best-non-empty per group (`:31-33`), canonical
+    * G-prefixed id (`:107`) and DTC sentinel. */
+  def groups(
+      certGroups: DataFrame,    // group_id_raw, name, state (from certs)
+      premiumGroups: DataFrame, // group_id_raw, name
+      perfGroups: DataFrame     // group_id_raw, name, state, group_size
+  ): DataFrame = {
+    def bestNonEmpty(c: Column) = max(Cleaning.cleanStr(c))
+    val cg = certGroups.groupBy(col("group_id_raw"))
+      .agg(bestNonEmpty(col("name")).as("cert_name"), bestNonEmpty(col("state")).as("cert_state"))
+    val pg = premiumGroups.groupBy(col("group_id_raw"))
+      .agg(bestNonEmpty(col("name")).as("prem_name"))
+    val fg = perfGroups.groupBy(col("group_id_raw"))
+      .agg(bestNonEmpty(col("name")).as("perf_name"), bestNonEmpty(col("state")).as("perf_state"),
+        max(col("group_size")).as("group_size"))
+    cg.join(pg, Seq("group_id_raw"), "full")
+      .join(fg, Seq("group_id_raw"), "full")
+      .select(
+        Cleaning.canonicalGroupId(Cleaning.dtcSentinel(col("group_id_raw"))).as("group_id"),
+        coalesce(col("perf_name"), col("prem_name"), col("cert_name")).as("name"),
+        coalesce(col("perf_state"), col("cert_state")).as("state"),
+        col("group_size"))
+  }
+
+  /** Schedule-rate unpivot: the reference fakes nested data with wide
+    * Year1..Year16, Year66, Year99 pivot columns
+    * (`sql/01-raw-tables.sql:219-237`); here they become (year_key, rate)
+    * rows via stack — first-class rows, not 18 columns.
+    * Coverage classing per `sql/transforms/04-schedules.sql:259-265`:
+    * heaped (year rates), level-only, zero. */
+  val yearCols: Seq[String] = (1 to 16).map(i => s"Year$i") ++ Seq("Year66", "Year99")
+
+  def unpivotScheduleRates(rates: DataFrame): DataFrame = {
+    val stackExpr = yearCols.map(y =>
+      s"'${y.stripPrefix("Year")}', try_cast(`$y` as decimal(9,4))").mkString(", ")
+    rates.selectExpr("*", s"stack(${yearCols.size}, $stackExpr) as (year_key, rate)")
+      .drop(yearCols: _*)
+      .withColumn("coverage_class",
+        when(col("rate").isNotNull && col("rate") =!= 0, "HEAPED")
+          .when(col("Level").isNotNull && trim(col("Level")) =!= "", "LEVEL_ONLY")
+          .otherwise("ZERO"))
+  }
+
+  /** Fee-method canonicalization (`sql/transforms/11-fees.sql:125-190`):
+    * six canonical methods, unknown -> OTHER_FEE. */
+  val feeMethodMap: Map[String, String] = Map(
+    "PCTPREM" -> "PERCENT_OF_PREMIUM",
+    "PEPM" -> "PER_EMPLOYEE_PER_MONTH",
+    "PMPM" -> "PER_MEMBER_PER_MONTH",
+    "FLAT" -> "FLAT_FEE",
+    "PCTCLAIM" -> "PERCENT_OF_CLAIMS",
+    "ANNUAL" -> "ANNUAL_FEE",
+  )
+
+  def canonicalFeeMethod(c: Column): Column =
+    feeMethodMap.foldLeft(when(lit(false), lit(""))) { case (acc, (raw, canon)) =>
+      acc.when(upper(trim(c)) === raw, canon)
+    }.otherwise("OTHER_FEE")
+
+  /** 51-entry state code -> name lookup as a broadcast map literal
+    * (`scripts/proposal-builder.ts:84-101`). Subset here; the operator
+    * shape (typedLit map + element_at) is the point. */
+  val stateNames: Map[String, String] = Map(
+    "AL" -> "Alabama", "AK" -> "Alaska", "AZ" -> "Arizona", "CA" -> "California",
+    "CO" -> "Colorado", "FL" -> "Florida", "GA" -> "Georgia", "IL" -> "Illinois",
+    "NY" -> "New York", "TX" -> "Texas", "WA" -> "Washington")
+
+  def stateName(c: Column): Column =
+    coalesce(element_at(typedLit(stateNames), upper(trim(c))), lit("Unknown"))
+}

@@ -36,6 +36,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells
+    * around deterministic seed centroids (lowest-id vector per id-residue
+    * class — no RNG, reproducible across runs), then answer queries by
+    * probing the `nprobe` nearest cells with exact rerank inside.
+    *
+    * Scale shape: centroids are broadcast (nlist is small); corpus
+    * assignment is one narrow pass; the probe join shuffles only on
+    * cell id. Recall/cost dial = nprobe/nlist.
+    */
+  def ivfCosineTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+    val centroids = broadcast(
+      Joins.top1PerGroup(
+        c.withColumn("cell", pmod(col("neighbor_id"), lit(nlist))),
+        Seq(col("cell")), Seq(col("neighbor_id")))
+        .select(col("cell"), col("cv").as("centroid")))
+    val assigned = Joins.top1PerGroup(
+      c.crossJoin(centroids)
+        .withColumn("cdist", VectorFunctions.cosine(col("cv"), col("centroid"))),
+      Seq(col("neighbor_id")), Seq(col("cdist").desc, col("cell").asc))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val q = queries.select(col(qId).as("query_id"),
+      VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("cdist", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** LSH-bucketed ANN: random-hyperplane buckets, exact rerank within the
     * bucket. Trades recall for a corpus-sized scan with no all-pairs
     * shuffle — the scale path. */

@@ -1,0 +1,93 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CoreTransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brokers: roster union + placeholder generation for unknown cert brokers") {
+    val ind = Seq(("P1", "Alice", "Active"), ("P2", "Bob", "Terminated Residuals"))
+      .toDF("PartyUniqueId", "Name", "CurrentStatus")
+    val org = Seq(("P3", "Acme Inc", "Active")).toDF("PartyUniqueId", "Name", "CurrentStatus")
+    val certBrokers = Seq("P1", "P9").toDF("broker_id") // P9 unknown
+    val got = CoreTransforms.brokers(ind, org, certBrokers)
+      .select(col("broker_ext_id"), col("status"), col("broker_type"), col("broker_id"))
+      .as[(String, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("P1") == (("ACTIVE", "INDIVIDUAL", 1L)))
+    assert(got("P2") == (("TERMINATED_RESIDUALS", "INDIVIDUAL", 2L)))
+    assert(got("P3") == (("ACTIVE", "ORGANIZATION", 3L)))
+    assert(got("P9") == (("PLACEHOLDER", "PLACEHOLDER", 9L)))
+  }
+
+  test("license date corrections: null eff <- exp; expired Active -> 2027 sentinel") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val lic = Seq(
+      ("L1", "Active", null.asInstanceOf[java.sql.Date], d("2030-01-01")),
+      ("L2", "Active", d("2019-01-01"), d("2020-01-01")),   // expired but Active
+      ("L3", "Inactive", d("2019-01-01"), d("2020-01-01")), // expired, not Active
+    ).toDF("license_id", "status", "eff_date", "exp_date")
+    val got = CoreTransforms.fixLicenseDates(lic, to_date(lit("2024-06-01")))
+      .select(col("license_id"), col("eff_date").cast("string"), col("exp_date").cast("string"))
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("L1") == (("2030-01-01", "2030-01-01")))
+    assert(got("L2") == (("2019-01-01", "2027-01-01"))) // sentinel
+    assert(got("L3") == (("2019-01-01", "2020-01-01")))
+  }
+
+  test("groups: fallback chains perf > premium > cert; canonical ids; DTC sentinel") {
+    val cg = Seq(("25992", "Cert Name", "TX"), ("", "DTC Cert", "CA"))
+      .toDF("group_id_raw", "name", "state")
+    val pg = Seq(("25992", "Prem Name")).toDF("group_id_raw", "name")
+    val fg = Seq(("25992", "Perf Name", "NY", 50)).toDF("group_id_raw", "name", "state", "group_size")
+    val got = CoreTransforms.groups(cg, pg, fg)
+      .select(col("group_id"), col("name"), col("state"))
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("G25992") == (("Perf Name", "NY"))) // perf wins
+    assert(got("G00000") == (("DTC Cert", "CA")))  // sentinel + cert fallback
+  }
+
+  test("schedule-rate unpivot: Year1..Year99 wide columns -> rows with coverage class") {
+    val wide = Seq(("S1", "lvl", "5.0", "0", "")).toDF("sched", "Level", "Year1", "Year2", "Year3")
+      .withColumn("Year4", lit(null).cast("string"))
+    val cols = Seq("Year1", "Year2", "Year3", "Year4")
+    // use a narrowed unpivot through the same stack mechanism
+    val stackExpr = cols.map(y => s"'${y.stripPrefix("Year")}', try_cast(`$y` as decimal(9,4))").mkString(", ")
+    val rows = wide.selectExpr("sched", "Level", s"stack(${cols.size}, $stackExpr) as (year_key, rate)")
+      .withColumn("coverage_class",
+        when(col("rate").isNotNull && col("rate") =!= 0, "HEAPED")
+          .when(col("Level").isNotNull && trim(col("Level")) =!= "", "LEVEL_ONLY")
+          .otherwise("ZERO"))
+      .select(col("year_key"), col("rate").cast("string"), col("coverage_class"))
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("1") == (("5.0000", "HEAPED")))
+    assert(rows("2") == (("0.0000", "LEVEL_ONLY")))
+    assert(rows("3")._2 == "LEVEL_ONLY") // '' -> null rate, Level present
+    assert(rows("4")._2 == "LEVEL_ONLY")
+  }
+
+  test("full 18-column unpivot via unpivotScheduleRates") {
+    val base = (1 to 16).map(i => s"Year$i" -> (if (i == 1) "2.5" else "0")).toMap ++
+      Map("Year66" -> "0", "Year99" -> "1.0")
+    var df = Seq(("S1", "")).toDF("sched", "Level")
+    CoreTransforms.yearCols.foreach { y => df = df.withColumn(y, lit(base(y))) }
+    val out = CoreTransforms.unpivotScheduleRates(df)
+    assert(out.count() == 18)
+    val heaped = out.filter(col("coverage_class") === "HEAPED")
+      .select(col("year_key")).as[String].collect().toSet
+    assert(heaped == Set("1", "99"))
+  }
+
+  test("fee method canonicalization: six methods + OTHER_FEE fallback") {
+    val got = Seq("PctPrem", "PEPM", "weird").toDF("m")
+      .select(CoreTransforms.canonicalFeeMethod(col("m"))).as[String].collect()
+    assert(got.toSeq == Seq("PERCENT_OF_PREMIUM", "PER_EMPLOYEE_PER_MONTH", "OTHER_FEE"))
+  }
+
+  test("state map lookup via broadcast map literal") {
+    val got = Seq(" tx ", "ZZ").toDF("s")
+      .select(CoreTransforms.stateName(col("s"))).as[String].collect()
+    assert(got.toSeq == Seq("Texas", "Unknown"))
+  }
+}

@@ -40,4 +40,21 @@ class SimilaritySpec extends SparkSpec {
     // every ANN pair's cosine must equal the exact computation bit-for-bit
     approx.foreach { case (a, b, c) => assert(exact((a, b)) == c, s"pair ($a,$b)") }
   }
+
+  test("ivfCosineTopK probes cells and agrees with exact scores; more probes = full recall") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 5)
+    val exactTop = Similarity.bruteForceCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.ivfCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8) // probing every cell => exact
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    assert(ivfAll == exactTop)
+    val ivfPartial = Similarity.ivfCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    assert(ivfPartial.nonEmpty && (ivfPartial subsetOf
+      Similarity.bruteForceCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding", 2000)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def steps = Seq(
+    Pipeline.Step("load", Nil, Seq("raw"),
+      (s, _) => Map("raw" -> Seq(1, 2, 3).toDF("v"))),
+    Pipeline.Step("double", Seq("raw"), Seq("doubled"),
+      (_, ctx) => Map("doubled" -> ctx("raw").withColumn("v", col("v") * 2))),
+    Pipeline.Step("sum", Seq("doubled"), Seq("total"),
+      (_, ctx) => Map("total" -> ctx("doubled").agg(sum(col("v")).as("t")))),
+  )
+
+  test("ordered run produces the DAG outputs with a ledger") {
+    val r = new Pipeline.Runner(spark, steps).run()
+    assert(r.frames("total").as[Long].collect().head == 12L)
+    assert(r.runLedger.map(_.status).forall(_ == Pipeline.Completed))
+  }
+
+  test("resume: pre-seeded outputs are skipped") {
+    val r = new Pipeline.Runner(spark, steps)
+      .withInput("raw", Seq(10).toDF("v"))
+      .run()
+    assert(r.runLedger.find(_.step == "load").get.status == Pipeline.Skipped)
+    assert(r.frames("total").as[Long].collect().head == 20L)
+  }
+
+  test("missing input fails fast with a diagnostic") {
+    val bad = Seq(Pipeline.Step("s", Seq("nope"), Seq("out"), (_, _) => Map.empty))
+    val e = intercept[IllegalStateException] {
+      new Pipeline.Runner(spark, bad).run()
+    }
+    assert(e.getMessage.contains("missing inputs"))
+  }
+
+  test("skip set records Skipped and downstream failure is diagnosed (failFast=false)") {
+    val r = new Pipeline.Runner(spark, steps).run(skip = Set("load"), failFast = false)
+    assert(r.runLedger.find(_.step == "load").get.status == Pipeline.Skipped)
+    assert(r.runLedger.find(_.step == "double").get.status.isInstanceOf[Pipeline.Failed])
+  }
+}
