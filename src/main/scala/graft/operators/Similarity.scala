@@ -14,6 +14,14 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Uses the codegen'd native cosine_sim expression when GraftExtensions
+    * is on the session, the composable HOF fold otherwise — results are
+    * bit-identical (same accumulation order). */
+  private def cosineCol(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("cosine_sim"))
+      VectorFunctions.cosineNative(a, b)
+    else VectorFunctions.cosine(a, b)
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine similarity. Query set should be small enough to
     * broadcast (driver enforces nothing — caller picks the side).
@@ -28,7 +36,7 @@ object Similarity {
       VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(cosineCol(corpus)(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -71,7 +79,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(cosineCol(corpus)(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -94,7 +102,7 @@ object Similarity {
       .withColumn("bucket", VectorFunctions.lshBucket(col("cv"), dim, nPlanes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(cosineCol(corpus)(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

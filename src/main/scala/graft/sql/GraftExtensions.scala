@@ -1,0 +1,33 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering graft's native Catalyst expressions.
+  *
+  * Wire up with `.config("spark.sql.extensions", "graft.sql.GraftExtensions")`
+  * (works under spark-submit too) — then `cosine_sim(a, b)` resolves in
+  * SQL and via `functions.call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "cosine_sim expects 2 arguments")
+        // cast here (array<float> inputs etc.) — the expression itself
+        // demands array<double>
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val target = ArrayType(DoubleType)
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          e.dataType match {
+            case ArrayType(DoubleType, _) => e
+            case _ => Cast(e, target)
+          }
+        CosineSimilarity(coerce(children.head), coerce(children(1)))
+      }))
+  }
+}

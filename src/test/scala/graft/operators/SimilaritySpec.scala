@@ -7,6 +7,18 @@ import graft.functions.VectorFunctions
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native CosineSimilarity expression: correct values, zero-norm guard") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def arr(xs: Double*) = Literal.create(xs, ArrayType(DoubleType))
+    val got = graft.sql.CosineSimilarity(arr(1.0, 0.0), arr(1.0, 1.0))
+      .eval(null).asInstanceOf[Double]
+    assert(got == 1.0 / (1.0 * math.sqrt(2.0))) // exact same op order as HOF
+    assert(graft.sql.CosineSimilarity(arr(1.0, 0.0), arr(0.0, 0.0)).eval(null) == 0.0)
+    assert(math.abs(graft.sql.CosineSimilarity(arr(3.0, 4.0), arr(3.0, 4.0))
+      .eval(null).asInstanceOf[Double] - 1.0) < 1e-15)
+  }
+
   test("cosine column function matches manual computation") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine(
