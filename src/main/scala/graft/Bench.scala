@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader, shuffle paths) so the first
+    // measured query doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).count()
     // SPARK_GRAFT_ONLY=q1,q2 to time a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -621,7 +621,7 @@ object SparkEntry {
               FROM cand""")),
 
     Q("d_simhash", (s, d) =>
-      doc(s, d).select(col("doc_id"), Dedup.simHash(col("text"), 32).as("simhash")),
+      Dedup.simHashDocs(doc(s, d), col("doc_id"), col("text"), 32),
       None), // bit-twiddling fold; verified by ScalaTest, rows-only here
 
     // ===== V: vector similarity =====

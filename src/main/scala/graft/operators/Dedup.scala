@@ -132,6 +132,25 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** SimHash as a set operator: explode tokens, hash each ONCE, then one
+    * hash-aggregate computes every bit-sum with map-side partial combine —
+    * the scale form of [[simHash]] (whose per-row HOF fold re-hashes per
+    * bit and stays interpreted). Same fingerprint values. */
+  def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    val toks = df.select(id.cast("long").as("doc_id"),
+        explode(split(trim(text), "\\s+")).as("tok"))
+      .withColumn("h", md5Int(col("tok")))
+    val bitSums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b % 32).bitwiseAND(1) * 2 - 1).as(s"s$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map { b =>
+          when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)))
+      .select(col("doc_id"), col("simhash"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
     * token md5 bits; the sign of each sum forms the fingerprint. Docs are
     * compared by Hamming distance on band-blocked candidates. */

@@ -39,6 +39,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.2)
   }
 
+  test("simHashDocs (explode form) produces identical fingerprints to the column fn") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark sql catalyst tungsten codegen shuffle"),
+      (3L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val viaCol = docs.select(col("doc_id"), Dedup.simHash(col("text"), 32).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaOp = Dedup.simHashDocs(docs, col("doc_id"), col("text"), 32)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCol == viaOp)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val words = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = words + " extra"
