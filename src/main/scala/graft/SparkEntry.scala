@@ -624,6 +624,15 @@ object SparkEntry {
       Dedup.simHashDocs(doc(s, d), col("doc_id"), col("text"), 32),
       None), // bit-twiddling fold; verified by ScalaTest, rows-only here
 
+    Q("d_embedding_neardup", (s, d) =>
+      Dedup.embeddingNearDupPairs(emb(s, d), col("vec_id"), col("embedding"), 0.35),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cos
+              FROM e a, e b
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
+
     // ===== V: vector similarity =====
 
     Q("v_cosine_topk", (s, d) => {

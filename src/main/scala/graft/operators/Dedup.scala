@@ -132,6 +132,26 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (i < j) pairs whose cosine
+    * similarity clears `threshold`. This is the exact form (quadratic —
+    * the correctness baseline); at corpus scale, block first with
+    * [[Similarity.lshCosineTopK]] buckets or IVF cells and apply the same
+    * threshold inside blocks. Uses the codegen'd cosine when registered. */
+  def embeddingNearDupPairs(
+      df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val useNative = df.sparkSession.catalog.functionExists("cosine_sim")
+    def cos(a: Column, b: Column) =
+      if (useNative) graft.functions.VectorFunctions.cosineNative(a, b)
+      else graft.functions.VectorFunctions.cosine(a, b)
+    val e = df.select(id.cast("long").as("vid"),
+      graft.functions.VectorFunctions.toDoubleArray(vec).as("v"))
+    e.select(col("vid").as("id_a"), col("v").as("va"))
+      .join(e.select(col("vid").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
+      .withColumn("cos", round(cos(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** SimHash as a set operator: explode tokens, hash each ONCE, then one
     * hash-aggregate computes every bit-sum with map-side partial combine —
     * the scale form of [[simHash]] (whose per-row HOF fold re-hashes per

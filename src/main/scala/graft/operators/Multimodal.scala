@@ -66,6 +66,7 @@ object Multimodal {
     media.withColumn("frames",
       transform(
         sequence(lit(0),
-          greatest((octet_length(col("payload")) - 1) / (blockSize * stride), lit(0))),
+          greatest(floor((octet_length(col("payload")) - 1) / (blockSize * stride))
+            .cast("int"), lit(0))),
         i => col("payload").substr((i * blockSize * stride + 1).cast("int"), lit(blockSize))))
 }

@@ -66,13 +66,13 @@ object Similarity {
         .select(col("cell"), col("cv").as("centroid")))
     val assigned = Joins.top1PerGroup(
       c.crossJoin(centroids)
-        .withColumn("cdist", VectorFunctions.cosine(col("cv"), col("centroid"))),
+        .withColumn("cdist", cosineCol(corpus)(col("cv"), col("centroid"))),
       Seq(col("neighbor_id")), Seq(col("cdist").desc, col("cell").asc))
       .select(col("neighbor_id"), col("cv"), col("cell"))
     val q = queries.select(col(qId).as("query_id"),
       VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
     val probes = q.crossJoin(centroids)
-      .withColumn("cdist", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("cdist", cosineCol(corpus)(col("qv"), col("centroid")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
       .filter(col("__rn") <= nprobe)

@@ -23,6 +23,18 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("frame-sample stub: stride sampling of byte blocks with fixed block size") {
+    val m = graft.operators.Multimodal.asMediaTable(
+      Tables.documents(spark, sf001).limit(3), "doc_id", "text", "text/plain")
+    val frames = graft.operators.Multimodal.frameSampleStub(m, blockSize = 16, stride = 4)
+      .select(col("media_id"), col("frames")).collect()
+    frames.foreach { r =>
+      val fs = r.getSeq[Array[Byte]](1)
+      assert(fs.nonEmpty)
+      assert(fs.forall(_.length <= 16))
+    }
+  }
+
   test("multimodal decode stub emits deterministic 8-dim features") {
     val m = graft.operators.Multimodal.asMediaTable(
       Tables.documents(spark, sf001).limit(5), "doc_id", "text", "text/plain")

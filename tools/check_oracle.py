@@ -54,6 +54,7 @@ for name, sql in sorted(oracles.items()):
             if diff > 0:
                 mismatch = f"col {c}: max float diff {diff}"
                 if diff > 1e-9: break
+                print(f"  note {name}.{c}: sub-threshold float diff {diff}")
                 mismatch = None  # tolerate tiny
         else:
             eq = (a.fillna("__null__") == b.fillna("__null__")) if a.dtype == object else (a.isna() & b.isna()) | (a == b)
