@@ -124,6 +124,44 @@ object Proposals {
       Seq(col("cert_id"), col("split_seq")))
       .select(col("hierarchy_hash"), col("group_id"), col("split_pct"), col("tiers"))
 
+  /** Split configurations per proposal, taken from the representative
+    * (lowest-id) certificate of each (group, config) — legitimate because
+    * the config hash guarantees every member cert carries the same split
+    * structure (`proposal-builder.ts:886-1011`). */
+  def splitConfigs(
+      proposals: DataFrame, routedConfigs: DataFrame, hierHashes: DataFrame): DataFrame = {
+    val rep = Joins.top1PerGroup(
+      routedConfigs.filter(!col("route_pha")),
+      Seq(col("group_id"), col("config_hash")), Seq(col("cert_id")))
+      .select(col("group_id"), col("config_hash"), col("cert_id"))
+    proposals.select(col("proposal_id"), col("group_id"), col("config_hash"))
+      .join(rep, Seq("group_id", "config_hash"))
+      .join(hierHashes.select(col("cert_id"), col("split_seq"), col("split_pct"),
+        col("hierarchy_hash")), Seq("cert_id"))
+      .select(col("proposal_id"), col("split_seq"), col("split_pct"),
+        col("hierarchy_hash").as("hierarchy_id"))
+  }
+
+  /** Hierarchy versions + participants from the deduped hierarchies —
+    * id `{hash}-V1`, open-ended effectivity (versioning begins at the
+    * epoch; succession appends new versions). */
+  def hierarchyEntities(deduped: DataFrame): (DataFrame, DataFrame) = {
+    val versions = deduped.select(
+      col("hierarchy_hash").as("hierarchy_id"),
+      concat_ws("-", col("hierarchy_hash"), lit("V1")).as("version_id"),
+      to_date(lit("1900-01-01")).as("eff_from"),
+      lit(null).cast("date").as("eff_to"))
+    val participants = deduped
+      .select(col("hierarchy_hash"), explode(col("tiers")).as("t"))
+      .select(
+        concat_ws("-", col("hierarchy_hash"), lit("V1")).as("version_id"),
+        col("t.tier_level").as("tier_level"),
+        col("t.broker_id").as("broker_id"),
+        col("t.schedule_code").as("schedule_code"),
+        lit(null).cast("double").as("participant_rate"))
+    (versions, participants)
+  }
+
   /** Hash-collision audit (`proposal-builder.ts:1972-1984`): same hash,
     * different content -> a row here (must be empty). */
   def hashCollisions(hierHashes: DataFrame): DataFrame =

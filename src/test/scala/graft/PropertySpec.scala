@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Intervals
+import graft.domain.Consolidate
+
+/** Property-based invariants (SURVEY §5 item 4 analog): generated inputs,
+  * algebraic postconditions. Seeded ScalaCheck generators, deterministic
+  * across runs; few cases since each spins Spark jobs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val intervalsGen: Gen[List[(Long, Int, Int)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      f <- Gen.choose(0, 500)
+      len <- Gen.choose(0, 100)
+    } yield (k, f, f + len))
+  } yield rows
+
+  test("mergeIntervals: disjoint output, member conservation, full coverage (5 seeds)") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(intervalsGen, seed)
+      val out = Intervals.mergeIntervals(
+        rows.toDF("k", "fs", "ts").select(col("k"),
+          timestamp_seconds(col("fs")).as("f"), timestamp_seconds(col("ts")).as("t")),
+        col("k"), col("f"), col("t"))
+        .select(col("key"), col("range_from").cast("long"), col("range_to").cast("long"),
+          col("n_merged"))
+        .as[(Long, Long, Long, Int)].collect()
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        rs.sortBy(_._2).sliding(2).foreach {
+          case Array(a, b) => assert(b._2 > a._3, s"seed=$seed overlapping runs: $a $b")
+          case _ =>
+        }
+      }
+      assert(out.map(_._4).sum == rows.size, s"seed=$seed conservation")
+      rows.foreach { case (k, f, t) =>
+        assert(out.exists(o => o._1 == k && o._2 <= f && t <= o._3), s"seed=$seed coverage ($k,$f,$t)")
+      }
+    }
+  }
+
+  private val propsGen: Gen[List[Consolidate.PropIn]] = for {
+    n <- Gen.choose(1, 12)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("G1", "G2")
+      md5 <- Gen.oneOf("h1", "h2")
+      m <- Gen.choose(1, 12)
+      plans <- Gen.someOf(Seq("x", "y", "*")).map(_.toList.sorted)
+    } yield Consolidate.PropIn(g, s"P$m-$g-$md5", md5,
+      f"2020-$m%02d-01", f"2020-$m%02d-28",
+      List("A"), if (plans.isEmpty) List("x") else plans))
+  } yield rows.distinctBy(_.proposal_id)
+
+  test("consolidate: member conservation, per-group partition, date-span containment (5 seeds)") {
+    (10L to 14L).foreach { seed =>
+      val rows = sample(propsGen, seed)
+      val out = Consolidate.consolidate(rows.toDF())
+        .as[Consolidate.PropOut].collect()
+      assert(out.map(_.n_merged).sum == rows.size, s"seed=$seed conservation")
+      assert(out.map(_.consolidated_id).distinct.length == out.length, s"seed=$seed unique ids")
+      out.groupBy(_.group_id).foreach { case (g, rs) =>
+        val inG = rows.filter(_.group_id == g)
+        assert(rs.map(_.n_merged).sum == inG.size, s"seed=$seed group partition $g")
+        // every run's span lies within the group's overall input span
+        val minF = inG.map(_.eff_from).min
+        val maxT = inG.map(_.eff_to).max
+        rs.foreach { r =>
+          assert(r.eff_from >= minF && (r.eff_to == null || r.eff_to <= maxT),
+            s"seed=$seed span $r")
+        }
+      }
+    }
+  }
+}
