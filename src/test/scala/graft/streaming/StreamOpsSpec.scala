@@ -29,6 +29,25 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("file-source streaming: readStream over parquet matches batch aggregation") {
+    // write a small parquet dir, stream it with an explicit schema, and
+    // check the windowed agg equals the batch run over the same files
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batchDf = graft.Tables.events(spark, sf001).limit(500)
+    batchDf.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.tumblingCounts(streamed, "1 hour", "30 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("file_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("file_stream_out")
+      .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = StreamOps.tumblingCounts(spark.read.parquet(dir), "1 hour", "30 minutes")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("sessionizeStream agrees with batch sessionize on session counts") {
     implicit val sc = spark.sqlContext
     val events = Seq(
