@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.domain._
+
+/** End-to-end commissions-domain throughput bench, comparable to
+  * BASELINE.md: the reference processes 400,688 cert rows in 238.8 s
+  * end-to-end (~1,700 rows/s) / 2.0 s in-memory transform (~200 K rows/s)
+  * on a single Node process.
+  *
+  * Synthesizes reference-shaped certificate/premium inputs
+  * deterministically from the TPC-H-ish testdata (lineitem rows become
+  * (cert x split) rows; orders become premiums), then runs the full
+  * inference + calculation lineage: hierarchy/config hashing ->
+  * non-conformance + entropy routing -> proposal construction ->
+  * split/hierarchy derivation -> premium transactions -> 8-stage calc ->
+  * GL + traceability. Prints one JSON line.
+  */
+object DomainBench {
+
+  def synthCertificates(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val w = Window.partitionBy(col("l_orderkey"))
+    // split percents: equal shares with the remainder on the last split so
+    // every certificate sums to exactly 100.00 (conformant by construction
+    // except a deterministic 2% carve-out to exercise the PHA route)
+    val withCnt = li
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("l_linenumber"))))
+      .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
+      .withColumn("split_pct",
+        when(col("rn") < col("cnt"), col("base_pct"))
+          .otherwise(round(lit(100.0) - col("base_pct") * (col("cnt") - 1), 2)))
+    withCnt.select(
+      col("l_orderkey").as("cert_id"),
+      concat(lit("G"), pmod(col("l_orderkey"), lit(3079))).as("group_id"),
+      col("l_linenumber").as("split_seq"),
+      when(pmod(col("l_orderkey"), lit(50)) === 0, col("split_pct") + 1.0)
+        .otherwise(col("split_pct")).as("split_pct"), // ~2% nonconformant
+      lit(1).as("tier_level"),
+      concat(lit("P"), col("l_suppkey")).as("broker_id"),
+      concat(lit("SCHED"), pmod(col("l_suppkey"), lit(50))).as("schedule_code"),
+      concat(lit("P"), col("l_suppkey")).as("paid_broker_id"),
+      col("l_returnflag").as("product_code"),
+      lit("*").as("plan_code"),
+      to_date(col("l_shipdate")).as("eff_date"),
+      col("l_partkey"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-domain-bench")
+    val t0 = System.nanoTime()
+
+    // persist the fan-in frames: certs feeds hashing + calc-cert derivation,
+    // hierarchy hashes feed configs + splits + hierarchy dedup, configs feed
+    // proposals + splits — without persistence the synth lineage (two windows
+    // over lineitem) re-executes once per consumer
+    val certs = synthCertificates(spark, sfDir).persist()
+    val nCertRows = certs.count() // input scale, forces the synth
+
+    val t1 = System.nanoTime()
+    val hh = Proposals.hierarchyHashes(certs).persist()
+    // synthetic configs are near-unique per cert, so entropy routing is
+    // relaxed here (it would route almost every group); the 2% split-sum
+    // carve-out still exercises the non-conformance path
+    val cfg = Proposals.routeGroups(
+      Proposals.flagNonConformant(Proposals.configHashes(hh)),
+      maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0).persist()
+    val props = Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs))
+      .persist()
+    val splits = Proposals.splitConfigs(props, cfg, hh)
+    val (versions, participants) = Proposals.hierarchyEntities(Proposals.dedupHierarchies(hh))
+    def phase[T](name: String)(f: => T): T = {
+      val s = System.nanoTime(); val r = f
+      System.err.println(f"[phase] $name: ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+    }
+    phase("cache hh")(hh.count())
+    phase("cache cfg")(cfg.count())
+    val nProposals = phase("proposals")(props.count())
+
+    val premiums = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("premium_id"), col("o_orderkey").as("cert_id"),
+      concat(lit("G"), pmod(col("o_orderkey"), lit(3079))).as("group_id"),
+      col("o_totalprice").as("amount"),
+      date_add(to_date(col("o_orderdate")), 400).as("txn_date"))
+    val calcCerts = certs.groupBy(col("cert_id"))
+      .agg(first(col("group_id")).as("group_id"), first(col("product_code")).as("product_code"),
+        first(col("plan_code")).as("plan_code"))
+      .withColumn("state", lit("TX"))
+      .withColumn("group_size", lit(null).cast("int"))
+      .withColumn("real_rate", lit(null).cast("double"))
+    val rates = {
+      import spark.implicits._
+      (0 until 50).map(i => (s"SCHED$i", "*", "*",
+        null.asInstanceOf[java.lang.Integer], null.asInstanceOf[java.lang.Integer],
+        5.0 + (i % 10) * 0.5))
+        .toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate")
+    }
+    val assignments = {
+      import spark.implicits._
+      Seq.empty[(String, String, Double, java.sql.Date, java.sql.Date)]
+        .toDF("broker_id", "recipient_id", "assigned_pct", "eff_from", "eff_to")
+    }
+    val fin = Calc.run(Calc.CalcInputs(
+      premiums, calcCerts,
+      props.select(col("proposal_id"), col("group_id"),
+        col("eff_from").cast("date").as("eff_from"), col("eff_to").cast("date").as("eff_to")),
+      splits, versions, participants, rates, assignments)).persist()
+    phase("splits")(splits.persist().count())
+    phase("hierarchy entities")(versions.persist().count() + participants.persist().count())
+    val nGl = phase("calc+gl")(Calc.glEntries(fin).count())
+    val nTraced = phase("traceability")(Calc.traceability(fin).count())
+    val secs = (System.nanoTime() - t1) / 1e9
+    val total = (System.nanoTime() - t0) / 1e9
+    val rps = (nCertRows / secs).toLong
+    println(s"""{"metric":"domain_e2e","value":$secs,"unit":"sec","cert_rows":$nCertRows,""" +
+      s""""proposals":$nProposals,"gl_entries":$nGl,"premiums_traced":$nTraced,""" +
+      s""""rows_per_sec":$rps,"total_incl_synth":$total,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -12,10 +12,13 @@ import graft.operators.Joins
   *
   * Scale design: premiums/certificates are the big facts — every join
   * keeps an equi key on certificate/group so Catalyst plans hash or SMJ
-  * joins partitioned on those keys; proposals, splits, hierarchy versions,
-  * participants, schedule rates and assignments are configuration-sized
-  * dims and are broadcast. The as-of resolutions (J3) are equi joins with
-  * residual range predicates, never nested loops.
+  * joins partitioned on those keys. Dimension sides (proposals, splits,
+  * hierarchy versions, participants, rates, assignments) carry NO forced
+  * broadcast hint: at reference scale they sit under the auto-broadcast
+  * threshold and AQE broadcasts them; at adversarial scale (hundreds of
+  * thousands of hierarchies) they shuffle-join instead of collecting to
+  * the driver. The as-of resolutions (J3) are equi joins with residual
+  * range predicates, never nested loops.
   *
   * Inputs (column contracts):
   *  - premiums: premium_id, cert_id, group_id, amount, txn_date
@@ -42,7 +45,7 @@ object Calc {
   /** Stage 3: resolve the proposal active at the transaction date —
     * temporal as-of join on group (`run-calculation.sql:107-110`). */
   def resolveProposal(enriched: DataFrame, proposals: DataFrame): DataFrame =
-    Joins.asOfJoin(enriched, broadcast(proposals),
+    Joins.asOfJoin(enriched, proposals,
       enriched("group_id") === proposals("group_id"),
       col("txn_date"), proposals("eff_from"), proposals("eff_to"))
       .drop(proposals("group_id")).drop("eff_from", "eff_to")
@@ -51,14 +54,14 @@ object Calc {
     * (`run-calculation.sql:125-147`). split_premium = round(amount*pct/100, 2)
     * — round-then-aggregate, replicated exactly (:139). */
   def explodeSplits(withProposal: DataFrame, splits: DataFrame): DataFrame =
-    withProposal.join(broadcast(splits), Seq("proposal_id"))
+    withProposal.join(splits, Seq("proposal_id"))
       .withColumn("split_premium",
         round(col("amount").cast("decimal(18,2)") * col("split_pct").cast("decimal(7,4)") / 100, 2))
 
   /** Stage 5: resolve the hierarchy version active at the transaction
     * date (`run-calculation.sql:162-179`). */
   def resolveHierarchyVersion(withSplits: DataFrame, hierarchyVersions: DataFrame): DataFrame =
-    Joins.asOfJoin(withSplits, broadcast(hierarchyVersions),
+    Joins.asOfJoin(withSplits, hierarchyVersions,
       withSplits("hierarchy_id") === hierarchyVersions("hierarchy_id"),
       col("txn_date"), hierarchyVersions("eff_from"), hierarchyVersions("eff_to"))
       .drop(hierarchyVersions("hierarchy_id")).drop("eff_from", "eff_to")
@@ -66,7 +69,7 @@ object Calc {
   /** Stage 6: explode hierarchy participants — second 1:N fan-out
     * (`run-calculation.sql:194-217`). */
   def explodeParticipants(withVersion: DataFrame, participants: DataFrame): DataFrame =
-    withVersion.join(broadcast(participants), Seq("version_id"))
+    withVersion.join(participants, Seq("version_id"))
 
   /** Stage 7: three-level rate resolution with band lookup
     * (`run-calculation.sql:232-297`): certificate rate (when > 0) beats
@@ -74,7 +77,7 @@ object Calc {
     * state with wildcard rows and a group-size band, :293-297); rate
     * source is tracked for traceability (:249-260). */
   def lookupRate(exploded: DataFrame, scheduleRates: DataFrame): DataFrame = {
-    val sr = broadcast(scheduleRates)
+    val sr = scheduleRates
     val joined = exploded.join(sr,
       exploded("schedule_code") === sr("schedule_code") &&
         (sr("product_code") === "*" || sr("product_code") === exploded("product_code")) &&
@@ -117,7 +120,7 @@ object Calc {
     * with an active assignment forwards assigned_pct of the commission;
     * retained + assigned = commission (both rounded, :368-369). */
   def applyAssignments(computed: DataFrame, assignments: DataFrame): DataFrame = {
-    val a = broadcast(assignments)
+    val a = assignments
     Joins.asOfJoin(computed, a, computed("broker_id") === a("broker_id"),
       col("txn_date"), a("eff_from"), a("eff_to"), joinType = "left")
       .drop(a("broker_id")).drop("eff_from", "eff_to")

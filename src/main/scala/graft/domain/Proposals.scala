@@ -28,12 +28,15 @@ object Proposals {
     */
   def hierarchyHashes(certificates: DataFrame): DataFrame =
     certificates
+      // tier item string built per INPUT row (codegen'd) — building it
+      // post-collect via transform() runs interpreted per group
+      .withColumn("__tier_item", concat_ws(":",
+        lpad(col("tier_level").cast("string"), 4, "0"), col("broker_id"), col("schedule_code")))
       .groupBy(col("cert_id"), col("group_id"), col("split_seq"), col("split_pct"))
-      .agg(sort_array(collect_list(struct(
-        col("tier_level"), col("broker_id"), col("schedule_code")))).as("tiers"))
-      .withColumn("tier_sig",
-        concat_ws("|", transform(col("tiers"),
-          t => concat_ws(":", t("tier_level"), t("broker_id"), t("schedule_code")))))
+      .agg(
+        sort_array(collect_list(struct(
+          col("tier_level"), col("broker_id"), col("schedule_code")))).as("tiers"),
+        concat_ws("|", sort_array(collect_list(col("__tier_item")))).as("tier_sig"))
       .withColumn("hierarchy_hash",
         upper(sha2(concat_ws("!", col("group_id"), col("split_pct"), col("tier_sig")), 256)))
 
@@ -139,22 +142,30 @@ object Proposals {
       .join(hierHashes.select(col("cert_id"), col("split_seq"), col("split_pct"),
         col("hierarchy_hash")), Seq("cert_id"))
       .select(col("proposal_id"), col("split_seq"), col("split_pct"),
-        col("hierarchy_hash").as("hierarchy_id"))
+        hierKey(col("hierarchy_hash")).as("hierarchy_id"))
   }
+
+  /** Compact 60-bit join key from the content hash: shuffling/sorting
+    * 64-char hex strings is the dominant cost at hundreds of thousands of
+    * hierarchies; the full hash remains the content address (and
+    * [[hashCollisions]] audits it). */
+  def hierKey(hash: Column): Column =
+    conv(substring(hash, 1, 15), 16, 10).cast("long")
 
   /** Hierarchy versions + participants from the deduped hierarchies —
     * id `{hash}-V1`, open-ended effectivity (versioning begins at the
     * epoch; succession appends new versions). */
   def hierarchyEntities(deduped: DataFrame): (DataFrame, DataFrame) = {
     val versions = deduped.select(
-      col("hierarchy_hash").as("hierarchy_id"),
-      concat_ws("-", col("hierarchy_hash"), lit("V1")).as("version_id"),
+      hierKey(col("hierarchy_hash")).as("hierarchy_id"),
+      hierKey(col("hierarchy_hash")).as("version_id"), // V1 per hierarchy
+      col("hierarchy_hash"),
       to_date(lit("1900-01-01")).as("eff_from"),
       lit(null).cast("date").as("eff_to"))
     val participants = deduped
       .select(col("hierarchy_hash"), explode(col("tiers")).as("t"))
       .select(
-        concat_ws("-", col("hierarchy_hash"), lit("V1")).as("version_id"),
+        hierKey(col("hierarchy_hash")).as("version_id"),
         col("t.tier_level").as("tier_level"),
         col("t.broker_id").as("broker_id"),
         col("t.schedule_code").as("schedule_code"),
