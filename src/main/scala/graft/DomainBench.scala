@@ -49,6 +49,54 @@ object DomainBench {
       col("l_partkey"))
   }
 
+  /** The pipeline as a single composable frame (GL entries), for the
+    * bench/verify query surface. `localCheckpoint` materializes the
+    * fan-in frames eagerly so multi-consumer lineages (hashes feed
+    * configs + splits + hierarchy dedup; final feeds both GL branches)
+    * compute once. */
+  def glPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val certs = mat(synthCertificates(spark, sfDir))
+    val hh = mat(Proposals.hierarchyHashes(certs))
+    val cfg = mat(Proposals.routeGroups(
+      Proposals.flagNonConformant(Proposals.configHashes(hh)),
+      maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0))
+    val props = mat(Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs)))
+    val splits = mat(Proposals.splitConfigs(props, cfg, hh))
+    val (versions0, participants0) = Proposals.hierarchyEntities(Proposals.dedupHierarchies(hh))
+    val versions = mat(versions0)
+    val participants = mat(participants0)
+    val premiums = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("premium_id"), col("o_orderkey").as("cert_id"),
+      concat(lit("G"), pmod(col("o_orderkey"), lit(3079))).as("group_id"),
+      col("o_totalprice").as("amount"),
+      date_add(to_date(col("o_orderdate")), 400).as("txn_date"))
+    val calcCerts = certs.groupBy(col("cert_id"))
+      .agg(first(col("group_id")).as("group_id"), first(col("product_code")).as("product_code"),
+        first(col("plan_code")).as("plan_code"))
+      .withColumn("state", lit("TX"))
+      .withColumn("group_size", lit(null).cast("int"))
+      .withColumn("real_rate", lit(null).cast("double"))
+    val rates = {
+      import spark.implicits._
+      (0 until 50).map(i => (s"SCHED$i", "*", "*",
+        null.asInstanceOf[java.lang.Integer], null.asInstanceOf[java.lang.Integer],
+        5.0 + (i % 10) * 0.5))
+        .toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate")
+    }
+    val assignments = {
+      import spark.implicits._
+      Seq.empty[(String, String, Double, java.sql.Date, java.sql.Date)]
+        .toDF("broker_id", "recipient_id", "assigned_pct", "eff_from", "eff_to")
+    }
+    val fin = mat(Calc.run(Calc.CalcInputs(
+      premiums, calcCerts,
+      props.select(col("proposal_id"), col("group_id"),
+        col("eff_from").cast("date").as("eff_from"), col("eff_to").cast("date").as("eff_to")),
+      splits, versions.drop("hierarchy_hash"), participants, rates, assignments)))
+    Calc.glEntries(fin)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-domain-bench")

@@ -562,6 +562,14 @@ object SparkEntry {
                                 max(year(o_orderdate)) AS y1 FROM orders GROUP BY 1)
               SELECT o_custkey, unnest(generate_series(y0, y1))::INT AS yr FROM g""")),
 
+    // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
+
+    Q("domain_e2e_gl", (s, d) =>
+      // full inference + 8-stage calc on reference-shaped synth inputs;
+      // rows-only here (graft.DomainBench prints the throughput numbers)
+      graft.DomainBench.glPipeline(s, d),
+      None),
+
     // ===== D: dedup (beyond-parity corpus ops) =====
 
     Q("d_exact_dedup", (s, d) =>
