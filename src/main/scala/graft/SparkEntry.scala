@@ -534,6 +534,48 @@ object SparkEntry {
               json_extract_string(props, '$.k') IS NOT NULL AS has_k
               FROM events""")),
 
+    Q("f_split_explode", (s, d) =>
+      // STRING_SPLIT + explode (§2.8): corpus word frequencies
+      doc(s, d).select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100),
+      Some("""SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+              GROUP BY 1 HAVING count(*) >= 100""")),
+
+    Q("f_pivot", (s, d) =>
+      // pivot: linestatus columns per returnflag (reference fakes this
+      // with wide YearN columns, sql/01-raw-tables.sql:219-237)
+      li(s, d).groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .na.fill(0L, Seq("n_f", "n_o")),
+      Some("""SELECT l_returnflag,
+              sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+              sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o
+              FROM lineitem GROUP BY 1""")),
+
+    Q("f_unpivot", (s, d) =>
+      // unpivot/stack: measures to rows (inverse of the YearN pivot)
+      li(s, d).selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)" +
+          " as (measure, value)"),
+      Some("""SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""")),
+
+    Q("a10_approx_distinct", (s, d) =>
+      // HLL sketch — the approximate path for COUNT(DISTINCT) at scale;
+      // sketch internals differ per engine -> rows-only (accuracy vs
+      // exact is asserted in ScalaTest)
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
     // ===== G: proposal-builder-shaped composites (SURVEY §2.10) =====
 
     Q("g_config_hash", (s, d) => {

@@ -23,6 +23,16 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val rows = SparkEntry.queries("a10_approx_distinct")(spark, sf001)
+      .select(col("approx_parts"), col("exact_parts"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+    }
+  }
+
   test("frame-sample stub: stride sampling of byte blocks with fixed block size") {
     val m = graft.operators.Multimodal.asMediaTable(
       Tables.documents(spark, sf001).limit(3), "doc_id", "text", "text/plain")
