@@ -120,6 +120,30 @@ object CoreTransforms {
       acc.when(upper(trim(c)) === raw, canon)
     }.otherwise("OTHER_FEE")
 
+  /** Licenses (12): status decode + boolean coercion for the mixed
+    * 'Y'/'true' IsResidenceLicense column (`sql/01-raw-tables.sql:163-178`,
+    * `sql/transforms/12-licenses.sql` Status CASE). */
+  def parseLicenseFlags(licenses: DataFrame): DataFrame =
+    licenses
+      .withColumn("status_code",
+        when(upper(trim(col("status"))) === "ACTIVE", "A")
+          .when(upper(trim(col("status"))) === "INACTIVE", "I")
+          .otherwise("U"))
+      .withColumn("is_residence",
+        upper(trim(col("IsResidenceLicense"))).isin("Y", "TRUE", "1"))
+
+  /** EO insurances (13): the literal-'NULL'-string columns
+    * (`sql/transforms/13-eo-insurances.sql` via NULLIF(...,'NULL')) plus
+    * typed amounts. */
+  def eoInsurances(raw: DataFrame): DataFrame =
+    raw.select(
+      Cleaning.cleanStrStrict(col("PartyUniqueId")).as("broker_ext_id"),
+      Cleaning.cleanStrStrict(col("CarrierName")).as("carrier"),
+      Cleaning.cleanStrStrict(col("PolicyId")).as("policy_id"),
+      Cleaning.cleanStrStrict(col("FromDate")).try_cast("date").as("from_date"),
+      Cleaning.cleanStrStrict(col("ToDate")).try_cast("date").as("to_date"),
+      Cleaning.cleanStrStrict(col("CoverageAmount")).try_cast("decimal(18,2)").as("coverage_amount"))
+
   /** 51-entry state code -> name lookup as a broadcast map literal
     * (`scripts/proposal-builder.ts:84-101`). Subset here; the operator
     * shape (typedLit map + element_at) is the point. */

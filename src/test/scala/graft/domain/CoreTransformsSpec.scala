@@ -79,6 +79,28 @@ class CoreTransformsSpec extends SparkSpec {
     assert(heaped == Set("1", "99"))
   }
 
+  test("license flags: status decode + Y/true boolean coercion") {
+    val lic = Seq(("Active", "Y"), ("Inactive", "true"), ("Weird", "N"))
+      .toDF("status", "IsResidenceLicense")
+    val got = CoreTransforms.parseLicenseFlags(lic)
+      .select(col("status_code"), col("is_residence")).as[(String, Boolean)].collect().toSeq
+    assert(got == Seq(("A", true), ("I", true), ("U", false)))
+  }
+
+  test("EO insurances: literal NULL strings nulled, typed dates/amounts") {
+    val raw = Seq(
+      ("P1", "Acme", "POL1", "2020-01-01", "NULL", "100000.00"),
+      ("NULL", "NULL", "N/A", "bogus", "2021-01-01", "x"))
+      .toDF("PartyUniqueId", "CarrierName", "PolicyId", "FromDate", "ToDate", "CoverageAmount")
+    val got = CoreTransforms.eoInsurances(raw)
+      .select(col("broker_ext_id"), col("carrier"), col("from_date").cast("string"),
+        col("to_date").cast("string"), col("coverage_amount").cast("string"))
+      .as[(Option[String], Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(got(0) == ((Some("P1"), Some("Acme"), Some("2020-01-01"), None, Some("100000.00"))))
+    assert(got(1) == ((None, None, None, Some("2021-01-01"), None)))
+  }
+
   test("fee method canonicalization: six methods + OTHER_FEE fallback") {
     val got = Seq("PctPrem", "PEPM", "weird").toDF("m")
       .select(CoreTransforms.canonicalFeeMethod(col("m"))).as[String].collect()
