@@ -672,7 +672,18 @@ object SparkEntry {
 
     Q("d_simhash", (s, d) =>
       Dedup.simHashDocs(doc(s, d), col("doc_id"), col("text"), 32),
-      None), // bit-twiddling fold; verified by ScalaTest, rows-only here
+      Some {
+        // generate the 32 bit-sum aggregates + fingerprint assembly
+        val sums = (0 until 32)
+          .map(b => s"sum(((h >> $b) & 1) * 2 - 1)::BIGINT AS s$b").mkString(", ")
+        val fp = (0 until 32)
+          .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" | ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+            s AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+            SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
+      }),
 
     Q("d_embedding_neardup", (s, d) =>
       Dedup.embeddingNearDupPairs(emb(s, d), col("vec_id"), col("embedding"), 0.35),
@@ -770,7 +781,12 @@ object SparkEntry {
     Q("m_decode_stub", (s, d) =>
       Multimodal.decodeStub(Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain"))
         .select(col("media_id"), col("features")),
-      None), // decode is a stub (no codecs in container); plumbing tested in ScalaTest
+      // the stub feature = md5-digest bytes / 255 — replicable in SQL, so
+      // even the placeholder decode is oracle-checked end to end
+      Some("""SELECT doc_id AS media_id,
+              [(('0x' || substr(md5(text), i*2+1, 2))::INT)::DOUBLE / 255
+               for i in generate_series(0, 7)] AS features
+              FROM documents""")),
 
     // ===== ST / IV: streaming-in-batch + intervals =====
 

@@ -33,6 +33,15 @@ object StreamOps {
         col("n"), col("total_value"))
   }
 
+  /** Streaming dedup: drop repeated ids inside the watermark horizon —
+    * the streaming twin of exact dedup (state is bounded by the
+    * watermark, so it runs forever at 100 TB/day event volumes). */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermark: String): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    if (events.isStreaming) src.dropDuplicatesWithinWatermark(idCols)
+    else src.dropDuplicates(idCols)
+  }
+
   /** Stateful sessionization: events within `gapSeconds` of the previous
     * event for the same user share a session; a session closes on timeout.
     */

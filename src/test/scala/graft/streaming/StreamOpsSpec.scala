@@ -48,6 +48,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    input.addData(
+      StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      StreamOps.Event(1, ts("2024-01-01 00:00:05"), 1, "a", 1.0), // dup id
+      StreamOps.Event(2, ts("2024-01-01 00:01:00"), 1, "b", 2.0))
+    val q = StreamOps.dedupStream(input.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select(col("event_id")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionizeStream agrees with batch sessionize on session counts") {
     implicit val sc = spark.sqlContext
     val events = Seq(

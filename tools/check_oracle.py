@@ -38,9 +38,16 @@ for name, sql in sorted(oracles.items()):
     if len(got) != len(want):
         fails.append((name, f"ROWS got={len(got)} want={len(want)}"))
         continue
-    # sort rows for order-insensitive compare
-    g = got.sort_values(by=gc, ignore_index=True)
-    w = want.sort_values(by=wc, ignore_index=True)
+    # sort rows for order-insensitive compare; tuple-ize array cells so
+    # list columns are hashable/sortable
+    import numpy as np
+    def tuplize(df):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        return df
+    g = tuplize(got.copy()).sort_values(by=gc, ignore_index=True)
+    w = tuplize(want.copy()).sort_values(by=wc, ignore_index=True)
     mismatch = None
     for c in gc:
         import pandas as pd
