@@ -144,6 +144,25 @@ object CoreTransforms {
       Cleaning.cleanStrStrict(col("ToDate")).try_cast("date").as("to_date"),
       Cleaning.cleanStrStrict(col("CoverageAmount")).try_cast("decimal(18,2)").as("coverage_amount"))
 
+  /** Fees (11): MM/DD/YYYY date parsing, canonical calc method,
+    * typed amounts, natural-key fee ids (`sql/transforms/11-fees.sql`:
+    * dates ~:222, method CASE :125-190, id at :109-113 — the reference's
+    * ROW_NUMBER surrogate becomes a deterministic natural-key id, W1). */
+  def fees(raw: DataFrame): DataFrame =
+    raw.select(
+      Cleaning.cleanStr(col("PRDNUM")).as("product_num"),
+      Cleaning.cleanStr(col("PRODUCTCAT")).as("product_cat"),
+      Cleaning.cleanStr(col("FREQ")).as("frequency"),
+      Cleaning.cleanStr(col("FormattedAmount")).try_cast("decimal(18,4)").as("amount"),
+      Cleaning.cleanStr(col("AMTKIND")).as("amount_kind"),
+      Cleaning.parseUsDate(col("DATESTART")).as("date_start"),
+      Cleaning.parseUsDate(col("DATEEND")).as("date_end"),
+      canonicalFeeMethod(col("FEECALCMETHOD")).as("fee_method"),
+      Cleaning.cleanStr(col("FEETYPE")).as("fee_type"),
+      Cleaning.cleanStr(col("PartyUniqueId")).as("recipient_ext_id"))
+      .withColumn("fee_id", concat_ws("-", lit("FEE"), col("product_num"),
+        col("fee_method"), date_format(col("date_start"), "yyyyMMdd")))
+
   /** 51-entry state code -> name lookup as a broadcast map literal
     * (`scripts/proposal-builder.ts:84-101`). Subset here; the operator
     * shape (typedLit map + element_at) is the point. */

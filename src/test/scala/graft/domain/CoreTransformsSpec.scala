@@ -107,6 +107,21 @@ class CoreTransformsSpec extends SparkSpec {
     assert(got.toSeq == Seq("PERCENT_OF_PREMIUM", "PER_EMPLOYEE_PER_MONTH", "OTHER_FEE"))
   }
 
+  test("fees: date parsing, canonical method, natural-key id") {
+    val raw = Seq(
+      ("100", "CAT1", "M", "0.030", "PCT", "01/15/2020", "12/31/2020", "PctPrem", "BROKER", "P1"),
+      ("200", "CAT2", "A", "bogus", "FLAT", "bad-date", "", "weird", "OTHER", "NULL"))
+      .toDF("PRDNUM", "PRODUCTCAT", "FREQ", "FormattedAmount", "AMTKIND",
+        "DATESTART", "DATEEND", "FEECALCMETHOD", "FEETYPE", "PartyUniqueId")
+    val got = CoreTransforms.fees(raw)
+      .select(col("fee_id"), col("amount").cast("string"), col("fee_method"),
+        col("date_start").cast("string"))
+      .as[(String, Option[String], String, Option[String])].collect()
+    assert(got(0) == (("FEE-100-PERCENT_OF_PREMIUM-20200115",
+      Some("0.0300"), "PERCENT_OF_PREMIUM", Some("2020-01-15"))))
+    assert(got(1)._2.isEmpty && got(1)._3 == "OTHER_FEE" && got(1)._4.isEmpty)
+  }
+
   test("state map lookup via broadcast map literal") {
     val got = Seq(" tx ", "ZZ").toDF("s")
       .select(CoreTransforms.stateName(col("s"))).as[String].collect()

@@ -121,6 +121,18 @@ class EndToEndSpec extends SparkSpec {
     assert(t.forall(_._3 == 0))
   }
 
+  test("resolution validator: 100% pass rate on the built entities") {
+    val hh = Proposals.hierarchyHashes(run.frames("certs"))
+    val validated = ResolutionValidator.validate(
+      run.frames("certs"), run.frames("configs"), run.frames("proposals")
+        .select(col("group_id"), col("config_hash"), col("proposal_id")),
+      run.frames("splits"), run.frames("versions"), run.frames("participants"),
+      sampleMod = 1) // sample everything at this scale
+    val s = ResolutionValidator.summarize(validated)
+    assert(s.sampled == 2, s.toString)
+    assert(s.passRate == 1.0, s.toString)
+  }
+
   test("audit invariants all zero") {
     val rep = Audit.report(Audit.commissionsChecks(
       run.frames("proposals"), run.frames("splits"),
