@@ -161,12 +161,20 @@ object DomainBench {
     phase("hierarchy entities")(versions.persist().count() + participants.persist().count())
     val nGl = phase("calc+gl")(Calc.glEntries(fin).count())
     val nTraced = phase("traceability")(Calc.traceability(fin).count())
+    // the reference's >= 95% certificate-resolution pass bar, at scale
+    val vSummary = phase("resolution validation")(
+      ResolutionValidator.summarize(ResolutionValidator.validate(
+        certs, cfg,
+        props.select(col("group_id"), col("config_hash"), col("proposal_id")),
+        splits, versions, participants, sampleMod = 20)))
     val secs = (System.nanoTime() - t1) / 1e9
     val total = (System.nanoTime() - t0) / 1e9
     val rps = (nCertRows / secs).toLong
     println(s"""{"metric":"domain_e2e","value":$secs,"unit":"sec","cert_rows":$nCertRows,""" +
       s""""proposals":$nProposals,"gl_entries":$nGl,"premiums_traced":$nTraced,""" +
-      s""""rows_per_sec":$rps,"total_incl_synth":$total,"sf":"$sfDir"}""")
+      s""""rows_per_sec":$rps,"validation_sampled":${vSummary.sampled},""" +
+      s""""validation_pass_rate":${vSummary.passRate},""" +
+      s""""total_incl_synth":$total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,6 +133,16 @@ class EndToEndSpec extends SparkSpec {
     assert(s.passRate == 1.0, s.toString)
   }
 
+  test("idempotent export: re-running against existing keys appends nothing") {
+    val props = run.frames("proposals")
+    val firstExport = Export.exportSet(props,
+      existingKeys = props.limit(0), keyCols = Seq("proposal_id"))
+    assert(firstExport.count() == props.count())
+    val secondExport = Export.exportSet(props,
+      existingKeys = firstExport, keyCols = Seq("proposal_id"))
+    assert(secondExport.count() == 0) // converged — full-rebuild idempotence (SURVEY §4)
+  }
+
   test("audit invariants all zero") {
     val rep = Audit.report(Audit.commissionsChecks(
       run.frames("proposals"), run.frames("splits"),
