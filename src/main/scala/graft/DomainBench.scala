@@ -161,6 +161,15 @@ object DomainBench {
     phase("hierarchy entities")(versions.persist().count() + participants.persist().count())
     val nGl = phase("calc+gl")(Calc.glEntries(fin).count())
     val nTraced = phase("traceability")(Calc.traceability(fin).count())
+    // the typed per-group state machine at scale: consolidate the built
+    // proposals (3,079 groups) through flatMapGroups
+    val nConsolidated = phase("consolidation")(
+      Consolidate.consolidate(props.select(
+        col("group_id"), col("proposal_id"),
+        col("config_hash").as("config_md5"),
+        col("eff_from").cast("string").as("eff_from"),
+        col("eff_to").cast("string").as("eff_to"),
+        col("product_codes"), col("plan_codes"))).count())
     // the reference's >= 95% certificate-resolution pass bar, at scale
     val vSummary = phase("resolution validation")(
       ResolutionValidator.summarize(ResolutionValidator.validate(
@@ -172,7 +181,8 @@ object DomainBench {
     val rps = (nCertRows / secs).toLong
     println(s"""{"metric":"domain_e2e","value":$secs,"unit":"sec","cert_rows":$nCertRows,""" +
       s""""proposals":$nProposals,"gl_entries":$nGl,"premiums_traced":$nTraced,""" +
-      s""""rows_per_sec":$rps,"validation_sampled":${vSummary.sampled},""" +
+      s""""rows_per_sec":$rps,"consolidated":$nConsolidated,""" +
+      s""""validation_sampled":${vSummary.sampled},""" +
       s""""validation_pass_rate":${vSummary.passRate},""" +
       s""""total_incl_synth":$total,"sf":"$sfDir"}""")
     spark.stop()

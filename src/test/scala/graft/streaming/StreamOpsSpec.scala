@@ -48,6 +48,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val agg = StreamOps.tumblingCounts(input.toDF(), "1 hour", "30 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    // batch 1: events up to 03:00 -> watermark advances to 02:30
+    input.addData(
+      StreamOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      StreamOps.Event(2, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an hour-00 event arrives way past the watermark -> dropped
+    input.addData(StreamOps.Event(3, ts("2024-01-01 00:20:00"), 1, "click", 5.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to finalize all windows
+    input.addData(StreamOps.Event(4, ts("2024-01-01 09:00:00"), 1, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val hour0 = spark.table("late_out")
+      .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+      .select(col("n")).as[Long].collect()
+    assert(hour0.toSeq == Seq(1L), s"late event must not count: ${hour0.toSeq}")
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
