@@ -51,7 +51,7 @@ object CoreTransforms {
   /** License date-correction rules (`sql/transforms/01-brokers.sql:199-239`):
     * null effective date <- expiration date; expired-but-Active ->
     * sentinel '2027-01-01'. */
-  val licenseFixSentinel = "2027-01-01"
+  val licenseFixSentinel: String = Sentinels.LicenseFix
   def fixLicenseDates(licenses: DataFrame, today: Column = current_date()): DataFrame =
     licenses
       .withColumn("eff_date", coalesce(col("eff_date"), col("exp_date")))
