@@ -118,6 +118,17 @@ object Proposals {
       .select(col("proposal_id"), col("group_id"), col("yr"),
         col("product_code"), col("plan_code"))
 
+  /** Key-mapping dedup with continuation priority
+    * (`proposal-builder.ts:1465-1477`): when a base proposal and a
+    * `-CONT` continuation both map the same (group, year, product, plan),
+    * the continuation wins (it carries the corrected coverage tail). */
+  def dedupeKeyMappings(km: DataFrame): DataFrame =
+    Joins.top1PerGroup(
+      km.withColumn("__is_cont", col("proposal_id").endsWith("-CONT")),
+      part = Seq(col("group_id"), col("yr"), col("product_code"), col("plan_code")),
+      order = Seq(col("__is_cont").desc, col("proposal_id").asc))
+      .drop("__is_cont")
+
   /** Hierarchy dedup by hash (`proposal-builder.ts:1861-1954`,
     * `getOrCreateHierarchy`): first-seen hash creates the hierarchy;
     * deterministic representative = lowest cert then split_seq. */

@@ -79,6 +79,17 @@ class ProposalsSpec extends SparkSpec {
     assert(km.contains((2020, "A", "x")) && km.contains((2021, "B", "y")))
   }
 
+  test("key-mapping dedup prefers -CONT continuations") {
+    val km = Seq(
+      ("P1", "G1", 2020, "A", "x"),
+      ("P0-CONT", "G1", 2020, "A", "x"), // same key -> CONT wins
+      ("P1", "G1", 2021, "A", "x"))      // unique key -> kept
+      .toDF("proposal_id", "group_id", "yr", "product_code", "plan_code")
+    val got = Proposals.dedupeKeyMappings(km)
+      .select(col("proposal_id"), col("yr")).as[(String, Int)].collect().toSet
+    assert(got == Set(("P0-CONT", 2020), ("P1", 2021)))
+  }
+
   test("hierarchy dedup keeps one row per hash; collision audit is empty") {
     val base = certs(
       (1L, "G1", 1, 100.0, 1, "B1", "S1", "B1", "A", "x", "2020-01-01"),
