@@ -331,6 +331,20 @@ object SparkEntry {
                                 WHERE o.o_custkey = c.c_custkey
                                   AND year(o.o_orderdate) = 1995)""")),
 
+    Q("j13_salted_join", (s, d) => {
+      // skew-salted join must be result-identical to the plain join —
+      // the oracle IS the plain join
+      val joined = graft.operators.Skew.saltedJoin(
+        li(s, d), ord(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", salt = 8,
+        leftSaltSource = col("l_linenumber"))
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    },
+      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1""")),
+
     // ===== A: aggregations (SURVEY §2.4) =====
 
     Q("a6_rate_rep", (s, d) =>
