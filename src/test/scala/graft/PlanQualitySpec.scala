@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-quality regression guards: the physical plans the scale design
+  * depends on (broadcasts, pushdown, no accidental nested loops) —
+  * asserted, not just eyeballed via PlanCheck. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("broadcast dims: j2 plans broadcast hash joins") {
+    val p = plan("j2_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("large-large join j1 is hash/SMJ, never nested loop") {
+    val p = plan("j1_join_large")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("as-of join j3 keeps the equi key (hash/SMJ + residual range)") {
+    val p = plan("j3_asof_range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("filter pushdown reaches the parquet scan in p5") {
+    val p = plan("p5_exclusion_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,49)") ||
+      p.contains("GreaterThanOrEqual(p_size,49)"), p)
+  }
+
+  test("pure projection s4 has no exchanges") {
+    val p = plan("s4_typed_cast")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("column pruning: s4 scan reads only the projected columns") {
+    val p = plan("s4_typed_cast")
+    // lineitem has 11 columns; the query touches 5
+    assert(!p.contains("l_suppkey") && !p.contains("l_shipdate"), p)
+  }
+}
