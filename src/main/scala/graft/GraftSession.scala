@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local[32] with modest data: AQE's default 64m advisory size can
+      // coalesce mid-size shuffles below core count; 8m keeps heavy
+      // per-row stages (hashing, sketching) parallel. On a real cluster
+      // this follows executor count instead.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
