@@ -581,6 +581,21 @@ object SparkEntry {
               UNION ALL
               SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""")),
 
+    Q("a11_topk_aggregator", (s, d) => {
+      // typed bounded-buffer top-k per group (O(k) state, map-side merge)
+      // vs the QUALIFY window oracle — results must be identical
+      val topk = udaf(graft.sql.TopKAggregator(3))
+      ord(s, d).groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+    },
+      Some("""SELECT o_custkey, (row_number() OVER w)::INT AS rank, o_orderkey, o_totalprice
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+              QUALIFY row_number() OVER w <= 3""")),
+
     Q("a10_approx_distinct", (s, d) =>
       // HLL sketch — the approximate path for COUNT(DISTINCT) at scale;
       // sketch internals differ per engine -> rows-only (accuracy vs

@@ -19,6 +19,28 @@ object Audit {
         .select(lit(c.name).as("check"), col("n_failing"))
     }.reduce(_ unionByName _)
 
+  /** One-pass column profiler: per column — null count, approximate
+    * distinct, min/max (as strings). The standard first look at a new
+    * 100 TB input; single aggregation, no per-column jobs. */
+  def profile(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__distinct"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = df.schema.fields.map { f =>
+      row.select(lit(f.name).as("column"), lit(f.dataType.simpleString).as("type"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__distinct").as("approx_distinct"),
+        col(s"${f.name}__min").as("min"), col(s"${f.name}__max").as("max"))
+    }
+    stacked.reduce(_ unionByName _)
+  }
+
   /** The commissions-entity invariants. All must report 0. */
   def commissionsChecks(
       proposals: DataFrame, splits: DataFrame, hierarchyVersions: DataFrame,

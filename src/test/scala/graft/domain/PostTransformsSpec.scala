@@ -20,6 +20,16 @@ class PostTransformsSpec extends SparkSpec {
     assert(got == Set(("B1", "R2", 75.0)))
   }
 
+  test("column profiler: nulls, distincts, min/max in one pass") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "b")).toDF("x", "y")
+    val got = Audit.profile(df)
+      .select(col("column"), col("n_nulls"), col("min"), col("max"))
+      .as[(String, Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("x") == ((1L, Some("1"), Some("3"))))
+    assert(got("y") == ((0L, Some("a"), Some("b"))))
+  }
+
   test("conformanceReport: conditional-aggregate percentages + sanitized plan list") {
     val configs = Seq(
       (1L, "G1", false), (2L, "G1", false), (3L, "G1", true), (4L, "G2", false))
