@@ -428,6 +428,24 @@ object SparkEntry {
                        OR round(m.max_cluster * 100.0 / m.n_members, 2) < 50.0)) AS route_pha
               FROM m JOIN e USING (grp)""")),
 
+    Q("a12_rollup", (s, d) =>
+      // rollup subtotals + grouping id (beyond the reference's UNION ALL
+      // "summary" stacks, SURVEY §2.4 note)
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag, l_linestatus)::INT AS gid, count(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    Q("f_array_agg", (s, d) =>
+      li(s, d).groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+          countDistinct(col("l_returnflag")).as("n_flags")),
+      Some("""SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS flags,
+              count(DISTINCT l_returnflag) AS n_flags
+              FROM lineitem GROUP BY 1""")),
+
     // ===== W: windows (SURVEY §2.5) =====
 
     Q("w4_lead_close", (s, d) =>
