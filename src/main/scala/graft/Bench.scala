@@ -1,16 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same session config as Verify/PlanCheck (AQE advisory size, skew join,
+    // UTC, extensions) so the bench measures the tuned configuration
+    val spark = GraftSession.getOrCreate("graft-bench")
     // Warm the JVM (codegen, parquet reader, shuffle paths) so the first
     // measured query doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -28,7 +28,11 @@ object DomainBench {
     // except a deterministic 2% carve-out to exercise the PHA route)
     val withCnt = li
       .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(w.orderBy(col("l_linenumber"))))
+      // l_linenumber is NOT unique per order in the synthetic data; the
+      // full tiebreak pins which row carries the remainder split percent
+      // (row_number over a non-total order is nondeterministic)
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
       .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
       .withColumn("split_pct",
         when(col("rn") < col("cnt"), col("base_pct"))

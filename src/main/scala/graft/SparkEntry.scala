@@ -439,10 +439,13 @@ object SparkEntry {
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
     Q("f_array_agg", (s, d) =>
+      // canonical scalar form (sorted, comma-joined): raw array columns
+      // are unhashable in the driver's row comparator
       li(s, d).groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        .agg(array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"),
           countDistinct(col("l_returnflag")).as("n_flags")),
-      Some("""SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS flags,
+      Some("""SELECT l_orderkey,
+              array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
               count(DISTINCT l_returnflag) AS n_flags
               FROM lineitem GROUP BY 1""")),
 
@@ -651,13 +654,198 @@ object SparkEntry {
                                 max(year(o_orderdate)) AS y1 FROM orders GROUP BY 1)
               SELECT o_custkey, unnest(generate_series(y0, y1))::INT AS yr FROM g""")),
 
+    Q("g_overlap_fix", (s, d) => {
+      // the overlap-repair state machine (proposal-builder.ts:1503-1700) on
+      // proposals derived from orders: 90-day ranges per customer guarantee
+      // real overlaps; single-pair product/plan arrays make the -CONT
+      // emission lead()-expressible for the oracle
+      val props = ord(s, d).select(
+        concat(lit("G"), col("o_custkey")).as("group_id"),
+        concat(lit("P"), col("o_orderkey")).as("proposal_id"),
+        to_date(col("o_orderdate")).as("eff_from"),
+        date_add(to_date(col("o_orderdate")), 90).as("eff_to"),
+        array(col("o_orderpriority")).as("product_codes"),
+        array(col("o_orderstatus")).as("plan_codes"))
+      graft.domain.OverlapFix.fix(props)
+        .select(col("group_id"), col("proposal_id"), col("eff_from"), col("eff_to"),
+          array_join(col("product_codes"), ",").as("products"),
+          array_join(col("plan_codes"), ",").as("plans"),
+          col("is_continuation"))
+    },
+      Some("""WITH props AS (
+                SELECT 'G' || o_custkey::VARCHAR AS group_id,
+                       'P' || o_orderkey::VARCHAR AS proposal_id,
+                       o_orderdate::DATE AS eff_from, o_orderdate::DATE + 90 AS eff_to,
+                       o_orderpriority AS prod, o_orderstatus AS plan
+                FROM orders),
+              x AS (
+                SELECT *, lead(eff_from) OVER w AS nxt_from,
+                          lead(prod) OVER w AS nxt_prod,
+                          lead(plan) OVER w AS nxt_plan
+                FROM props
+                WINDOW w AS (PARTITION BY group_id ORDER BY eff_from, proposal_id))
+              SELECT group_id, proposal_id, eff_from::VARCHAR AS eff_from,
+                     (CASE WHEN nxt_from IS NOT NULL AND eff_to >= nxt_from
+                           THEN nxt_from - 1 ELSE eff_to END)::VARCHAR AS eff_to,
+                     prod AS products, plan AS plans, false AS is_continuation
+              FROM x
+              UNION ALL
+              SELECT group_id, proposal_id || '-CONT', nxt_from::VARCHAR, eff_to::VARCHAR,
+                     prod, plan, true
+              FROM x
+              WHERE nxt_from IS NOT NULL AND eff_to >= nxt_from
+                AND (prod <> nxt_prod OR plan <> nxt_plan)""")),
+
+    Q("g_consolidate_islands", (s, d) => {
+      // the consolidation state machine (consolidate-proposals.ts:130-245)
+      // under a conflict-free restriction (wildcard plans never conflict):
+      // runs of identical config per group = gaps-and-islands, with the
+      // sticky-null end date and product-set union rules fully exercised
+      val props = ord(s, d).select(
+        concat(lit("G"), col("o_custkey")).as("group_id"),
+        concat(lit("P"), col("o_orderkey")).as("proposal_id"),
+        md5(col("o_orderpriority")).as("config_md5"),
+        to_date(col("o_orderdate")).cast("string").as("eff_from"),
+        when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(date_add(to_date(col("o_orderdate")), 30).cast("string")).as("eff_to"),
+        array(col("o_orderstatus")).as("product_codes"),
+        array(lit("*")).as("plan_codes"))
+      graft.domain.Consolidate.consolidate(props)
+        .select(col("group_id"), col("consolidated_id"), col("config_md5"),
+          col("eff_from"), col("eff_to"),
+          array_join(col("product_codes"), ",").as("products"),
+          array_join(col("plan_codes"), ",").as("plans"),
+          col("n_merged"))
+    },
+      Some("""WITH props AS (
+                SELECT 'G' || o_custkey::VARCHAR AS group_id,
+                       'P' || o_orderkey::VARCHAR AS proposal_id,
+                       md5(o_orderpriority) AS config_md5,
+                       o_orderdate::DATE::VARCHAR AS eff_from,
+                       CASE WHEN o_orderstatus = 'O' THEN NULL
+                            ELSE (o_orderdate::DATE + 30)::VARCHAR END AS eff_to,
+                       o_orderstatus AS prod
+                FROM orders),
+              s AS (
+                SELECT *, CASE WHEN lag(config_md5) OVER w IS DISTINCT FROM config_md5
+                               THEN 1 ELSE 0 END AS brk
+                FROM props
+                WINDOW w AS (PARTITION BY group_id
+                             ORDER BY eff_from, config_md5, proposal_id)),
+              i AS (
+                SELECT *, sum(brk) OVER (PARTITION BY group_id
+                            ORDER BY eff_from, config_md5, proposal_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+                FROM s)
+              SELECT group_id,
+                     group_id || '-C' || island::VARCHAR AS consolidated_id,
+                     config_md5, min(eff_from) AS eff_from,
+                     CASE WHEN count(*) FILTER (WHERE eff_to IS NULL) > 0 THEN NULL
+                          ELSE max(eff_to) END AS eff_to,
+                     array_to_string(list_sort(list(DISTINCT prod)), ',') AS products,
+                     '*' AS plans,
+                     count(*)::INT AS n_merged
+              FROM i GROUP BY group_id, island, config_md5""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
-      // full inference + 8-stage calc on reference-shaped synth inputs;
-      // rows-only here (graft.DomainBench prints the throughput numbers)
-      graft.DomainBench.glPipeline(s, d),
-      None),
+      // full inference + 8-stage calc on reference-shaped synth inputs,
+      // hash-checked end to end against a DuckDB replica of the whole
+      // lineage (hashing -> routing -> proposals -> splits -> calc -> GL).
+      // Decimal roundings are replicated in exact integer cents (half-up);
+      // amount is cast to double for a stable cross-engine hash.
+      graft.DomainBench.glPipeline(s, d)
+        .select(col("premium_id"), col("broker_id"), col("entry_type"),
+          col("amount").cast("double").as("amount")),
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey,
+                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
+                FROM lineitem),
+              c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
+              rows0 AS (
+                SELECT l_orderkey AS cert_id,
+                       'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
+                       l_linenumber AS split_seq,
+                       (CASE WHEN rn < cnt THEN base_pct
+                             ELSE round(100.0 - base_pct * (cnt - 1), 2) END
+                        + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
+                         AS split_pct,
+                       '0001:P' || l_suppkey::VARCHAR || ':SCHED'
+                         || (l_suppkey % 50)::VARCHAR AS item,
+                       'P' || l_suppkey::VARCHAR AS broker_id,
+                       l_suppkey % 50 AS sched_k
+                FROM c0),
+              hh AS (
+                SELECT cert_id, group_id, split_seq, split_pct,
+                       upper(sha256(group_id || '!' || split_pct::VARCHAR || '!' ||
+                         string_agg(item, '|' ORDER BY item))) AS hierarchy_hash
+                FROM rows0 GROUP BY 1, 2, 3, 4),
+              cfg AS (
+                SELECT cert_id, group_id,
+                       upper(sha256(string_agg(
+                         split_pct::VARCHAR || ':' || hierarchy_hash, '|'
+                         ORDER BY split_pct::VARCHAR || ':' || hierarchy_hash)))
+                         AS config_hash,
+                       abs(sum(split_pct) - 100.0) > 0.001 AS nonconformant
+                FROM hh GROUP BY 1, 2),
+              certdates AS (SELECT l_orderkey AS cert_id, min(l_shipdate::DATE) AS eff_date
+                            FROM lineitem GROUP BY 1),
+              props0 AS (
+                SELECT c.group_id, c.config_hash, min(d.eff_date) AS eff_from
+                FROM cfg c JOIN certdates d USING (cert_id)
+                WHERE NOT c.nonconformant GROUP BY 1, 2),
+              props1 AS (
+                SELECT *, 'PROP-' || group_id || '-' ||
+                       row_number() OVER (PARTITION BY group_id
+                         ORDER BY eff_from, config_hash)::VARCHAR AS proposal_id
+                FROM props0),
+              props AS (
+                SELECT *, lead(eff_from) OVER (PARTITION BY group_id
+                         ORDER BY eff_from, proposal_id) - 1 AS eff_to
+                FROM props1),
+              rep AS (
+                SELECT group_id, config_hash, min(cert_id) AS cert_id
+                FROM cfg WHERE NOT nonconformant GROUP BY 1, 2),
+              splits AS (
+                SELECT p.proposal_id, round(h.split_pct * 100)::BIGINT AS pct_c,
+                       ('0x' || substr(h.hierarchy_hash, 1, 15))::BIGINT AS hierarchy_id
+                FROM props p
+                JOIN rep r ON p.group_id = r.group_id AND p.config_hash = r.config_hash
+                JOIN hh h ON h.cert_id = r.cert_id),
+              parts AS (
+                SELECT DISTINCT
+                       ('0x' || substr(h.hierarchy_hash, 1, 15))::BIGINT AS hierarchy_id,
+                       r.broker_id, 50 + (r.sched_k % 10) * 5 AS rate_m10
+                FROM hh h JOIN rows0 r
+                  ON h.cert_id = r.cert_id AND h.split_seq = r.split_seq
+                 AND h.split_pct = r.split_pct),
+              prem AS (
+                SELECT o_orderkey AS premium_id,
+                       'G' || (o_orderkey % 3079)::VARCHAR AS group_id,
+                       round(o_totalprice * 100)::BIGINT AS amount_c,
+                       o_orderdate::DATE + 400 AS txn_date
+                FROM orders
+                WHERE o_totalprice > 0
+                  AND o_orderkey IN (SELECT l_orderkey FROM lineitem)),
+              wp AS (
+                SELECT pr.premium_id, pr.amount_c, p.proposal_id
+                FROM prem pr JOIN props p ON p.group_id = pr.group_id
+                  AND pr.txn_date >= p.eff_from
+                  AND (p.eff_to IS NULL OR pr.txn_date <= p.eff_to)),
+              ws AS (
+                SELECT w.premium_id, (w.amount_c * s.pct_c + 5000) // 10000 AS sp_c,
+                       s.hierarchy_id
+                FROM wp w JOIN splits s USING (proposal_id)),
+              gl AS (
+                SELECT w.premium_id, pt.broker_id,
+                       (w.sp_c * pt.rate_m10 + 500) // 1000 AS comm_c
+                FROM ws w JOIN parts pt USING (hierarchy_id))
+              SELECT premium_id, broker_id, 'Original' AS entry_type,
+                     comm_c / 100.0 AS amount
+              FROM gl WHERE comm_c <> 0""")),
 
     // ===== D: dedup (beyond-parity corpus ops) =====
 
@@ -826,14 +1014,19 @@ object SparkEntry {
               FROM documents""")),
 
     Q("m_decode_stub", (s, d) =>
+      // per-element double columns (not the raw array — unhashable in the
+      // driver's comparator; not a joined string — float formatting differs
+      // across engines). byte/255 division is the same IEEE op both sides.
       Multimodal.decodeStub(Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain"))
-        .select(col("media_id"), col("features")),
+        .select(col("media_id") +:
+          (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*),
       // the stub feature = md5-digest bytes / 255 — replicable in SQL, so
       // even the placeholder decode is oracle-checked end to end
-      Some("""SELECT doc_id AS media_id,
-              [(('0x' || substr(md5(text), i*2+1, 2))::INT)::DOUBLE / 255
-               for i in generate_series(0, 7)] AS features
-              FROM documents""")),
+      Some("SELECT doc_id AS media_id, " +
+        (0 until 8).map(i =>
+          s"(('0x' || substr(md5(text), ${i * 2 + 1}, 2))::INT)::DOUBLE / 255 AS f$i")
+          .mkString(", ") +
+        " FROM documents")),
 
     // ===== ST / IV: streaming-in-batch + intervals =====
 

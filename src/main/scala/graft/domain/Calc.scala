@@ -77,7 +77,12 @@ object Calc {
     * state with wildcard rows and a group-size band, :293-297); rate
     * source is tracked for traceability (:249-260). */
   def lookupRate(exploded: DataFrame, scheduleRates: DataFrame): DataFrame = {
-    val sr = scheduleRates
+    // specificity is a property of the RULE row (exact product beats exact
+    // state beats double wildcard), so it must be computed on the rules side
+    // BEFORE the join drops sr's product_code/state copies
+    val sr = scheduleRates.withColumn("__spec",
+      when(col("product_code") =!= "*", 0).otherwise(2) +
+        when(col("state") =!= "*", 0).otherwise(1))
     val joined = exploded.join(sr,
       exploded("schedule_code") === sr("schedule_code") &&
         (sr("product_code") === "*" || sr("product_code") === exploded("product_code")) &&
@@ -89,11 +94,8 @@ object Calc {
     // several wildcard rows may match: keep the most specific (exact
     // product > exact state > banded), deterministically
     val keys = Seq("premium_id", "split_seq", "version_id", "tier_level", "broker_id")
-    val specificity = when(col("rate").isNull, 9)
-      .otherwise(when(col("product_code") =!= "*", 0).otherwise(2) +
-        when(col("state") =!= "*", 0).otherwise(1))
     val best = Joins.top1PerGroup(
-      joined.withColumn("__spec", specificity),
+      joined.withColumn("__spec", coalesce(col("__spec"), lit(9))),
       keys.map(col), Seq(col("__spec").asc, col("rate").desc_nulls_last))
       .drop("__spec")
     best.withColumn("resolved_rate",

@@ -22,9 +22,12 @@ object Policies {
 
   def resolveProposals(policies: DataFrame, keyMappings: DataFrame): DataFrame = {
     val pol = policies.withColumn("pol_yr", year(col("eff_date")))
-    val km = broadcast(keyMappings.select(
+    // No broadcast hint: key mappings are data-dependent (proposals x years x
+    // products x plans — multi-GB at 100x reference scale). The join has an
+    // equi key (group_id); let AQE pick broadcast vs shuffle by actual size.
+    val km = keyMappings.select(
       col("proposal_id"), col("group_id").as("km_group"), col("yr"),
-      col("product_code").as("km_product"), col("plan_code").as("km_plan")))
+      col("product_code").as("km_product"), col("plan_code").as("km_plan"))
     val joined = pol.join(km, pol("group_id") === col("km_group"), "left")
     val prodEq = col("km_product") === pol("product_code")
     val planEq = col("km_plan") === pol("plan_code")

@@ -158,8 +158,9 @@ object Proposals {
 
   /** Compact 60-bit join key from the content hash: shuffling/sorting
     * 64-char hex strings is the dominant cost at hundreds of thousands of
-    * hierarchies; the full hash remains the content address (and
-    * [[hashCollisions]] audits it). */
+    * hierarchies; the full hash remains the content address
+    * ([[hashCollisions]] audits content collisions, [[hierKeyCollisions]]
+    * audits truncated-prefix collisions). */
   def hierKey(hash: Column): Column =
     conv(substring(hash, 1, 15), 16, 10).cast("long")
 
@@ -190,4 +191,14 @@ object Proposals {
     hierHashes.groupBy(col("hierarchy_hash"))
       .agg(countDistinct(col("group_id"), col("split_pct"), col("tier_sig")).as("n_variants"))
       .filter(col("n_variants") > 1)
+
+  /** Truncated-key audit: [[hierKey]] keeps only 60 bits of the content
+    * hash as the join key, so two DISTINCT full hashes colliding on the
+    * truncated prefix would silently merge hierarchies without tripping
+    * [[hashCollisions]]. This surfaces exactly that case (must be empty). */
+  def hierKeyCollisions(hierHashes: DataFrame): DataFrame =
+    hierHashes.select(col("hierarchy_hash")).distinct()
+      .groupBy(hierKey(col("hierarchy_hash")).as("hierarchy_id"))
+      .agg(countDistinct(col("hierarchy_hash")).as("n_hashes"))
+      .filter(col("n_hashes") > 1)
 }

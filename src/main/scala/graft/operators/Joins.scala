@@ -83,14 +83,17 @@ object Joins {
           payload.map(col) :+ lit(tier).as("__tier"): _*)
     }
     val allTiers = tiers.reduce(_ unionByName _)
+    // tag each fact row with a surrogate id so duplicate fact rows each keep
+    // their own match (a window keyed on all fact columns would collapse
+    // them) and the rank-1 window partitions on one narrow long column
+    val tagged = fact.withColumn("__fid", monotonically_increasing_id())
     val cond = keyCols.map { case (fc, rc) =>
-      col(s"__r.$rc") === "*" || col(s"__r.$rc") === fact(fc)
+      col(s"__r.$rc") === "*" || col(s"__r.$rc") === tagged(fc)
     }.reduce(_ && _)
-    val joined = fact.join(broadcast(allTiers.alias("__r")), cond, "left")
+    val joined = tagged.join(broadcast(allTiers.alias("__r")), cond, "left")
     // first (lowest-tier) hit per fact row wins
-    val factCols = fact.columns.map(fact(_))
-    val w = Window.partitionBy(factCols: _*).orderBy(col("__tier").asc_nulls_last)
+    val w = Window.partitionBy(col("__fid")).orderBy(col("__tier").asc_nulls_last)
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__tier")
+      .drop("__rn", "__tier", "__fid")
   }
 }

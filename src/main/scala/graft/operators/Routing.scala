@@ -41,7 +41,9 @@ object Routing {
         max(col("cnt")).as("max_cluster"),
         collect_list(col("cnt")).as("__cnts"))
       .withColumn("entropy",
-        round(-aggregate(col("__cnts"), lit(0.0), (acc, c) =>
+        // sort_array fixes the accumulation order (collect_list order is
+        // nondeterministic across partitionings; float sums are order-sensitive)
+        round(-aggregate(sort_array(col("__cnts")), lit(0.0), (acc, c) =>
           acc + (c / col("n_members")) * log2(c / col("n_members"))), 6))
       .withColumn("unique_ratio",
         round(col("n_configs").cast("double") / col("n_members"), 6))

@@ -19,13 +19,23 @@ import org.apache.spark.sql.expressions.Aggregator
 case class TopKAggregator(k: Int)
   extends Aggregator[(Double, Long), List[(Double, Long)], List[(Double, Long)]] {
 
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (v, id) => (-v, id) }
+
   private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
-    xs.sortBy { case (v, id) => (-v, id) }.take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: List[(Double, Long)] = Nil
 
+  /** Buffer invariant: sorted by `ord`, length <= k. A full buffer rejects
+    * inputs not better than its current minimum in O(k) without re-sorting
+    * (the naive `trim(in :: buf)` is O(k log k) per input row). */
   override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
-    trim(in :: buf)
+    if (buf.lengthCompare(k) >= 0 && ord.gteq(in, buf.last)) buf
+    else {
+      val (better, worse) = buf.span(x => ord.lt(x, in))
+      (better ::: in :: worse).take(k)
+    }
 
   override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
     trim(a ++ b)

@@ -42,4 +42,20 @@ class PlanQualitySpec extends SparkSpec {
     // lineitem has 11 columns; the query touches 5
     assert(!p.contains("l_suppkey") && !p.contains("l_shipdate"), p)
   }
+
+  test("policy resolution carries no forced broadcast on the mappings side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key mappings are data-dependent cardinality: a user-forced broadcast
+    // hint (ResolvedHint in the analyzed plan) would override the size
+    // threshold at any scale — AQE must decide instead
+    val pol = Seq((1L, "G1", "A", "x", "2020-06-15"))
+      .toDF("policy_id", "group_id", "product_code", "plan_code", "eff_s")
+      .withColumn("eff_date", to_date(col("eff_s"))).drop("eff_s")
+    val km = Seq(("P1", "G1", 2020, "A", "x"))
+      .toDF("proposal_id", "group_id", "yr", "product_code", "plan_code")
+    val analyzed = graft.domain.Policies.resolveProposals(pol, km)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+  }
 }

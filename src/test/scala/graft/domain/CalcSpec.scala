@@ -80,6 +80,24 @@ class CalcSpec extends SparkSpec {
     assert(rates("B4")._1 == "NoRate")
   }
 
+  test("specificity beats rate: exact rule wins over higher-rate wildcard") {
+    val facts = Seq(
+      (200L, 1, "V1", 1, "B9", "S2", "PRODA", "ST", 25)
+    ).toDF("premium_id", "split_seq", "version_id", "tier_level", "broker_id",
+      "schedule_code", "product_code", "state", "group_size")
+      .withColumn("real_rate", lit(null).cast("double"))
+      .withColumn("participant_rate", lit(null).cast("double"))
+    val rates = Seq(
+      ("S2", "*", "*", None: Option[Int], None: Option[Int], 9.0), // wildcard, highest rate
+      ("S2", "PRODA", "*", None: Option[Int], None: Option[Int], 6.0), // mid specificity
+      ("S2", "PRODA", "ST", None: Option[Int], None: Option[Int], 2.0) // exact, lowest rate
+    ).toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate")
+    val out = Calc.lookupRate(facts, rates)
+      .select(col("resolved_rate").cast("double"), col("rate_source"))
+      .as[(Option[Double], String)].collect().toSeq
+    assert(out == Seq((Some(2.0), "ScheduleLookup")))
+  }
+
   test("commissions: round(split*rate/100, 2) per participant") {
     val comm = result.select(col("broker_id"), col("commission").cast("double"))
       .as[(String, Option[Double])].collect().toMap

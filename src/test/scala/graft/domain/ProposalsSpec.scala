@@ -98,5 +98,17 @@ class ProposalsSpec extends SparkSpec {
     val hh = Proposals.hierarchyHashes(base)
     assert(Proposals.dedupHierarchies(hh).count() == 2)
     assert(Proposals.hashCollisions(hh).count() == 0)
+    assert(Proposals.hierKeyCollisions(hh).count() == 0)
+  }
+
+  test("hierKeyCollisions flags distinct hashes sharing a truncated prefix") {
+    // two different full hashes with the same first-15-hex prefix: the
+    // 60-bit join key collides even though hashCollisions sees no problem
+    val hh = Seq(
+      "ABCDEF012345678" + "0" * 49,
+      "ABCDEF012345678" + "F" * 49,
+      "1234567890ABCDE" + "0" * 49)
+      .toDF("hierarchy_hash")
+    assert(Proposals.hierKeyCollisions(hh).count() == 1)
   }
 }

@@ -43,6 +43,20 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set(("p1", 1), ("p2", 2), ("p3", 3), ("p4", 4)))
   }
 
+  test("wildcardLookup keeps duplicate fact rows distinct") {
+    val rules = Seq(("B1", "T1", 10, 1), ("*", "*", 99, 4)).toDF("r_b", "r_t", "rate", "rule_id")
+    // two IDENTICAL fact rows: each must resolve independently (a window
+    // keyed on all fact columns would collapse them to one output row)
+    val fact = Seq(("p1", "B1", "T1"), ("p1", "B1", "T1"), ("p2", "B9", "T9"))
+      .toDF("id", "b", "t")
+    val got = Joins.wildcardLookup(fact, rules,
+        keyCols = Seq("b" -> "r_b", "t" -> "r_t"),
+        priority = Seq(Set("r_b", "r_t"), Set.empty),
+        payload = Seq("rate", "rule_id"))
+      .select(col("id"), col("rule_id")).as[(String, Int)].collect().toSeq
+    assert(got.sorted == Seq(("p1", 1), ("p1", 1), ("p2", 4)))
+  }
+
   test("top1PerGroup keeps exactly one row per key") {
     val df = Seq((1, "a", 3), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "o")
     val got = Joins.top1PerGroup(df, Seq(col("k")), Seq(col("o").desc))
