@@ -618,13 +618,19 @@ object SparkEntry {
               QUALIFY row_number() OVER w <= 3""")),
 
     Q("a10_approx_distinct", (s, d) =>
-      // HLL sketch — the approximate path for COUNT(DISTINCT) at scale;
-      // sketch internals differ per engine -> rows-only (accuracy vs
-      // exact is asserted in ScalaTest)
+      // HLL sketch — the approximate path for COUNT(DISTINCT) at scale.
+      // Sketch values differ per engine, so the hashable output is the
+      // exact count plus a within-5%-of-exact bound on the sketch (the
+      // oracle asserts the bound holds; observed error ~2.7%)
       li(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("within_5pct")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+              true AS within_5pct
+              FROM lineitem GROUP BY 1""")),
 
     // ===== G: proposal-builder-shaped composites (SURVEY §2.10) =====
 
@@ -861,13 +867,19 @@ object SparkEntry {
               FROM f""")),
 
     Q("d_ngram_jaccard", (s, d) =>
-      Dedup.ngramJaccardPairs(doc(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.1),
+      // df-capped: shingles in more than 50 docs are dropped before the
+      // self-join (hot blocking keys grow candidate sets quadratically);
+      // the oracle applies the identical cap
+      Dedup.ngramJaccardPairs(doc(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.1, maxDf = Some(50)),
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                             FROM documents),
-              sh AS (SELECT doc_id,
+              sh0 AS (SELECT doc_id,
                        unnest(list_distinct([array_to_string(w[i:i+2], ' ')
                                              for i in generate_series(1, len(w) - 2)])) AS s
                      FROM toks WHERE len(w) >= 3),
+              sh AS (SELECT * FROM sh0
+                     WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50)),
               sizes AS (SELECT doc_id, count(*)::INT AS n_sh FROM sh GROUP BY 1),
               pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -921,13 +933,26 @@ object SparkEntry {
       }),
 
     Q("d_embedding_neardup", (s, d) =>
-      Dedup.embeddingNearDupPairs(emb(s, d), col("vec_id"), col("embedding"), 0.35),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      // IVF-cell blocked (the 100 TB default): deterministic centroids,
+      // exact cosine only inside cells — the oracle replicates the same
+      // assignment, so the blocked result is still hash-checked
+      Dedup.embeddingNearDupPairs(emb(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.35, nlist = 16),
+      Some("""WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vid = m.mvid),
+              asg AS (SELECT vid, v, cell FROM (
+                        SELECT e.vid, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vid
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1)
+              SELECT a.vid AS id_a, b.vid AS id_b,
                      round(list_cosine_similarity(a.v, b.v), 6) AS cos
-              FROM e a, e b
-              WHERE a.vec_id < b.vec_id
-                AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
+              FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
 
     // ===== V: vector similarity =====
 
@@ -950,14 +975,72 @@ object SparkEntry {
       Similarity.lshCosineTopK(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", "vec_id", "embedding",
         k = 5, dim = 64, nPlanes = 8)
-    }, None), // hyperplane construction not SQL-expressible; recall vs exact in ScalaTest
+    },
+      // full replica: the md5-derived hyperplanes are recomputed inside
+      // DuckDB (same seed:plane:dim strings, first 8 digest bytes as a
+      // signed big-endian long / Long.MaxValue); dot products are rounded
+      // at 9 decimals before the sign on both sides, so bucket ids match
+      // bit-for-bit despite different accumulation orders
+      Some("""WITH planes AS (
+                SELECT p, d,
+                       (('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+                        - CASE WHEN ('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT
+                                    >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::DOUBLE
+                       / 9223372036854775807 AS pval
+                FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                     (SELECT unnest(generate_series(0, 63)) AS d)),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              dots AS (SELECT e.vec_id, pl.p,
+                              round(sum(e.v[pl.d + 1] * pl.pval), 9) AS dt
+                       FROM e CROSS JOIN planes pl GROUP BY 1, 2),
+              buckets AS (SELECT vec_id,
+                                 sum(CASE WHEN dt >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+                          FROM dots GROUP BY 1),
+              q AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)
+                    WHERE e.vec_id < 20),
+              c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+                     (row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                 c.vec_id))::INT AS rank
+              FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              QUALIFY rank <= 5""")),
 
     Q("v_ann_ivf", (s, d) => {
       val e = emb(s, d)
       Similarity.ivfCosineTopK(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
-    }, None), // IVF cell assignment checked against exact scores in ScalaTest
+    },
+      // full replica: deterministic centroids (lowest vec_id per id-residue
+      // class), rounded-similarity cell assignment and probe ranking
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vec_id % 16 AS cell, min(vec_id) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vec_id = m.mvid),
+              asg AS (SELECT vec_id, v, cell FROM (
+                        SELECT e.vec_id, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1),
+              probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+                           SELECT e.vec_id, e.v, c.cell,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                             c.cell) AS rn
+                           FROM e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 4)
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+                     (row_number() OVER (PARTITION BY p.query_id
+                        ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+                                 a.vec_id))::INT AS rank
+              FROM asg a JOIN probes p USING (cell)
+              WHERE p.query_id <> a.vec_id
+              QUALIFY rank <= 5""")),
 
     // ===== X: text analysis =====
 

@@ -36,10 +36,13 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  /** Signed projection onto a constant hyperplane (for LSH bucketing). */
+  /** Signed projection onto a constant hyperplane (for LSH bucketing).
+    * The dot product is rounded to 9 decimals before taking the sign so a
+    * vector numerically ON the plane (|dot| below accumulation error)
+    * cannot land in different buckets across engines or fold orders. */
   def projectSign(v: Column, plane: Seq[Double]): Column = {
     val planeCol = array(plane.map(lit): _*)
-    when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))
+    when(round(dot(v, planeCol), 9) >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** LSH bucket id from `nPlanes` deterministic pseudo-random hyperplanes.

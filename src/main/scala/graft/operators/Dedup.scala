@@ -52,14 +52,33 @@ object Dedup {
     * key), counting common shingles per pair, and joining back the set
     * sizes. Returns pairs with id_a < id_b and jaccard >= threshold.
     */
+  /** `maxDf`: drop blocking shingles present in more than `maxDf` docs
+    * before the self-join. A stop-shingle ("of the and") is a hot key
+    * whose candidate set grows quadratically — at corpus scale it is the
+    * skew-killer. Sizes and Jaccard are computed over the capped shingle
+    * universe, so the semantics stay well-defined (df-capped Jaccard,
+    * the standard stop-shingle removal) and an oracle applying the same
+    * cap stays bit-identical. */
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     // The exploded shingle table feeds three branches (both self-join
     // sides + the per-doc sizes); persist it so shingle generation runs
     // once, not four times.
-    val exploded = explodedWordShingles(df, id, text, n)
+    val raw = explodedWordShingles(df, id, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = maxDf match {
+      case Some(cap) =>
+        // anti-join against the HOT list: it has at most
+        // total_occurrences/cap entries (usually a handful of
+        // stop-shingles), so AQE turns this into a broadcast anti join
+        // over the cached shingles — far cheaper than windowing or
+        // equi-joining the full shingle set
+        val hot = raw.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("sh"))
+        raw.join(hot, Seq("sh"), "left_anti")
+      case None => raw
+    }
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_sh"))
     val common = exploded.as("a")
       .join(exploded.as("b"),
@@ -132,17 +151,49 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (i < j) pairs whose cosine
-    * similarity clears `threshold`. This is the exact form (quadratic —
-    * the correctness baseline); at corpus scale, block first with
-    * [[Similarity.lshCosineTopK]] buckets or IVF cells and apply the same
-    * threshold inside blocks. Uses the codegen'd cosine when registered. */
+  private def cosineCol(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("cosine_sim"))
+      graft.functions.VectorFunctions.cosineNative(a, b)
+    else graft.functions.VectorFunctions.cosine(a, b)
+
+  /** Embedding-cosine near-duplicate pairs, IVF-cell blocked — the default
+    * and the 100 TB shape: assign every vector to its nearest of `nlist`
+    * deterministic centroids (lowest-id vector per id-residue class, no
+    * RNG), then compute exact cosine only within cells. The only large
+    * shuffle is the equi self-join on cell id — never all-pairs. Pairs
+    * split across cells are missed (recall < 1, like any single-probe
+    * blocking); [[embeddingNearDupPairsExact]] is the quadratic baseline
+    * for specs and small corpora. */
   def embeddingNearDupPairs(
+      df: DataFrame, id: Column, vec: Column, threshold: Double,
+      nlist: Int = 16): DataFrame = {
+    val cos = cosineCol(df) _
+    val e = df.select(id.cast("long").as("vid"),
+      graft.functions.VectorFunctions.toDoubleArray(vec).as("v"))
+    val centroids = broadcast(Joins.top1PerGroup(
+      e.withColumn("cell", pmod(col("vid"), lit(nlist))),
+      Seq(col("cell")), Seq(col("vid")))
+      .select(col("cell"), col("v").as("centroid")))
+    // rounded similarity + cell tiebreak: assignment is deterministic and
+    // engine-replicable (float ties cannot flip cells across runs/engines)
+    val assigned = Joins.top1PerGroup(
+      e.crossJoin(centroids)
+        .withColumn("cdist", round(cos(col("v"), col("centroid")), 6)),
+      Seq(col("vid")), Seq(col("cdist").desc, col("cell").asc))
+      .select(col("cell"), col("vid"), col("v"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .withColumn("cos", round(cos(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos"))
+  }
+
+  /** Exact all-pairs near-dup (quadratic nested-loop): the correctness
+    * baseline for specs/oracles only — never the corpus-scale path. */
+  def embeddingNearDupPairsExact(
       df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
-    val useNative = df.sparkSession.catalog.functionExists("cosine_sim")
-    def cos(a: Column, b: Column) =
-      if (useNative) graft.functions.VectorFunctions.cosineNative(a, b)
-      else graft.functions.VectorFunctions.cosine(a, b)
+    val cos = cosineCol(df) _
     val e = df.select(id.cast("long").as("vid"),
       graft.functions.VectorFunctions.toDoubleArray(vec).as("v"))
     e.select(col("vid").as("id_a"), col("v").as("va"))

@@ -64,15 +64,17 @@ object Similarity {
         c.withColumn("cell", pmod(col("neighbor_id"), lit(nlist))),
         Seq(col("cell")), Seq(col("neighbor_id")))
         .select(col("cell"), col("cv").as("centroid")))
+    // rounded similarity + cell tiebreak: cell assignment is deterministic
+    // and engine-replicable (float ties cannot flip cells across engines)
     val assigned = Joins.top1PerGroup(
       c.crossJoin(centroids)
-        .withColumn("cdist", cosineCol(corpus)(col("cv"), col("centroid"))),
+        .withColumn("cdist", round(cosineCol(corpus)(col("cv"), col("centroid")), 6)),
       Seq(col("neighbor_id")), Seq(col("cdist").desc, col("cell").asc))
       .select(col("neighbor_id"), col("cv"), col("cell"))
     val q = queries.select(col(qId).as("query_id"),
       VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
     val probes = q.crossJoin(centroids)
-      .withColumn("cdist", cosineCol(corpus)(col("qv"), col("centroid")))
+      .withColumn("cdist", round(cosineCol(corpus)(col("qv"), col("centroid")), 6))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
       .filter(col("__rn") <= nprobe)

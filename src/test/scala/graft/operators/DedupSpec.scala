@@ -25,6 +25,31 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0.333333)))
   }
 
+  test("ngramJaccardPairs maxDf cap drops stop-shingle blocking keys") {
+    // "of the and" appears in every doc (a stop-shingle); tails are unique
+    val docs = (1 to 5).map(i => (i.toLong, s"of the and tail$i more$i words$i"))
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.1)
+    assert(uncapped.count() == 10) // every pair shares the stop-shingle: 1/7 >= 0.1
+    val capped = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.1,
+      maxDf = Some(3))
+    assert(capped.count() == 0) // stop-shingle dropped -> no blocking key left
+  }
+
+  test("embeddingNearDupPairs (IVF-blocked) matches exact within cells; subset of exact") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (16L, Array(0.99, 0.01, 0.0)), // -> cell 0
+      (1L, Array(0.0, 1.0, 0.0)), (17L, Array(0.0, 0.98, 0.02)), // -> cell 1
+      (2L, Array(0.0, 0.0, 1.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val blocked = Dedup.embeddingNearDupPairs(df, col("vec_id"), col("embedding"), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.embeddingNearDupPairsExact(df, col("vec_id"), col("embedding"), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked.subsetOf(exact))
+    assert(blocked.map(p => (p._1, p._2)) == Set((0L, 16L), (1L, 17L)))
+  }
+
   test("minhash est_jaccard approximates true jaccard for near-identical docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
