@@ -66,8 +66,11 @@ object DomainBench {
       Proposals.flagNonConformant(Proposals.configHashes(hh)),
       maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0))
     val props = mat(Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs)))
-    val splits = mat(Proposals.splitConfigs(props, cfg, hh))
-    val (versions0, participants0) = Proposals.hierarchyEntities(Proposals.dedupHierarchies(hh))
+    // multi-version flow: splits reference the business slot (group x seq)
+    // and the calc's as-of join resolves the slot's version island active
+    // at the transaction date (07-deprecated-hierarchies.sql semantics)
+    val splits = mat(Proposals.splitConfigsVersioned(props, cfg, hh))
+    val (versions0, participants0) = Proposals.hierarchyEntitiesVersioned(certs)
     val versions = mat(versions0)
     val participants = mat(participants0)
     val premiums = Tables.orders(spark, sfDir).select(
@@ -123,8 +126,8 @@ object DomainBench {
       maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0).persist()
     val props = Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs))
       .persist()
-    val splits = Proposals.splitConfigs(props, cfg, hh)
-    val (versions, participants) = Proposals.hierarchyEntities(Proposals.dedupHierarchies(hh))
+    val splits = Proposals.splitConfigsVersioned(props, cfg, hh)
+    val (versions, participants) = Proposals.hierarchyEntitiesVersioned(certs)
     def phase[T](name: String)(f: => T): T = {
       val s = System.nanoTime(); val r = f
       System.err.println(f"[phase] $name: ${(System.nanoTime() - s) / 1e9}%.2f s"); r

@@ -753,6 +753,44 @@ object SparkEntry {
                      count(*)::INT AS n_merged
               FROM i GROUP BY group_id, island, config_md5""")),
 
+    Q("g_hierarchy_versions", (s, d) => {
+      // temporal hierarchy versioning (07-deprecated-hierarchies.sql):
+      // signature-change islands per key with lead-closed ranges and the
+      // 2099 open-end sentinel on the latest version
+      val obs = ord(s, d).select(
+        concat(lit("G"), col("o_custkey")).as("key"),
+        to_date(col("o_orderdate")).as("observed_at"),
+        col("o_orderpriority").as("signature"))
+      graft.domain.HierarchyVersioning.versionsFromObservations(
+        obs, col("key"), col("observed_at"), col("signature"))
+        .select(col("key"), col("version_seq"), col("signature"),
+          col("eff_from").cast("date").as("eff_from"),
+          col("eff_to").cast("date").as("eff_to"))
+    },
+      Some("""WITH obs AS (
+                SELECT 'G' || o_custkey::VARCHAR AS key,
+                       o_orderdate::DATE AS observed_at,
+                       o_orderpriority AS signature
+                FROM orders),
+              f AS (
+                SELECT *, CASE WHEN lag(signature) OVER w IS NULL
+                                 OR lag(signature) OVER w <> signature
+                               THEN 1 ELSE 0 END AS chg
+                FROM obs
+                WINDOW w AS (PARTITION BY key ORDER BY observed_at, signature)),
+              v AS (
+                SELECT *, sum(chg) OVER (PARTITION BY key
+                            ORDER BY observed_at, signature
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+                FROM f),
+              g AS (SELECT key, version_seq, signature, min(observed_at) AS eff_from
+                    FROM v GROUP BY 1, 2, 3)
+              SELECT key, version_seq, signature, eff_from,
+                     coalesce(lead(eff_from) OVER (PARTITION BY key
+                                ORDER BY eff_from, version_seq) - 1,
+                              DATE '2099-01-01') AS eff_to
+              FROM g""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
@@ -765,7 +803,7 @@ object SparkEntry {
         .select(col("premium_id"), col("broker_id"), col("entry_type"),
           col("amount").cast("double").as("amount")),
       Some("""WITH li AS (
-                SELECT l_orderkey, l_linenumber, l_suppkey,
+                SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
                        count(*) OVER (PARTITION BY l_orderkey) AS cnt,
                        row_number() OVER (PARTITION BY l_orderkey
                          ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
@@ -775,6 +813,7 @@ object SparkEntry {
                 SELECT l_orderkey AS cert_id,
                        'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
                        l_linenumber AS split_seq,
+                       l_shipdate::DATE AS eff_date,
                        (CASE WHEN rn < cnt THEN base_pct
                              ELSE round(100.0 - base_pct * (cnt - 1), 2) END
                         + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
@@ -817,17 +856,43 @@ object SparkEntry {
                 FROM cfg WHERE NOT nonconformant GROUP BY 1, 2),
               splits AS (
                 SELECT p.proposal_id, round(h.split_pct * 100)::BIGINT AS pct_c,
-                       ('0x' || substr(h.hierarchy_hash, 1, 15))::BIGINT AS hierarchy_id
+                       ('0x' || substr(sha256(h.group_id || '#' || h.split_seq::VARCHAR),
+                         1, 15))::BIGINT AS hierarchy_id
                 FROM props p
                 JOIN rep r ON p.group_id = r.group_id AND p.config_hash = r.config_hash
                 JOIN hh h ON h.cert_id = r.cert_id),
-              parts AS (
-                SELECT DISTINCT
-                       ('0x' || substr(h.hierarchy_hash, 1, 15))::BIGINT AS hierarchy_id,
-                       r.broker_id, 50 + (r.sched_k % 10) * 5 AS rate_m10
-                FROM hh h JOIN rows0 r
-                  ON h.cert_id = r.cert_id AND h.split_seq = r.split_seq
-                 AND h.split_pct = r.split_pct),
+              sig AS (
+                SELECT group_id || '#' || split_seq::VARCHAR AS bkey,
+                       eff_date AS observed_at,
+                       string_agg(item, '|' ORDER BY item) AS signature
+                FROM rows0 GROUP BY 1, 2),
+              vf AS (
+                SELECT *, CASE WHEN lag(signature) OVER w IS NULL
+                                 OR lag(signature) OVER w <> signature
+                               THEN 1 ELSE 0 END AS chg
+                FROM sig
+                WINDOW w AS (PARTITION BY bkey ORDER BY observed_at, signature)),
+              vs AS (
+                SELECT *, sum(chg) OVER (PARTITION BY bkey
+                            ORDER BY observed_at, signature
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+                FROM vf),
+              vg AS (SELECT bkey, version_seq, signature, min(observed_at) AS eff_from
+                     FROM vs GROUP BY 1, 2, 3),
+              vers AS (
+                SELECT ('0x' || substr(sha256(bkey), 1, 15))::BIGINT AS hierarchy_id,
+                       ('0x' || substr(sha256(bkey || '#' || version_seq::VARCHAR),
+                         1, 15))::BIGINT AS version_id,
+                       signature, eff_from,
+                       coalesce(lead(eff_from) OVER (PARTITION BY bkey
+                                  ORDER BY eff_from, version_seq) - 1,
+                                DATE '2099-01-01') AS eff_to
+                FROM vg),
+              vp AS (
+                SELECT version_id, split_part(itm, ':', 2) AS broker_id,
+                       50 + (substr(split_part(itm, ':', 3), 6)::BIGINT % 10) * 5 AS rate_m10
+                FROM (SELECT version_id, unnest(string_split(signature, '|')) AS itm
+                      FROM vers)),
               prem AS (
                 SELECT o_orderkey AS premium_id,
                        'G' || (o_orderkey % 3079)::VARCHAR AS group_id,
@@ -837,18 +902,23 @@ object SparkEntry {
                 WHERE o_totalprice > 0
                   AND o_orderkey IN (SELECT l_orderkey FROM lineitem)),
               wp AS (
-                SELECT pr.premium_id, pr.amount_c, p.proposal_id
+                SELECT pr.premium_id, pr.amount_c, pr.txn_date, p.proposal_id
                 FROM prem pr JOIN props p ON p.group_id = pr.group_id
                   AND pr.txn_date >= p.eff_from
                   AND (p.eff_to IS NULL OR pr.txn_date <= p.eff_to)),
               ws AS (
-                SELECT w.premium_id, (w.amount_c * s.pct_c + 5000) // 10000 AS sp_c,
+                SELECT w.premium_id, w.txn_date,
+                       (w.amount_c * s.pct_c + 5000) // 10000 AS sp_c,
                        s.hierarchy_id
                 FROM wp w JOIN splits s USING (proposal_id)),
+              wv AS (
+                SELECT w.premium_id, w.sp_c, v.version_id
+                FROM ws w JOIN vers v ON v.hierarchy_id = w.hierarchy_id
+                  AND w.txn_date >= v.eff_from AND w.txn_date <= v.eff_to),
               gl AS (
-                SELECT w.premium_id, pt.broker_id,
-                       (w.sp_c * pt.rate_m10 + 500) // 1000 AS comm_c
-                FROM ws w JOIN parts pt USING (hierarchy_id))
+                SELECT w.premium_id, p.broker_id,
+                       (w.sp_c * p.rate_m10 + 500) // 1000 AS comm_c
+                FROM wv w JOIN vp p USING (version_id))
               SELECT premium_id, broker_id, 'Original' AS entry_type,
                      comm_c / 100.0 AS amount
               FROM gl WHERE comm_c <> 0""")),

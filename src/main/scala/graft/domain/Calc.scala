@@ -83,21 +83,25 @@ object Calc {
     val sr = scheduleRates.withColumn("__spec",
       when(col("product_code") =!= "*", 0).otherwise(2) +
         when(col("state") =!= "*", 0).otherwise(1))
-    val joined = exploded.join(sr,
-      exploded("schedule_code") === sr("schedule_code") &&
-        (sr("product_code") === "*" || sr("product_code") === exploded("product_code")) &&
-        (sr("state") === "*" || sr("state") === exploded("state")) &&
+    // surrogate row id BEFORE the join: the rank-1 window must restore one
+    // output per input participant row — a composite business key would
+    // silently collapse legitimate duplicate participants (same broker
+    // listed twice in a version fans out twice, run-calculation.sql:194)
+    val tagged = exploded.withColumn("__rid", monotonically_increasing_id())
+    val joined = tagged.join(sr,
+      tagged("schedule_code") === sr("schedule_code") &&
+        (sr("product_code") === "*" || sr("product_code") === tagged("product_code")) &&
+        (sr("state") === "*" || sr("state") === tagged("state")) &&
         (sr("size_from").isNull ||
-          (exploded("group_size") >= sr("size_from") && exploded("group_size") <= sr("size_to"))),
+          (tagged("group_size") >= sr("size_from") && tagged("group_size") <= sr("size_to"))),
       "left")
       .drop(sr("schedule_code")).drop(sr("product_code")).drop(sr("state"))
     // several wildcard rows may match: keep the most specific (exact
     // product > exact state > banded), deterministically
-    val keys = Seq("premium_id", "split_seq", "version_id", "tier_level", "broker_id")
     val best = Joins.top1PerGroup(
       joined.withColumn("__spec", coalesce(col("__spec"), lit(9))),
-      keys.map(col), Seq(col("__spec").asc, col("rate").desc_nulls_last))
-      .drop("__spec")
+      Seq(col("__rid")), Seq(col("__spec").asc, col("rate").desc_nulls_last))
+      .drop("__spec", "__rid")
     best.withColumn("resolved_rate",
         when(col("real_rate").isNotNull && col("real_rate") > 0, col("real_rate"))
           .when(col("participant_rate").isNotNull, col("participant_rate"))

@@ -164,6 +164,60 @@ object Proposals {
   def hierKey(hash: Column): Column =
     conv(substring(hash, 1, 15), 16, 10).cast("long")
 
+  /** 60-bit key for the BUSINESS hierarchy slot (group x split position) —
+    * the stable identity whose structure evolves over time
+    * (`sql/transforms/07-deprecated-hierarchies.sql`). */
+  def businessHierKey(group: Column, splitSeq: Column): Column =
+    hierKey(upper(sha2(concat_ws("#", group, splitSeq), 256)))
+
+  /** [[splitConfigs]] with the business-slot key as hierarchy_id, for the
+    * multi-version flow: the calc's as-of join then resolves the slot's
+    * version active at the transaction date. */
+  def splitConfigsVersioned(
+      proposals: DataFrame, routedConfigs: DataFrame, hierHashes: DataFrame): DataFrame = {
+    val rep = Joins.top1PerGroup(
+      routedConfigs.filter(!col("route_pha")),
+      Seq(col("group_id"), col("config_hash")), Seq(col("cert_id")))
+      .select(col("group_id"), col("config_hash"), col("cert_id"))
+    proposals.select(col("proposal_id"), col("group_id"), col("config_hash"))
+      .join(rep, Seq("group_id", "config_hash"))
+      .join(hierHashes.select(col("cert_id"), col("group_id").as("__hg"),
+        col("split_seq"), col("split_pct")), Seq("cert_id"))
+      .select(col("proposal_id"), col("split_seq"), col("split_pct"),
+        businessHierKey(col("__hg"), col("split_seq")).as("hierarchy_id"))
+  }
+
+  /** Multi-version hierarchy entities: version the business slot
+    * (group, split_seq) over observation time (certificate effective
+    * dates) via [[HierarchyVersioning]] — a structure change mid-stream
+    * closes the open version and opens a new island, so
+    * `Calc.resolveHierarchyVersion`'s as-of join picks among real
+    * candidates (`07-deprecated-hierarchies.sql:266`). Participants are
+    * decoded from each version's ordered structure signature. */
+  def hierarchyEntitiesVersioned(certificates: DataFrame): (DataFrame, DataFrame) = {
+    val obs = HierarchyVersioning.structureSignature(
+      certificates.withColumn("__bkey",
+        concat_ws("#", col("group_id"), col("split_seq"))),
+      col("__bkey"), col("eff_date"))
+    val v = HierarchyVersioning.versionsFromObservations(
+      obs, col("key"), col("observed_at"), col("signature"))
+    val versions = v.select(
+      hierKey(upper(sha2(col("key"), 256))).as("hierarchy_id"),
+      hierKey(upper(sha2(concat_ws("#", col("key"), col("version_seq")), 256)))
+        .as("version_id"),
+      col("signature"),
+      col("eff_from").cast("date").as("eff_from"),
+      col("eff_to").cast("date").as("eff_to"))
+    val participants = versions
+      .select(col("version_id"), explode(split(col("signature"), "\\|")).as("__item"))
+      .select(col("version_id"),
+        split(col("__item"), ":").getItem(0).cast("int").as("tier_level"),
+        split(col("__item"), ":").getItem(1).as("broker_id"),
+        split(col("__item"), ":").getItem(2).as("schedule_code"),
+        lit(null).cast("double").as("participant_rate"))
+    (versions.drop("signature"), participants)
+  }
+
   /** Hierarchy versions + participants from the deduped hierarchies —
     * id `{hash}-V1`, open-ended effectivity (versioning begins at the
     * epoch; succession appends new versions). */

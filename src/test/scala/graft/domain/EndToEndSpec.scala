@@ -150,4 +150,26 @@ class EndToEndSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(rep.values.forall(_ == 0L), rep.toString)
   }
+
+  test("multi-version succession: a mid-stream structure change switches the resolved version") {
+    // slot (G1, seq 1) is occupied by B1 from January, B2 from June —
+    // two version islands; premiums before/after the change must resolve
+    // to different participants through the calc's as-of join
+    val certs = Seq(
+      (1L, "G1", 1, 100.0, 1, "B1", "SCHED1", "B1", "PRODA", "*", "2020-01-01"),
+      (2L, "G1", 1, 100.0, 1, "B2", "SCHED1", "B2", "PRODA", "*", "2020-06-01"))
+      .toDF("cert_id", "group_id", "split_seq", "split_pct", "tier_level", "broker_id",
+        "schedule_code", "paid_broker_id", "product_code", "plan_code", "eff_s")
+      .withColumn("eff_date", to_date(col("eff_s"))).drop("eff_s")
+    val (versions, participants) = Proposals.hierarchyEntitiesVersioned(certs)
+    assert(versions.count() == 2)
+    val facts = Seq((10L, "2020-03-15"), (11L, "2020-07-15"))
+      .toDF("premium_id", "txn_s")
+      .withColumn("txn_date", to_date(col("txn_s"))).drop("txn_s")
+      .withColumn("hierarchy_id", Proposals.businessHierKey(lit("G1"), lit(1)))
+    val resolved = Calc.explodeParticipants(
+      Calc.resolveHierarchyVersion(facts, versions), participants)
+      .select(col("premium_id"), col("broker_id")).as[(Long, String)].collect().toMap
+    assert(resolved == Map(10L -> "B1", 11L -> "B2"))
+  }
 }
