@@ -791,6 +791,29 @@ object SparkEntry {
                               DATE '2099-01-01') AS eff_to
               FROM g""")),
 
+    Q("g_products_transform", (s, d) =>
+      // products core transform (03): certificate-shaped rows from part
+      graft.domain.CoreTransforms.products(prt(s, d).select(
+        col("p_brand").as("product_category"), col("p_type").as("product_code"),
+        split(col("p_name"), " ").getItem(0).as("state"),
+        col("p_partkey").cast("string").as("group_id"))),
+      Some("""WITH c AS (SELECT NULLIF(trim(p_brand), '') AS product_category,
+                                NULLIF(trim(p_type), '') AS product_code,
+                                NULLIF(trim(split_part(p_name, ' ', 1)), '') AS state,
+                                NULLIF(trim(p_partkey::VARCHAR), '') AS group_id
+                         FROM part),
+              f AS (SELECT * FROM c
+                    WHERE product_category IS NOT NULL AND product_code IS NOT NULL)
+              SELECT product_category, product_code,
+                     count(DISTINCT group_id) AS groups_count,
+                     coalesce(array_to_string(
+                       list_sort(list(DISTINCT state) FILTER (WHERE state IS NOT NULL)),
+                       ','), '') AS allowed_states,
+                     product_category || ' - ' || product_code AS description,
+                     'Active' AS status,
+                     row_number() OVER (ORDER BY product_category, product_code) AS id
+              FROM f GROUP BY 1, 2""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>

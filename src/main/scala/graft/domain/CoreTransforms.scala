@@ -163,6 +163,31 @@ object CoreTransforms {
       .withColumn("fee_id", concat_ws("-", lit("FEE"), col("product_num"),
         col("fee_method"), date_format(col("date_start"), "yyyyMMdd")))
 
+  /** Products (03): per (category, code) over certificate-shaped rows —
+    * distinct-group count and the ordered AllowedStates aggregation
+    * (`sql/transforms/03-products.sql:100-144`: `STRING_AGG ... WITHIN
+    * GROUP (ORDER BY CertIssuedState)` over distinct non-empty states),
+    * plus the synthetic natural-order id. Products are
+    * configuration-sized, so the global-order row_number window is a
+    * single small partition by design. */
+  def products(certRows: DataFrame): DataFrame = {
+    val cleaned = certRows.select(
+      Cleaning.cleanStr(col("product_category")).as("product_category"),
+      Cleaning.cleanStr(col("product_code")).as("product_code"),
+      Cleaning.cleanStr(col("state")).as("state"),
+      Cleaning.cleanStr(col("group_id")).as("group_id"))
+      .filter(col("product_category").isNotNull && col("product_code").isNotNull)
+    cleaned.groupBy(col("product_category"), col("product_code"))
+      .agg(countDistinct(col("group_id")).as("groups_count"),
+        concat_ws(",", array_sort(collect_set(col("state")))).as("allowed_states"))
+      .withColumn("description",
+        concat_ws(" - ", col("product_category"), col("product_code")))
+      .withColumn("status", lit("Active"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("product_category"), col("product_code"))).cast("long"))
+  }
+
   /** 51-entry state code -> name lookup as a broadcast map literal
     * (`scripts/proposal-builder.ts:84-101`). Subset here; the operator
     * shape (typedLit map + element_at) is the point. */

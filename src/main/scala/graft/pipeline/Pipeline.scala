@@ -23,6 +23,18 @@ object Pipeline {
       outputs: Seq[String],
       run: (SparkSession, Map[String, DataFrame]) => Map[String, DataFrame])
 
+  /** The reference's debug levers (`scripts/run-pipeline.ts:49-116`,
+    * `proposal-builder.ts:2089-2091`): `limit` caps rows at the LOAD
+    * steps (steps with no declared inputs, where the reference applies
+    * its `TOP N`); `groups` restricts every produced frame that carries
+    * `groupCol` to the named group ids — the whole downstream DAG then
+    * runs on the slice, which is how a single problem group is debugged
+    * at full pipeline fidelity. */
+  case class Debug(
+      limit: Option[Int] = None,
+      groups: Set[String] = Set.empty,
+      groupCol: String = "group_id")
+
   sealed trait StepStatus
   case object Completed extends StepStatus
   case object Skipped extends StepStatus
@@ -30,9 +42,18 @@ object Pipeline {
 
   case class LedgerEntry(step: String, status: StepStatus, millis: Long)
 
-  class Runner(spark: SparkSession, steps: Seq[Step]) {
+  class Runner(spark: SparkSession, steps: Seq[Step], debug: Debug = Debug()) {
     private val ctx = mutable.LinkedHashMap.empty[String, DataFrame]
     private val ledger = mutable.ArrayBuffer.empty[LedgerEntry]
+
+    private def applyDebug(df: DataFrame, isLoadStep: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val filtered =
+        if (debug.groups.nonEmpty && df.columns.contains(debug.groupCol))
+          df.filter(col(debug.groupCol).isin(debug.groups.toSeq: _*))
+        else df
+      if (isLoadStep) debug.limit.fold(filtered)(filtered.limit) else filtered
+    }
 
     def withInput(name: String, df: DataFrame): this.type = { ctx(name) = df; this }
 
@@ -55,7 +76,9 @@ object Pipeline {
           } else {
             try {
               val out = step.run(spark, ctx.toMap)
-              out.foreach { case (k, v) => ctx(k) = v }
+              out.foreach { case (k, v) =>
+                ctx(k) = applyDebug(v, isLoadStep = step.inputs.isEmpty)
+              }
               ledger += LedgerEntry(step.name, Completed, (System.nanoTime() - t0) / 1000000)
             } catch {
               case e: Exception if !failFast =>

@@ -127,4 +127,18 @@ class CoreTransformsSpec extends SparkSpec {
       .select(CoreTransforms.stateName(col("s"))).as[String].collect()
     assert(got.toSeq == Seq("Texas", "Unknown"))
   }
+
+  test("products: ordered AllowedStates aggregation + distinct group counts") {
+    val rows = Seq(
+      ("CAT1", "A", "TX", "G1"), ("CAT1", "A", "CA", "G2"), ("CAT1", "A", "TX", "G1"),
+      ("CAT1", "B", "", "G1"),   // empty state -> empty AllowedStates
+      ("", "X", "TX", "G1"),     // empty category -> dropped
+      ("CAT2", "", "TX", "G1"))  // empty code -> dropped
+      .toDF("product_category", "product_code", "state", "group_id")
+    val got = CoreTransforms.products(rows)
+      .select(col("product_category"), col("product_code"), col("groups_count"),
+        col("allowed_states"), col("id"))
+      .as[(String, String, Long, String, Long)].collect().toSet
+    assert(got == Set(("CAT1", "A", 2L, "CA,TX", 1L), ("CAT1", "B", 1L, "", 2L)))
+  }
 }

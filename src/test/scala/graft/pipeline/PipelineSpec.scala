@@ -37,6 +37,25 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("missing inputs"))
   }
 
+  test("debug levers: limit caps load steps, groups filters the downstream DAG") {
+    val domainSteps = Seq(
+      Pipeline.Step("load", Nil, Seq("certs"),
+        (s, _) => Map("certs" -> Seq(
+          (1L, "G1"), (2L, "G1"), (3L, "G2"), (4L, "G3"))
+          .toDF("cert_id", "group_id"))),
+      Pipeline.Step("derive", Seq("certs"), Seq("per_group"),
+        (_, ctx) => Map("per_group" ->
+          ctx("certs").groupBy(col("group_id")).agg(count(lit(1)).as("n")))))
+    val limited = new Pipeline.Runner(spark, domainSteps,
+      Pipeline.Debug(limit = Some(2))).run()
+    assert(limited.frames("certs").count() == 2)
+    val sliced = new Pipeline.Runner(spark, domainSteps,
+      Pipeline.Debug(groups = Set("G1"))).run()
+    assert(sliced.frames("certs").count() == 2) // only G1 certs survive the load
+    val got = sliced.frames("per_group").as[(String, Long)].collect().toMap
+    assert(got == Map("G1" -> 2L)) // the whole downstream DAG ran on the slice
+  }
+
   test("skip set records Skipped and downstream failure is diagnosed (failFast=false)") {
     val r = new Pipeline.Runner(spark, steps).run(skip = Set("load"), failFast = false)
     assert(r.runLedger.find(_.step == "load").get.status == Pipeline.Skipped)
