@@ -26,13 +26,16 @@ object DomainBench {
     // split percents: equal shares with the remainder on the last split so
     // every certificate sums to exactly 100.00 (conformant by construction
     // except a deterministic 2% carve-out to exercise the PHA route)
+    // l_linenumber is NOT unique per order in the synthetic data; the
+    // full tiebreak pins which row carries the remainder split percent
+    // (row_number over a non-total order is nondeterministic). cnt uses
+    // the SAME ordered spec with a full-partition frame so both window
+    // functions share one WindowExec / one sort.
+    val ordered = w.orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
     val withCnt = li
-      .withColumn("cnt", count(lit(1)).over(w))
-      // l_linenumber is NOT unique per order in the synthetic data; the
-      // full tiebreak pins which row carries the remainder split percent
-      // (row_number over a non-total order is nondeterministic)
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+      .withColumn("cnt", count(lit(1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(ordered))
       .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
       .withColumn("split_pct",
         when(col("rn") < col("cnt"), col("base_pct"))
