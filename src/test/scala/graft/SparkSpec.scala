@@ -9,6 +9,9 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same extensions as the shipped GraftSession config: tests must
+    // exercise the native expressions + optimizer rules users get
+    .config("spark.sql.extensions", "graft.sql.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.host", "127.0.0.1")
     .getOrCreate()
