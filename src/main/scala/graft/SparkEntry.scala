@@ -1212,6 +1212,20 @@ object SparkEntry {
               count(*) AS n, round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
               FROM events GROUP BY 1, 2""")),
 
+    Q("st_interval_join", (s, d) => {
+      // batch twin of the stream-stream time-band join (watermarked in
+      // streaming; identical semantics on batch frames)
+      val e = ev(s, d)
+      StreamOps.intervalJoinStreams(
+        e.filter(col("event_type") === "error"),
+        e.filter(col("event_type") === "purchase"), 3600, "1 hour")
+        .select(col("user_id"), col("cause_id"), col("effect_id"))
+    },
+      Some("""SELECT l.user_id, l.event_id AS cause_id, r.event_id AS effect_id
+              FROM events l JOIN events r ON l.user_id = r.user_id
+                AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+              WHERE l.event_type = 'error' AND r.event_type = 'purchase'""")),
+
     Q("st_sessionize", (s, d) =>
       Intervals.sessionize(ev(s, d), col("user_id"), col("ts"), 1800)
         .groupBy(col("user_id"), col("session_seq"))

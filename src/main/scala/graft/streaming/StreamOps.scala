@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface.
   *
@@ -40,6 +41,56 @@ object StreamOps {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     if (events.isStreaming) src.dropDuplicatesWithinWatermark(idCols)
     else src.dropDuplicates(idCols)
+  }
+
+  /** Stream-stream time-band join (impression->click attribution,
+    * error-followed-by-purchase, ...): left events join right events of
+    * the same user with `r.ts` in `(l.ts, l.ts + horizon]`. Watermarks on
+    * BOTH sides bound the join state, so it runs forever at corpus-scale
+    * event volumes; on batch frames it degrades to the same range join
+    * (the batch twin the oracle checks). */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame,
+      horizonSec: Long, watermark: String): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") > col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("cause_id"), col("l.ts").as("cause_ts"),
+        col("r.event_id").as("effect_id"), col("r.ts").as("effect_ts"))
+  }
+
+  case class RunningTotal(user_id: Long, n_events: Int, total_value: Double)
+
+  /** Running per-user totals on the Spark 4 `transformWithState` API —
+    * the successor to `mapGroupsWithState` (typed `ValueState` handles,
+    * RocksDB-backed, timer support). Emits the updated running total for
+    * each user touched by a micro-batch. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, RunningTotal] {
+    @transient private var st: ValueState[(Int, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Double)]("totals",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      var (n, total) = if (st.exists()) st.get() else (0, 0.0)
+      rows.foreach { e => n += 1; total += e.value }
+      st.update((n, total))
+      Iterator(RunningTotal(key, n, math.round(total * 100.0) / 100.0))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider. */
+  val RocksDbProvider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stateful sessionization: events within `gapSeconds` of the previous

@@ -29,6 +29,49 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("stream-stream interval join attributes effects within the horizon") {
+    implicit val sc = spark.sqlContext
+    val li = MemoryStream[StreamOps.Event]
+    val ri = MemoryStream[StreamOps.Event]
+    li.addData(StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "error", 0.0))
+    ri.addData(
+      StreamOps.Event(10, ts("2024-01-01 00:30:00"), 1, "purchase", 5.0), // within 1h
+      StreamOps.Event(11, ts("2024-01-01 02:00:00"), 1, "purchase", 7.0), // outside
+      StreamOps.Event(12, ts("2024-01-01 00:30:00"), 2, "purchase", 9.0)) // other user
+    val q = StreamOps.intervalJoinStreams(li.toDF(), ri.toDF(), 3600, "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ij_out").select(col("cause_id"), col("effect_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("transformWithState running totals accumulate across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamOps.RocksDbProvider)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.runningTotals(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("rt_out").start()
+      input.addData(StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.5))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(2, ts("2024-01-01 00:01:00"), 1, "click", 2.0),
+        StreamOps.Event(3, ts("2024-01-01 00:02:00"), 2, "view", 4.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rt_out").as[StreamOps.RunningTotal].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(got(1L).n_events == 2 && got(1L).total_value == 3.5)
+      assert(got(2L).n_events == 1 && got(2L).total_value == 4.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source streaming: readStream over parquet matches batch aggregation") {
     // write a small parquet dir, stream it with an explicit schema, and
     // check the windowed agg equals the batch run over the same files
