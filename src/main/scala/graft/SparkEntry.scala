@@ -1156,6 +1156,20 @@ object SparkEntry {
               FROM sc)
               SELECT doc_id, pred_lang, pred_lang = lang AS agrees FROM p""")),
 
+    Q("x_winnow", (s, d) =>
+      // winnowing document fingerprints (k-gram hash, window-min, dedupe)
+      TextFunctions.winnowFingerprints(doc(s, d), col("doc_id"), col("text"),
+        k = 5, w = 4),
+      Some("""WITH h AS (SELECT doc_id,
+                [('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT
+                 for i in generate_series(1, len(text) - 4)] AS hs
+              FROM documents WHERE len(text) >= 5),
+              f AS (SELECT doc_id,
+                      list_distinct([list_min(hs[j:j+3])
+                                     for j in generate_series(1, len(hs) - 3)]) AS fps
+                    FROM h WHERE len(hs) >= 4)
+              SELECT doc_id, unnest(fps) AS fp FROM f""")),
+
     Q("x_quality", (s, d) =>
       doc(s, d).select(col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).as("n_tok_ws"),

@@ -91,4 +91,34 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Winnowing fingerprints (Schleimer et al., MOSS): hash every char
+    * k-gram, slide a window of `w` hashes, keep the minimum per window,
+    * dedupe — a position-robust document signature for near-dup /
+    * plagiarism-style matching. Emits one (doc_id, fp) row per selected
+    * hash.
+    *
+    * DataFrame-shaped (not a Column function) on purpose: the k-gram
+    * hash array must be materialized in its own projection and referenced
+    * more than once — a lambda that references the array expression
+    * directly re-evaluates ALL the md5s per window position (HOFs are
+    * interpreted with no subexpression elimination), turning O(n) hashing
+    * into O(n*w). The hash family is per-gram
+    * [[graft.operators.Dedup.md5Int]] (content-defined and
+    * engine-replicable); a true rolling Rabin-Karp hash belongs in a
+    * native Expression at 100 TB corpus scale — same operator shape,
+    * smaller constant. */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        when(length(text) >= k,
+          transform(sequence(lit(1), length(text) - (k - 1)),
+            i => graft.operators.Dedup.md5Int(text.substr(i, lit(k)))))
+          .otherwise(array().cast("array<long>")).as("__hs"))
+      .filter(size(col("__hs")) >= w)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+          j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
 }

@@ -43,6 +43,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("l_suppkey") && !p.contains("l_shipdate"), p)
   }
 
+  test("near-dup plans never do corpus-scale nested loops") {
+    val pJ = plan("d_ngram_jaccard")
+    assert(!pJ.contains("CartesianProduct") && !pJ.contains("BroadcastNestedLoopJoin"), pJ)
+    val pE = plan("d_embedding_neardup")
+    // the only nested loop allowed is the bounded centroid cross (nlist
+    // rows); the pair join itself must be an equi join on the cell id
+    assert(pE.contains("SortMergeJoin") || pE.contains("HashJoin"), pE)
+    assert(!pE.contains("CartesianProduct"), pE)
+  }
+
   test("policy resolution carries no forced broadcast on the mappings side") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -51,4 +51,16 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
     assert(got.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("winnowing fingerprints are position-robust: shifted text shares most fingerprints") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, "PREFIX " + base), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val rows = TextFunctions.winnowFingerprints(df, col("doc_id"), col("text"), 5, 4)
+      .as[(Long, Long)].collect()
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(3L)) // below k+w-1 chars -> no fingerprints
+    val overlap = byDoc(1L).intersect(byDoc(2L)).size.toDouble / byDoc(1L).size
+    assert(overlap > 0.6, s"overlap=$overlap")
+  }
 }
