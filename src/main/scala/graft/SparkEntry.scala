@@ -428,6 +428,38 @@ object SparkEntry {
                        OR round(m.max_cluster * 100.0 / m.n_members, 2) < 50.0)) AS route_pha
               FROM m JOIN e USING (grp)""")),
 
+    Q("f_percentile", (s, d) =>
+      // exact percentiles (linear interpolation): quartile fractions are
+      // exact powers of two, so the interpolated values match DuckDB's
+      // quantile_cont bit-for-bit after round(4)
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price")),
+      Some("""SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+              FROM lineitem GROUP BY 1""")),
+
+    Q("g_profile", (s, d) =>
+      // one-pass column profiler (nulls / distinct / min / max per column)
+      // in exact-distinct mode so the whole report is oracle-checkable
+      graft.domain.Audit.profile(nat(s, d), exactDistinct = true)
+        .withColumnRenamed("approx_distinct", "n_distinct"),
+      Some("""SELECT 'n_nationkey' AS "column", 'int' AS type,
+                     sum((n_nationkey IS NULL)::INT)::BIGINT AS n_nulls,
+                     count(DISTINCT n_nationkey) AS n_distinct,
+                     min(n_nationkey)::VARCHAR AS min, max(n_nationkey)::VARCHAR AS max
+              FROM nation
+              UNION ALL
+              SELECT 'n_name', 'string', sum((n_name IS NULL)::INT)::BIGINT,
+                     count(DISTINCT n_name), min(n_name), max(n_name) FROM nation
+              UNION ALL
+              SELECT 'n_regionkey', 'int', sum((n_regionkey IS NULL)::INT)::BIGINT,
+                     count(DISTINCT n_regionkey),
+                     min(n_regionkey)::VARCHAR, max(n_regionkey)::VARCHAR FROM nation""")),
+
     Q("a12_rollup", (s, d) =>
       // rollup subtotals + grouping id (beyond the reference's UNION ALL
       // "summary" stacks, SURVEY §2.4 note)

@@ -22,12 +22,13 @@ object Audit {
   /** One-pass column profiler: per column — null count, approximate
     * distinct, min/max (as strings). The standard first look at a new
     * 100 TB input; single aggregation, no per-column jobs. */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
-        approx_count_distinct(c).as(s"${f.name}__distinct"),
+        (if (exactDistinct) countDistinct(c) else approx_count_distinct(c))
+          .as(s"${f.name}__distinct"),
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"))
     }

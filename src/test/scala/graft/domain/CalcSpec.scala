@@ -98,6 +98,32 @@ class CalcSpec extends SparkSpec {
     assert(out == Seq((Some(2.0), "ScheduleLookup")))
   }
 
+  test("expanded-rates path matches the wildcard path exactly") {
+    val facts = Seq(
+      (300L, 1, "V1", 1, "B1", "S3", "PRODA", "ST", 25), // banded exact wins (2.0)
+      (301L, 1, "V1", 1, "B2", "S3", "PRODB", "TX", 10), // only double wildcard (9.0)
+      (302L, 1, "V1", 1, "B3", "NOPE", "PRODA", "ST", 5)) // no schedule -> NoRate
+      .toDF("premium_id", "split_seq", "version_id", "tier_level", "broker_id",
+        "schedule_code", "product_code", "state", "group_size")
+      .withColumn("real_rate", lit(null).cast("double"))
+      .withColumn("participant_rate", lit(null).cast("double"))
+    val rates = Seq(
+      ("S3", "*", "*", None: Option[Int], None: Option[Int], 9.0),
+      ("S3", "PRODA", "*", None: Option[Int], None: Option[Int], 6.0),
+      ("S3", "PRODA", "ST", Some(20), Some(30), 2.0))
+      .toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate")
+    def shape(df: DataFrame) = df.select(col("premium_id"), col("broker_id"),
+      col("resolved_rate").cast("double"), col("rate_source"))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    val viaWildcard = shape(Calc.lookupRate(facts, rates))
+    val viaExpanded = shape(
+      Calc.lookupRateExpanded(facts, Calc.expandScheduleRates(rates, facts)))
+    assert(viaWildcard == viaExpanded)
+    assert(viaWildcard.exists(r => r._1 == 300L && r._3.contains(2.0)))
+    assert(viaWildcard.exists(r => r._1 == 301L && r._3.contains(9.0)))
+    assert(viaWildcard.exists(r => r._1 == 302L && r._4 == "NoRate"))
+  }
+
   test("commissions: round(split*rate/100, 2) per participant") {
     val comm = result.select(col("broker_id"), col("commission").cast("double"))
       .as[(String, Option[Double])].collect().toMap
