@@ -57,12 +57,21 @@ object DomainBench {
   }
 
   /** The pipeline as a single composable frame (GL entries), for the
-    * bench/verify query surface. `localCheckpoint` materializes the
-    * fan-in frames eagerly so multi-consumer lineages (hashes feed
-    * configs + splits + hierarchy dedup; final feeds both GL branches)
-    * compute once. */
+    * bench/verify query surface. The fan-in frames (hashes feed configs +
+    * splits + hierarchy dedup; final feeds both GL branches) are
+    * materialized eagerly so they compute once. Default is
+    * `localCheckpoint` (right for a single JVM: truncates lineage, no
+    * recompute); on a real cluster set `SPARK_GRAFT_MAT=persist` —
+    * localCheckpoint blocks are lost on executor failure and pin executor
+    * storage, while an eagerly-counted persist(MEMORY_AND_DISK) survives
+    * recompute from lineage. */
   def glPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def mat(df: DataFrame): DataFrame =
+      if (sys.env.get("SPARK_GRAFT_MAT").contains("persist")) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: a lazy persist consumed by two branches of one
+        p         // action computes twice before the cache fills
+      } else df.localCheckpoint(true)
     val certs = mat(synthCertificates(spark, sfDir))
     val hh = mat(Proposals.hierarchyHashes(certs))
     val cfg = mat(Proposals.routeGroups(

@@ -98,27 +98,30 @@ object TextFunctions {
     * plagiarism-style matching. Emits one (doc_id, fp) row per selected
     * hash.
     *
-    * DataFrame-shaped (not a Column function) on purpose: the k-gram
-    * hash array must be materialized in its own projection and referenced
-    * more than once — a lambda that references the array expression
-    * directly re-evaluates ALL the md5s per window position (HOFs are
-    * interpreted with no subexpression elimination), turning O(n) hashing
-    * into O(n*w). The hash family is per-gram
-    * [[graft.operators.Dedup.md5Int]] (content-defined and
-    * engine-replicable); a true rolling Rabin-Karp hash belongs in a
-    * native Expression at 100 TB corpus scale — same operator shape,
-    * smaller constant. */
+    * Relational formulation on purpose: positions are EXPLODED to rows so
+    * each k-gram is hashed exactly once inside whole-stage codegen, and
+    * the sliding minimum is a rows-between window frame. The
+    * array/higher-order form re-evaluates the whole md5 array per window
+    * position once the optimizer collapses the projections (HOFs are
+    * interpreted with no subexpression elimination) — O(n*w) md5s per
+    * document and a 100x slowdown observed at sf0.1. */
   def winnowFingerprints(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      k: Int, w: Int): org.apache.spark.sql.DataFrame =
-    df.select(id.cast("long").as("doc_id"),
-        when(length(text) >= k,
-          transform(sequence(lit(1), length(text) - (k - 1)),
-            i => graft.operators.Dedup.md5Int(text.substr(i, lit(k)))))
-          .otherwise(array().cast("array<long>")).as("__hs"))
-      .filter(size(col("__hs")) >= w)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
-          j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val positions = df
+      .filter(length(text) >= k + w - 1)
+      .select(id.cast("long").as("doc_id"), text.as("__t"),
+        (length(text) - (k - 1)).as("__npos"))
+      .select(col("doc_id"), col("__npos"),
+        explode(sequence(lit(1), col("__npos"))).as("pos"), col("__t"))
+      .select(col("doc_id"), col("__npos"), col("pos"),
+        graft.operators.Dedup.md5Int(col("__t").substr(col("pos"), lit(k))).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    positions
+      .withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") <= col("__npos") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
 }
