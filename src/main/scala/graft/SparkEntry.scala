@@ -1272,6 +1272,47 @@ object SparkEntry {
                 AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
               WHERE l.event_type = 'error' AND r.event_type = 'purchase'""")),
 
+    Q("st_session_window", (s, d) =>
+      // the BUILT-IN session_window operator (merge-on-overlap semantics:
+      // an event extends a session iff it lands strictly before prev+gap)
+      StreamOps.sessionWindowCounts(ev(s, d), "30 minutes", "1 hour"),
+      Some("""WITH s AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s)
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     count(*)::BIGINT AS n_events,
+                     round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+              FROM i GROUP BY user_id, sid""")),
+
+    Q("m_frame_sample", (s, d) => {
+      // frame-sample plumbing arithmetic (stride block sampling of the
+      // payload bytes) — oracle-checked via frame count + byte totals
+      val m = Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
+      Multimodal.frameSampleStub(m, blockSize = 16, stride = 4)
+        .select(col("media_id"), size(col("frames")).as("n_frames"),
+          aggregate(transform(col("frames"), f => octet_length(f)),
+            lit(0), (a, b) => a + b).as("frame_bytes"))
+    },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                                octet_length(encode(text)) AS L
+                         FROM documents),
+              f AS (SELECT media_id, L,
+                           (greatest((L - 1) // 64, 0) + 1)::INT AS n_frames
+                    FROM m)
+              SELECT media_id, n_frames,
+                     list_sum([least(16, L - i * 64)
+                               for i in generate_series(0, n_frames - 1)])::INT
+                       AS frame_bytes
+              FROM f""")),
+
     Q("st_sessionize", (s, d) =>
       Intervals.sessionize(ev(s, d), col("user_id"), col("ts"), 1800)
         .groupBy(col("user_id"), col("session_seq"))

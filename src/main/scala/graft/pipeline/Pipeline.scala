@@ -29,11 +29,16 @@ object Pipeline {
     * its `TOP N`); `groups` restricts every produced frame that carries
     * `groupCol` to the named group ids — the whole downstream DAG then
     * runs on the slice, which is how a single problem group is debugged
-    * at full pipeline fidelity. */
+    * at full pipeline fidelity. `materializeDir` writes every produced
+    * frame to parquet and re-reads it (the reference's inspectable
+    * work/prestage tables, `sql/00-prestage-tables.sql`) — downstream
+    * steps then run from the materialized copy, so a failed run leaves
+    * every intermediate on disk for inspection. */
   case class Debug(
       limit: Option[Int] = None,
       groups: Set[String] = Set.empty,
-      groupCol: String = "group_id")
+      groupCol: String = "group_id",
+      materializeDir: Option[String] = None)
 
   sealed trait StepStatus
   case object Completed extends StepStatus
@@ -77,7 +82,14 @@ object Pipeline {
             try {
               val out = step.run(spark, ctx.toMap)
               out.foreach { case (k, v) =>
-                ctx(k) = applyDebug(v, isLoadStep = step.inputs.isEmpty)
+                val framed = applyDebug(v, isLoadStep = step.inputs.isEmpty)
+                ctx(k) = debug.materializeDir match {
+                  case Some(dir) =>
+                    val path = s"$dir/${step.name}__$k"
+                    framed.write.mode("overwrite").parquet(path)
+                    spark.read.parquet(path)
+                  case None => framed
+                }
               }
               ledger += LedgerEntry(step.name, Completed, (System.nanoTime() - t0) / 1000000)
             } catch {

@@ -63,6 +63,22 @@ object StreamOps {
         col("r.event_id").as("effect_id"), col("r.ts").as("effect_ts"))
   }
 
+  /** Native session-window aggregation (`session_window`): the
+    * declarative alternative to [[sessionizeStream]]'s explicit state —
+    * Spark merges event windows `[t, t+gap)` that overlap, so a new event
+    * joins a session iff it lands STRICTLY before the previous end.
+    * Identical on streams (watermarked state eviction) and batch. */
+  def sessionWindowCounts(events: DataFrame, gap: String, watermark: String): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   case class RunningTotal(user_id: Long, n_events: Int, total_value: Double)
 
   /** Running per-user totals on the Spark 4 `transformWithState` API —

@@ -56,6 +56,18 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map("G1" -> 2L)) // the whole downstream DAG ran on the slice
   }
 
+  test("materializeDir leaves every intermediate on disk; downstream reads the copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val r = new Pipeline.Runner(spark, steps,
+      Pipeline.Debug(materializeDir = Some(dir))).run()
+    assert(r.frames("total").as[Long].collect().head == 12L)
+    for (f <- Seq("load__raw", "double__doubled", "sum__total"))
+      assert(new java.io.File(s"$dir/$f").isDirectory, f)
+    // the context frame is the parquet read-back, inspectable after a crash
+    assert(spark.read.parquet(s"$dir/double__doubled").as[Int].collect().sorted
+      sameElements Array(2, 4, 6))
+  }
+
   test("skip set records Skipped and downstream failure is diagnosed (failFast=false)") {
     val r = new Pipeline.Runner(spark, steps).run(skip = Set("load"), failFast = false)
     assert(r.runLedger.find(_.step == "load").get.status == Pipeline.Skipped)
