@@ -823,6 +823,64 @@ object SparkEntry {
                               DATE '2099-01-01') AS eff_to
               FROM g""")),
 
+    Q("g_policy_waterfall", (s, d) => {
+      // the 4-tier policy->proposal waterfall (09-policies.sql:128-180):
+      // exact > plan-wildcard > product-wildcard > year-adjacent, with
+      // |year distance| + proposal id tiebreaks
+      val o = ord(s, d)
+      val pol = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).select(
+        col("o_orderkey").as("policy_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(200))).as("group_id"),
+        col("o_orderpriority").as("product_code"),
+        col("o_orderstatus").as("plan_code"),
+        to_date(col("o_orderdate")).as("eff_date"))
+      val km = o.filter(pmod(col("o_orderkey"), lit(7)) === 0).select(
+        concat(lit("PR"), col("o_orderkey")).as("proposal_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(200))).as("group_id"),
+        year(col("o_orderdate")).as("yr"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit("*"))
+          .otherwise(col("o_orderpriority")).as("product_code"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("*"))
+          .otherwise(col("o_orderstatus")).as("plan_code"))
+      graft.domain.Policies.resolveProposals(pol, km)
+        .select(col("policy_id"), col("resolved_proposal_id"), col("match_tier"))
+    },
+      Some("""WITH pol AS (
+                SELECT o_orderkey AS policy_id,
+                       'G' || (o_custkey % 200)::VARCHAR AS group_id,
+                       o_orderpriority AS product_code, o_orderstatus AS plan_code,
+                       year(o_orderdate::DATE) AS pol_yr
+                FROM orders WHERE o_orderkey % 7 <> 0),
+              km AS (
+                SELECT 'PR' || o_orderkey::VARCHAR AS proposal_id,
+                       'G' || (o_custkey % 200)::VARCHAR AS group_id,
+                       year(o_orderdate::DATE) AS yr,
+                       CASE WHEN o_orderkey % 3 = 0 THEN '*'
+                            ELSE o_orderpriority END AS product_code,
+                       CASE WHEN o_orderkey % 5 = 0 THEN '*'
+                            ELSE o_orderstatus END AS plan_code
+                FROM orders WHERE o_orderkey % 7 = 0),
+              cand AS (
+                SELECT p.policy_id, k.proposal_id,
+                       CASE WHEN k.yr = p.pol_yr AND k.product_code = p.product_code
+                                 AND k.plan_code = p.plan_code THEN 1
+                            WHEN k.yr = p.pol_yr AND k.product_code = p.product_code
+                                 AND k.plan_code = '*' THEN 2
+                            WHEN k.yr = p.pol_yr AND k.product_code = '*' THEN 3
+                            WHEN k.product_code = p.product_code
+                                 AND k.plan_code = p.plan_code THEN 4 END AS tier,
+                       abs(k.yr - p.pol_yr) AS yd
+                FROM pol p LEFT JOIN km k ON k.group_id = p.group_id),
+              r AS (SELECT *, row_number() OVER (PARTITION BY policy_id
+                      ORDER BY tier ASC NULLS LAST,
+                               CASE WHEN tier IS NOT NULL THEN yd END ASC NULLS LAST,
+                               proposal_id ASC NULLS LAST) AS rn
+                    FROM cand)
+              SELECT policy_id,
+                     CASE WHEN tier IS NOT NULL THEN proposal_id END AS resolved_proposal_id,
+                     tier AS match_tier
+              FROM r WHERE rn = 1""")),
+
     Q("g_products_transform", (s, d) =>
       // products core transform (03): certificate-shaped rows from part
       graft.domain.CoreTransforms.products(prt(s, d).select(
