@@ -904,6 +904,88 @@ object SparkEntry {
                      row_number() OVER (ORDER BY product_category, product_code) AS id
               FROM f GROUP BY 1, 2""")),
 
+    Q("g_pha_entities", (s, d) => {
+      // PHA path (proposal-builder.ts:1189-1279): fresh per-certificate
+      // hierarchies for routed (non-conformant) certs, natural-key ids
+      val certs = graft.DomainBench.synthCertificates(s, d)
+      val hh = graft.domain.Proposals.hierarchyHashes(certs)
+      val cfg = graft.domain.Proposals.routeGroups(
+        graft.domain.Proposals.flagNonConformant(
+          graft.domain.Proposals.configHashes(hh)),
+        maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0)
+      graft.domain.Pha.phaEntities(cfg, hh)
+    },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey,
+                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
+                FROM lineitem),
+              c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
+              rows0 AS (
+                SELECT l_orderkey AS cert_id,
+                       'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
+                       l_linenumber AS split_seq,
+                       (CASE WHEN rn < cnt THEN base_pct
+                             ELSE round(100.0 - base_pct * (cnt - 1), 2) END
+                        + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
+                         AS split_pct,
+                       '0001:P' || l_suppkey::VARCHAR || ':SCHED'
+                         || (l_suppkey % 50)::VARCHAR AS item,
+                       'P' || l_suppkey::VARCHAR AS broker_id,
+                       l_suppkey % 50 AS sched_k
+                FROM c0),
+              hh AS (
+                SELECT cert_id, group_id, split_seq, split_pct
+                FROM rows0 GROUP BY 1, 2, 3, 4),
+              cfg AS (
+                SELECT cert_id, abs(sum(split_pct) - 100.0) > 0.001 AS nonconformant
+                FROM hh GROUP BY 1),
+              pha AS (SELECT cert_id FROM cfg WHERE nonconformant)
+              SELECT r.cert_id, r.split_seq, r.split_pct,
+                     'PHA-' || r.cert_id::VARCHAR || '-' || r.split_seq::VARCHAR
+                       AS pha_hierarchy_id,
+                     'PHA-' || r.cert_id::VARCHAR || '-' || r.split_seq::VARCHAR || '-V1'
+                       AS version_id,
+                     1 AS tier_level, r.broker_id,
+                     'SCHED' || r.sched_k::VARCHAR AS schedule_code
+              FROM rows0 r JOIN pha USING (cert_id)""")),
+
+    Q("g_state_cascade", (s, d) => {
+      // state-rule cascade (proposal-builder.ts:1308-1459): versions x
+      // states -> rules; x products -> splits; x participants ->
+      // distributions at the equal 100/count DECIMAL(5,2) percentage
+      val o = ord(s, d)
+      val vid = concat(lit("V"), pmod(col("o_custkey"), lit(10))).as("version_id")
+      val v = o.select(vid).distinct()
+      val st = o.select(vid, col("o_orderpriority").as("state")).distinct()
+      val pr = o.select(vid, col("o_orderstatus").as("product_code")).distinct()
+      val pa = o.select(vid,
+        concat(lit("B"), pmod(col("o_orderkey"), lit(7))).as("broker_id")).distinct()
+      graft.domain.Pha.stateRuleCascade(v, st, pr, pa)
+    },
+      Some("""WITH base AS (
+                SELECT 'V' || (o_custkey % 10)::VARCHAR AS version_id,
+                       o_orderpriority AS state, o_orderstatus AS product_code,
+                       'B' || (o_orderkey % 7)::VARCHAR AS broker_id
+                FROM orders),
+              st AS (SELECT DISTINCT version_id, state FROM base),
+              pr AS (SELECT DISTINCT version_id, product_code FROM base),
+              pa AS (SELECT DISTINCT version_id, broker_id FROM base),
+              x AS (SELECT s.version_id, s.state,
+                           s.version_id || '-' || s.state AS rule_id,
+                           p.product_code,
+                           s.version_id || '-' || s.state || '-' || p.product_code
+                             AS split_id,
+                           b.broker_id
+                    FROM st s JOIN pr p USING (version_id)
+                              JOIN pa b USING (version_id))
+              SELECT version_id, state, rule_id, product_code, split_id, broker_id,
+                     count(*) OVER (PARTITION BY split_id) AS n_participants,
+                     round(100.0 / count(*) OVER (PARTITION BY split_id), 2)::DECIMAL(5,2)
+                       AS distribution_pct
+              FROM x""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
