@@ -828,15 +828,15 @@ object SparkEntry {
       // exact > plan-wildcard > product-wildcard > year-adjacent, with
       // |year distance| + proposal id tiebreaks
       val o = ord(s, d)
-      val pol = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).select(
+      val pol = o.filter(pmod(col("o_orderkey"), lit(7)) === 1).select(
         col("o_orderkey").as("policy_id"),
-        concat(lit("G"), pmod(col("o_custkey"), lit(200))).as("group_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(500))).as("group_id"),
         col("o_orderpriority").as("product_code"),
         col("o_orderstatus").as("plan_code"),
         to_date(col("o_orderdate")).as("eff_date"))
       val km = o.filter(pmod(col("o_orderkey"), lit(7)) === 0).select(
         concat(lit("PR"), col("o_orderkey")).as("proposal_id"),
-        concat(lit("G"), pmod(col("o_custkey"), lit(200))).as("group_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(500))).as("group_id"),
         year(col("o_orderdate")).as("yr"),
         when(pmod(col("o_orderkey"), lit(3)) === 0, lit("*"))
           .otherwise(col("o_orderpriority")).as("product_code"),
@@ -847,13 +847,13 @@ object SparkEntry {
     },
       Some("""WITH pol AS (
                 SELECT o_orderkey AS policy_id,
-                       'G' || (o_custkey % 200)::VARCHAR AS group_id,
+                       'G' || (o_custkey % 500)::VARCHAR AS group_id,
                        o_orderpriority AS product_code, o_orderstatus AS plan_code,
                        year(o_orderdate::DATE) AS pol_yr
-                FROM orders WHERE o_orderkey % 7 <> 0),
+                FROM orders WHERE o_orderkey % 7 = 1),
               km AS (
                 SELECT 'PR' || o_orderkey::VARCHAR AS proposal_id,
-                       'G' || (o_custkey % 200)::VARCHAR AS group_id,
+                       'G' || (o_custkey % 500)::VARCHAR AS group_id,
                        year(o_orderdate::DATE) AS yr,
                        CASE WHEN o_orderkey % 3 = 0 THEN '*'
                             ELSE o_orderpriority END AS product_code,
