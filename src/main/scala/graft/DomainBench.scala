@@ -81,10 +81,11 @@ object DomainBench {
     // multi-version flow: splits reference the business slot (group x seq)
     // and the calc's as-of join resolves the slot's version island active
     // at the transaction date (07-deprecated-hierarchies.sql semantics)
-    val splits = mat(Proposals.splitConfigsVersioned(props, cfg, hh))
-    val (versions0, participants0) = Proposals.hierarchyEntitiesVersioned(certs)
-    val versions = mat(versions0)
-    val participants = mat(participants0)
+    // splits and participants feed exactly ONE consumer each, so they
+    // stay lazy; the islands computation inside hierarchyEntitiesVersioned
+    // is materialized via the passed-in mat (it feeds both outputs)
+    val splits = Proposals.splitConfigsVersioned(props, cfg, hh)
+    val (versions, participants) = Proposals.hierarchyEntitiesVersioned(certs, mat)
     val premiums = Tables.orders(spark, sfDir).select(
       col("o_orderkey").as("premium_id"), col("o_orderkey").as("cert_id"),
       concat(lit("G"), pmod(col("o_orderkey"), lit(3079))).as("group_id"),

@@ -193,21 +193,27 @@ object Proposals {
     * closes the open version and opens a new island, so
     * `Calc.resolveHierarchyVersion`'s as-of join picks among real
     * candidates (`07-deprecated-hierarchies.sql:266`). Participants are
-    * decoded from each version's ordered structure signature. */
-  def hierarchyEntitiesVersioned(certificates: DataFrame): (DataFrame, DataFrame) = {
+    * decoded from each version's ordered structure signature.
+    *
+    * `mat` materializes the version-islands frame, which feeds BOTH
+    * outputs — without it, a caller consuming versions and participants
+    * in one action computes the islands twice. */
+  def hierarchyEntitiesVersioned(
+      certificates: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val obs = HierarchyVersioning.structureSignature(
       certificates.withColumn("__bkey",
         concat_ws("#", col("group_id"), col("split_seq"))),
       col("__bkey"), col("eff_date"))
     val v = HierarchyVersioning.versionsFromObservations(
       obs, col("key"), col("observed_at"), col("signature"))
-    val versions = v.select(
+    val versions = mat(v.select(
       hierKey(upper(sha2(col("key"), 256))).as("hierarchy_id"),
       hierKey(upper(sha2(concat_ws("#", col("key"), col("version_seq")), 256)))
         .as("version_id"),
       col("signature"),
       col("eff_from").cast("date").as("eff_from"),
-      col("eff_to").cast("date").as("eff_to"))
+      col("eff_to").cast("date").as("eff_to")))
     val participants = versions
       .select(col("version_id"), explode(split(col("signature"), "\\|")).as("__item"))
       .select(col("version_id"),
