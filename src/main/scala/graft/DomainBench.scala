@@ -20,8 +20,12 @@ import graft.domain._
   */
 object DomainBench {
 
-  def synthCertificates(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+  def synthCertificates(spark: SparkSession, sfDir: String): DataFrame =
+    synthCertificatesFrom(Tables.lineitem(spark, sfDir))
+
+  /** Synth from an arbitrary lineitem-shaped frame (callers may pre-slice
+    * by whole order keys — the per-order windows stay consistent). */
+  def synthCertificatesFrom(li: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey"))
     // split percents: equal shares with the remainder on the last split so
     // every certificate sums to exactly 100.00 (conformant by construction

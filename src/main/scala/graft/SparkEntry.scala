@@ -906,8 +906,11 @@ object SparkEntry {
 
     Q("g_pha_entities", (s, d) => {
       // PHA path (proposal-builder.ts:1189-1279): fresh per-certificate
-      // hierarchies for routed (non-conformant) certs, natural-key ids
-      val certs = graft.DomainBench.synthCertificates(s, d)
+      // hierarchies for routed (non-conformant) certs, natural-key ids.
+      // 1-in-10 whole-order slice: this exercises the operator, not the
+      // synth throughput (the e2e query already pays the full windows)
+      val certs = graft.DomainBench.synthCertificatesFrom(
+        li(s, d).filter(pmod(col("l_orderkey"), lit(10)) === 0))
       val hh = graft.domain.Proposals.hierarchyHashes(certs)
       val cfg = graft.domain.Proposals.routeGroups(
         graft.domain.Proposals.flagNonConformant(
@@ -920,7 +923,7 @@ object SparkEntry {
                        count(*) OVER (PARTITION BY l_orderkey) AS cnt,
                        row_number() OVER (PARTITION BY l_orderkey
                          ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
-                FROM lineitem),
+                FROM lineitem WHERE l_orderkey % 10 = 0),
               c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
               rows0 AS (
                 SELECT l_orderkey AS cert_id,
