@@ -785,6 +785,60 @@ object SparkEntry {
                      count(*)::INT AS n_merged
               FROM i GROUP BY group_id, island, config_md5""")),
 
+    Q("g_consolidate_conflicts", (s, d) => {
+      // rule 3 (plan conflict) exercised for real: two-element CONCRETE
+      // plan sets {status, priority}. Within a same-config run, a row
+      // whose status differs partially overlaps the accumulated set
+      // (inter = {priority} != union) -> conflict -> close. Islands
+      // therefore break on (config, status) change, which the oracle
+      // replicates relationally.
+      val props = ord(s, d).select(
+        concat(lit("G"), col("o_custkey")).as("group_id"),
+        concat(lit("P"), col("o_orderkey")).as("proposal_id"),
+        md5(col("o_orderpriority")).as("config_md5"),
+        to_date(col("o_orderdate")).cast("string").as("eff_from"),
+        when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(date_add(to_date(col("o_orderdate")), 30).cast("string")).as("eff_to"),
+        array(col("o_orderstatus")).as("product_codes"),
+        array(col("o_orderstatus"), col("o_orderpriority")).as("plan_codes"))
+      graft.domain.Consolidate.consolidate(props)
+        .select(col("group_id"), col("consolidated_id"), col("config_md5"),
+          col("eff_from"), col("eff_to"),
+          array_join(col("product_codes"), ",").as("products"),
+          array_join(col("plan_codes"), ",").as("plans"),
+          col("n_merged"))
+    },
+      Some("""WITH props AS (
+                SELECT 'G' || o_custkey::VARCHAR AS group_id,
+                       'P' || o_orderkey::VARCHAR AS proposal_id,
+                       md5(o_orderpriority) AS config_md5,
+                       o_orderdate::DATE::VARCHAR AS eff_from,
+                       CASE WHEN o_orderstatus = 'O' THEN NULL
+                            ELSE (o_orderdate::DATE + 30)::VARCHAR END AS eff_to,
+                       o_orderstatus AS st, o_orderpriority AS pri
+                FROM orders),
+              s AS (
+                SELECT *, CASE WHEN lag(config_md5) OVER w IS DISTINCT FROM config_md5
+                                 OR lag(st) OVER w IS DISTINCT FROM st
+                               THEN 1 ELSE 0 END AS brk
+                FROM props
+                WINDOW w AS (PARTITION BY group_id
+                             ORDER BY eff_from, config_md5, proposal_id)),
+              i AS (
+                SELECT *, sum(brk) OVER (PARTITION BY group_id
+                            ORDER BY eff_from, config_md5, proposal_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+                FROM s)
+              SELECT group_id,
+                     group_id || '-C' || island::VARCHAR AS consolidated_id,
+                     config_md5, min(eff_from) AS eff_from,
+                     CASE WHEN count(*) FILTER (WHERE eff_to IS NULL) > 0 THEN NULL
+                          ELSE max(eff_to) END AS eff_to,
+                     st AS products,
+                     array_to_string(list_sort([st, pri]), ',') AS plans,
+                     count(*)::INT AS n_merged
+              FROM i GROUP BY group_id, island, config_md5, st, pri""")),
+
     Q("g_hierarchy_versions", (s, d) => {
       // temporal hierarchy versioning (07-deprecated-hierarchies.sql):
       // signature-change islands per key with lead-closed ranges and the
