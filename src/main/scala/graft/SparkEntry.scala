@@ -958,6 +958,46 @@ object SparkEntry {
                      row_number() OVER (ORDER BY product_category, product_code) AS id
               FROM f GROUP BY 1, 2""")),
 
+    Q("g_transferee_capture", (s, d) => {
+      // assignment capture + transferee fix (proposal-builder.ts:642-662,
+      // README.md:311-335): latest split->paid reassignment per broker;
+      // assignments onto an active earner are dropped (double-pay guard).
+      // 1-in-22 rows pay an earner ('P...'), 1-in-11 an external ('R...')
+      val certs = li(s, d).select(
+        col("l_orderkey").as("cert_id"),
+        col("l_linenumber").as("split_seq"),
+        concat(lit("P"), col("l_suppkey")).as("broker_id"),
+        when(pmod(col("l_partkey"), lit(22)) === 0,
+          concat(lit("P"), pmod(col("l_suppkey"), lit(100)) + 1))
+          .when(pmod(col("l_partkey"), lit(11)) === 0,
+            concat(lit("R"), pmod(col("l_partkey"), lit(97))))
+          .otherwise(concat(lit("P"), col("l_suppkey"))).as("paid_broker_id"),
+        to_date(col("l_shipdate")).as("eff_date"))
+      graft.domain.TransfereeFix.assignments(certs)
+        .select(col("broker_id"), col("recipient_id"),
+          col("assigned_pct"), col("eff_from"))
+    },
+      Some("""WITH c AS (
+                SELECT l_orderkey AS cert_id, l_linenumber AS split_seq,
+                       'P' || l_suppkey::VARCHAR AS broker_id,
+                       CASE WHEN l_partkey % 22 = 0
+                              THEN 'P' || (l_suppkey % 100 + 1)::VARCHAR
+                            WHEN l_partkey % 11 = 0
+                              THEN 'R' || (l_partkey % 97)::VARCHAR
+                            ELSE 'P' || l_suppkey::VARCHAR END AS paid_broker_id,
+                       l_shipdate::DATE AS eff_date
+                FROM lineitem),
+              cap AS (
+                SELECT *, row_number() OVER (PARTITION BY broker_id
+                            ORDER BY eff_date DESC, cert_id DESC, split_seq DESC) AS rn
+                FROM c WHERE paid_broker_id IS NOT NULL
+                  AND broker_id <> paid_broker_id),
+              a AS (SELECT broker_id, paid_broker_id AS recipient_id,
+                           100.0::DOUBLE AS assigned_pct, eff_date AS eff_from
+                    FROM cap WHERE rn = 1)
+              SELECT * FROM a
+              WHERE recipient_id NOT IN (SELECT DISTINCT broker_id FROM c)""")),
+
     Q("g_pha_entities", (s, d) => {
       // PHA path (proposal-builder.ts:1189-1279): fresh per-certificate
       // hierarchies for routed (non-conformant) certs, natural-key ids.
