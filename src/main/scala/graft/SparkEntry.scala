@@ -1509,6 +1509,21 @@ object SparkEntry {
                 AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
               WHERE l.event_type = 'error' AND r.event_type = 'purchase'""")),
 
+    Q("st_sliding", (s, d) =>
+      // sliding windows: 1-hour windows every 30 minutes — each event
+      // lands in exactly two windows (both epoch-aligned, like DuckDB's
+      // time_bucket)
+      ev(s, d).groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n")),
+      Some("""WITH w AS (SELECT event_type,
+                unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                        time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                  AS window_start
+              FROM events)
+              SELECT window_start, event_type, count(*) AS n
+              FROM w GROUP BY 1, 2""")),
+
     Q("st_session_window", (s, d) =>
       // the BUILT-IN session_window operator (merge-on-overlap semantics:
       // an event extends a session iff it lands strictly before prev+gap)
