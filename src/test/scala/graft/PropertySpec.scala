@@ -59,6 +59,66 @@ class PropertySpec extends SparkSpec {
       List("A"), if (plans.isEmpty) List("x") else plans))
   } yield rows.distinctBy(_.proposal_id)
 
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 8)
+    rows <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(len, Gen.oneOf("abcd efg".toSeq))
+    } yield cs.mkString)
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("winnowing: fingerprints are a subset of the doc's k-gram hashes (5 seeds)") {
+    import graft.functions.TextFunctions
+    (20L to 24L).foreach { seed =>
+      val rows = sample(docGen, seed)
+      val df = rows.toDF("doc_id", "text")
+      val fps = TextFunctions.winnowFingerprints(df, col("doc_id"), col("text"), 3, 2)
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val grams = df.select(col("doc_id"),
+          explode(TextFunctions.charShingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"), graft.operators.Dedup.md5Int(col("g")).as("h"))
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      fps.foreach { case (d, f) =>
+        assert(rows.find(_._1 == d).get._2.length >= 4, s"seed=$seed short doc emitted")
+        assert(f.subsetOf(grams.getOrElse(d, Set.empty)), s"seed=$seed doc=$d not a subset")
+      }
+    }
+  }
+
+  test("expandScheduleRates: no wildcards remain; expanded lookup equals wildcard lookup (3 seeds)") {
+    import graft.domain.Calc
+    val ratesGen: Gen[List[(String, String, String, Option[Int], Option[Int], Double)]] = for {
+      n <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, for {
+        sch <- Gen.oneOf("S1", "S2")
+        p <- Gen.oneOf("*", "PA", "PB")
+        st <- Gen.oneOf("*", "TX", "CA")
+        r <- Gen.choose(1, 99)
+      } yield (sch, p, st, None: Option[Int], None: Option[Int], r.toDouble))
+    } yield rows
+    (30L to 32L).foreach { seed =>
+      val rates = sample(ratesGen, seed)
+        .toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate")
+      val facts = Seq(
+        (1L, 1, "V", 1, "B1", "S1", "PA", "TX", 10),
+        (2L, 1, "V", 1, "B2", "S1", "PB", "CA", 10),
+        (3L, 1, "V", 1, "B3", "S2", "PA", "CA", 10),
+        (4L, 1, "V", 1, "B4", "S2", "PB", "TX", 10))
+        .toDF("premium_id", "split_seq", "version_id", "tier_level", "broker_id",
+          "schedule_code", "product_code", "state", "group_size")
+        .withColumn("real_rate", lit(null).cast("double"))
+        .withColumn("participant_rate", lit(null).cast("double"))
+      val expanded = Calc.expandScheduleRates(rates, facts)
+      assert(expanded.filter(col("product_code") === "*" || col("state") === "*").count() == 0,
+        s"seed=$seed wildcards remain")
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("premium_id"), col("resolved_rate").cast("double"), col("rate_source"))
+          .as[(Long, Option[Double], String)].collect().toSet
+      assert(shape(Calc.lookupRate(facts, rates)) ==
+        shape(Calc.lookupRateExpanded(facts, expanded)), s"seed=$seed mismatch")
+    }
+  }
+
   test("consolidate: member conservation, per-group partition, date-span containment (5 seeds)") {
     (10L to 14L).foreach { seed =>
       val rows = sample(propsGen, seed)
