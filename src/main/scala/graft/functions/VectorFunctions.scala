@@ -39,16 +39,21 @@ object VectorFunctions {
   /** Signed projection onto a constant hyperplane (for LSH bucketing).
     * The dot product is rounded to 9 decimals before taking the sign so a
     * vector numerically ON the plane (|dot| below accumulation error)
-    * cannot land in different buckets across engines or fold orders. */
-  def projectSign(v: Column, plane: Seq[Double]): Column = {
+    * cannot land in different buckets across engines or fold orders.
+    * `native` uses the codegen'd dot_product expression (bit-identical —
+    * same accumulation order — but one fused loop instead of an
+    * interpreted per-element lambda). */
+  def projectSign(v: Column, plane: Seq[Double], native: Boolean = false): Column = {
     val planeCol = array(plane.map(lit): _*)
-    when(round(dot(v, planeCol), 9) >= 0, lit(1)).otherwise(lit(0))
+    val d = if (native) call_function("dot_product", v, planeCol) else dot(v, planeCol)
+    when(round(d, 9) >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** LSH bucket id from `nPlanes` deterministic pseudo-random hyperplanes.
     * Planes are derived from md5 of (seed, plane, dim) — stable across
     * runs/executors with no RNG state. */
-  def lshBucket(v: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+  def lshBucket(v: Column, dim: Int, nPlanes: Int, seed: Int = 42,
+      native: Boolean = false): Column = {
     val planes = (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         // stable hash -> [-1, 1)
@@ -59,7 +64,7 @@ object VectorFunctions {
       }
     }
     planes.zipWithIndex.map { case (plane, i) =>
-      projectSign(v, plane) * lit(1 << i)
+      projectSign(v, plane, native) * lit(1 << i)
     }.reduce(_ + _)
   }
 }

@@ -96,12 +96,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val nativeDot = corpus.sparkSession.catalog.functionExists("dot_product")
     val q = queries.select(col(qId).as("query_id"),
         VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
-      .withColumn("bucket", VectorFunctions.lshBucket(col("qv"), dim, nPlanes))
+      .withColumn("bucket",
+        VectorFunctions.lshBucket(col("qv"), dim, nPlanes, native = nativeDot))
     val c = corpus.select(col(cId).as("neighbor_id"),
         VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
-      .withColumn("bucket", VectorFunctions.lshBucket(col("cv"), dim, nPlanes))
+      .withColumn("bucket",
+        VectorFunctions.lshBucket(col("cv"), dim, nPlanes, native = nativeDot))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosineCol(corpus)(col("qv"), col("cv")), 6))

@@ -15,6 +15,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // composable HOF cosine -> native codegen'd expression (bit-exact)
     ext.injectOptimizerRule(_ => RewriteHofCosine)
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_product expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val target = ArrayType(DoubleType)
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          e.dataType match {
+            case ArrayType(DoubleType, _) => e
+            case _ => Cast(e, target)
+          }
+        DotProduct(coerce(children.head), coerce(children(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -33,6 +33,22 @@ class RewriteHofCosineSpec extends SparkSpec {
     assert(hof(2L) == 0.0) // zero-norm guard preserved
   }
 
+  test("native dot_product is bit-identical to the HOF dot; LSH buckets agree") {
+    import graft.functions.VectorFunctions
+    val planeVec = vecs.select(col("id"), col("a"))
+    val hofBuckets = planeVec
+      .select(col("id"), VectorFunctions.lshBucket(col("a"), 3, 4).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val nativeBuckets = planeVec
+      .select(col("id"), VectorFunctions.lshBucket(col("a"), 3, 4, native = true).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(hofBuckets == nativeBuckets)
+    val hofDot = vecs.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].collect()
+    val nativeDot = vecs.select(call_function("dot_product", col("a"), col("b")))
+      .as[Double].collect()
+    assert(hofDot.toSeq == nativeDot.toSeq) // exact, not tolerance
+  }
+
   test("non-cosine aggregates are untouched") {
     val df = vecs.select(
       aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x).as("ssq"))
