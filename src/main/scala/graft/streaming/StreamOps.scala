@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface.
   *
@@ -102,6 +102,67 @@ object StreamOps {
 
   /** transformWithState requires the RocksDB state store provider. */
   val RocksDbProvider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  case class SessionSnapshot(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Session close via EVENT-TIME TIMERS on the transformWithState API:
+    * in-batch gaps close sessions immediately; the trailing open session
+    * closes when the watermark passes last_event + gap (handleExpiredTimer)
+    * — so idle users emit their final session without waiting for more of
+    * their own events, which mapGroupsWithState could only approximate
+    * with processing-time timeouts. */
+  class SessionCloseProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, SessionSnapshot] {
+    @transient private var st: ValueState[(Long, Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSnapshot] = {
+      var (start, last, n) =
+        if (st.exists()) st.get() else (Long.MaxValue, Long.MinValue, 0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionSnapshot]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (n > 0 && t - last > gapMs) {
+          out += SessionSnapshot(key, new java.sql.Timestamp(start),
+            new java.sql.Timestamp(last), n)
+          start = t; last = t; n = 1
+        } else {
+          start = math.min(start, t); last = math.max(last, t); n += 1
+        }
+      }
+      st.update((start, last, n))
+      // re-arm the close timer at last+gap (event time = watermark clock)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSnapshot] =
+      if (st.exists()) {
+        val (start, last, n) = st.get()
+        st.clear()
+        Iterator(SessionSnapshot(key, new java.sql.Timestamp(start),
+          new java.sql.Timestamp(last), n))
+      } else Iterator.empty
+  }
+
+  /** Sessionize with event-time close timers; input must carry a
+    * watermark on `ts` (the timer clock). */
+  def sessionizeWithTimers(events: Dataset[Event], gapSeconds: Long): Dataset[SessionSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapSeconds * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
     import events.sparkSession.implicits._

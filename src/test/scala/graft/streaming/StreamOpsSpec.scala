@@ -72,6 +72,43 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions when the watermark passes") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamOps.RocksDbProvider)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val sessions = StreamOps.sessionizeWithTimers(
+        input.toDF().withWatermark("ts", "0 seconds").as[StreamOps.Event], 1800)
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("tw_sessions").start()
+      // batch 1: two close events for user 1
+      input.addData(
+        StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        StreamOps.Event(2, ts("2024-01-01 00:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a far-future event advances the watermark past 00:05+gap,
+      // firing user 1's close timer; user 2 opens a session
+      input.addData(StreamOps.Event(3, ts("2024-01-01 10:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark further so timers from batch 2 can fire
+      input.addData(StreamOps.Event(4, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tw_sessions")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Int)].collect().toSet
+      assert(got.contains((1L, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2)), got)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source streaming: readStream over parquet matches batch aggregation") {
     // write a small parquet dir, stream it with an explicit schema, and
     // check the windowed agg equals the batch run over the same files
