@@ -61,6 +61,57 @@ object SparkEntry {
 
     // ===== S: scans / casts / gates / sinks (SURVEY §2.1) =====
 
+    Q("s1_csv_ingest", (s, d) => {
+      // REAL CSV ingest path (S1+S4+P3): the query writes a deterministic
+      // CertificateInfo-shaped CSV (with empty-field and inactive-row
+      // dirt), then runs the all-string scan -> typed try_cast pass ->
+      // active-only filter. The oracle reads the SAME file via read_csv,
+      // so CSV parsing, null-empty semantics and try_cast all hash-check.
+      val dir = "/tmp/graft_s1_csv"
+      cst(s, d).select(
+        col("c_custkey").cast("string").as("CertificateId"),
+        concat(lit("G"), col("c_nationkey")).as("GroupId"),
+        col("c_mktsegment").as("Product"),
+        when(pmod(col("c_custkey"), lit(10)) === 0, lit(""))
+          .otherwise(lit("PL1")).as("PlanCode"),
+        concat(lit("2020-0"), pmod(col("c_custkey"), lit(9)) + 1, lit("-15"))
+          .as("CertEffectiveDate"),
+        lit("TX").as("CertIssuedState"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit("T"))
+          .otherwise(lit("A")).as("CertStatus"),
+        lit("A").as("RecStatus"),
+        col("c_acctbal").cast("string").as("CertPremium"),
+        lit("1").as("CertSplitSeq"),
+        lit("100.00").as("CertSplitPercent"),
+        lit("1").as("SplitBrokerSeq"),
+        concat(lit("P"), pmod(col("c_custkey"), lit(50))).as("SplitBrokerId"),
+        concat(lit("P"), pmod(col("c_custkey"), lit(50))).as("PaidBrokerId"),
+        lit("SCHED1").as("CommissionsSchedule"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      graft.domain.Ingest.activeOnly(graft.domain.Ingest.typedPass(
+        graft.domain.Ingest.readRawCsv(s, dir), graft.domain.Ingest.certificateSpec))
+    },
+      Some("""WITH raw AS (SELECT * FROM read_csv('/tmp/graft_s1_csv/*.csv',
+                             header = true, all_varchar = true)),
+              t AS (SELECT
+                TRY_CAST(NULLIF(trim(CertificateId), '') AS BIGINT) AS cert_id,
+                NULLIF(trim(GroupId), '') AS group_id,
+                NULLIF(trim(Product), '') AS product_code,
+                NULLIF(trim(PlanCode), '') AS plan_code,
+                TRY_CAST(NULLIF(trim(CertEffectiveDate), '') AS DATE) AS eff_date,
+                NULLIF(trim(CertIssuedState), '') AS state,
+                NULLIF(trim(CertStatus), '') AS cert_status,
+                NULLIF(trim(RecStatus), '') AS rec_status,
+                TRY_CAST(NULLIF(trim(CertPremium), '') AS DECIMAL(18,2)) AS premium,
+                TRY_CAST(NULLIF(trim(CertSplitSeq), '') AS INT) AS split_seq,
+                TRY_CAST(NULLIF(trim(CertSplitPercent), '') AS DECIMAL(5,2)) AS split_pct,
+                TRY_CAST(NULLIF(trim(SplitBrokerSeq), '') AS INT) AS tier_level,
+                NULLIF(trim(SplitBrokerId), '') AS broker_id,
+                NULLIF(trim(PaidBrokerId), '') AS paid_broker_id,
+                NULLIF(trim(CommissionsSchedule), '') AS schedule_code
+              FROM raw)
+              SELECT * FROM t WHERE rec_status = 'A' AND cert_status = 'A'""")),
+
     Q("s4_typed_cast", (s, d) =>
       li(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
