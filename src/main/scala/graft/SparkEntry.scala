@@ -1383,6 +1383,16 @@ object SparkEntry {
               FROM q, c WHERE q.vec_id <> c.vec_id
               QUALIFY rank <= 5""")),
 
+    Q("v_norm", (s, d) =>
+      // native l2_norm expression (fused loop); sequential accumulation
+      // matches DuckDB's list comprehension fold
+      emb(s, d).select(col("vec_id"),
+        round(call_function("l2_norm",
+          VectorFunctions.toDoubleArray(col("embedding"))), 6).as("norm")),
+      Some("""SELECT vec_id,
+              round(sqrt(list_sum([x * x for x in embedding::DOUBLE[]])), 6) AS norm
+              FROM embeddings""")),
+
     Q("v_ann_lsh", (s, d) => {
       val e = emb(s, d)
       Similarity.lshCosineTopK(

@@ -15,6 +15,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // composable HOF cosine -> native codegen'd expression (bit-exact)
     ext.injectOptimizerRule(_ => RewriteHofCosine)
     ext.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "l2_norm expects 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val c = children.head
+        L2Norm(c.dataType match {
+          case ArrayType(DoubleType, _) => c
+          case _ => Cast(c, ArrayType(DoubleType))
+        })
+      }))
+    ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
