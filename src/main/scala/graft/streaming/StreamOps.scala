@@ -49,15 +49,20 @@ object StreamOps {
     * BOTH sides bound the join state, so it runs forever at corpus-scale
     * event volumes; on batch frames it degrades to the same range join
     * (the batch twin the oracle checks). */
+  /** `joinType` "inner" or "leftOuter": the outer form emits unmatched
+    * left events with null effect columns once BOTH watermarks pass the
+    * join horizon (Spark evicts the buffered state then — bounded, and
+    * the null-extension is exactly-once). */
   def intervalJoinStreams(
       left: DataFrame, right: DataFrame,
-      horizonSec: Long, watermark: String): DataFrame = {
+      horizonSec: Long, watermark: String, joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right).alias("r")
     l.join(r,
       col("l.user_id") === col("r.user_id") &&
         col("r.ts") > col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+      joinType)
       .select(col("l.user_id").as("user_id"),
         col("l.event_id").as("cause_id"), col("l.ts").as("cause_ts"),
         col("r.event_id").as("effect_id"), col("r.ts").as("effect_ts"))

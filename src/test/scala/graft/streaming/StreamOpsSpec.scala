@@ -46,6 +46,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, 10L)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark eviction") {
+    implicit val sc = spark.sqlContext
+    val li = MemoryStream[StreamOps.Event]
+    val ri = MemoryStream[StreamOps.Event]
+    val q = StreamOps.intervalJoinStreams(li.toDF(), ri.toDF(), 3600, "0 seconds",
+        joinType = "leftOuter")
+      .writeStream.outputMode("append").format("memory").queryName("loj_out").start()
+    // user 1's error never gets a purchase; user 2's does
+    li.addData(StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "error", 0.0),
+      StreamOps.Event(2, ts("2024-01-01 00:00:00"), 2, "error", 0.0))
+    ri.addData(StreamOps.Event(10, ts("2024-01-01 00:30:00"), 2, "purchase", 5.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks well past 00:00 + 1h so the unmatched left
+    // row's state is evicted and the null-extended row emits
+    li.addData(StreamOps.Event(3, ts("2024-01-01 06:00:00"), 9, "error", 0.0))
+    ri.addData(StreamOps.Event(11, ts("2024-01-01 06:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    li.addData(StreamOps.Event(4, ts("2024-01-01 07:00:00"), 9, "error", 0.0))
+    ri.addData(StreamOps.Event(12, ts("2024-01-01 07:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("loj_out")
+      .select(col("cause_id"), col("effect_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    assert(got.contains((2L, Some(10L))), got)  // matched pair
+    assert(got.contains((1L, None)), got)       // unmatched, null-extended
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
