@@ -62,36 +62,24 @@ object SparkEntry {
     // ===== S: scans / casts / gates / sinks (SURVEY §2.1) =====
 
     Q("s1_csv_ingest", (s, d) => {
-      // REAL CSV ingest path (S1+S4+P3): the query writes a deterministic
-      // CertificateInfo-shaped CSV (with empty-field and inactive-row
-      // dirt), then runs the all-string scan -> typed try_cast pass ->
-      // active-only filter. The oracle reads the SAME file via read_csv,
-      // so CSV parsing, null-empty semantics and try_cast all hash-check.
-      val dir = "/tmp/graft_s1_csv"
-      cst(s, d).select(
-        col("c_custkey").cast("string").as("CertificateId"),
-        concat(lit("G"), col("c_nationkey")).as("GroupId"),
-        col("c_mktsegment").as("Product"),
-        when(pmod(col("c_custkey"), lit(10)) === 0, lit(""))
-          .otherwise(lit("PL1")).as("PlanCode"),
-        concat(lit("2020-0"), pmod(col("c_custkey"), lit(9)) + 1, lit("-15"))
-          .as("CertEffectiveDate"),
-        lit("TX").as("CertIssuedState"),
-        when(pmod(col("c_custkey"), lit(7)) === 0, lit("T"))
-          .otherwise(lit("A")).as("CertStatus"),
-        lit("A").as("RecStatus"),
-        col("c_acctbal").cast("string").as("CertPremium"),
-        lit("1").as("CertSplitSeq"),
-        lit("100.00").as("CertSplitPercent"),
-        lit("1").as("SplitBrokerSeq"),
-        concat(lit("P"), pmod(col("c_custkey"), lit(50))).as("SplitBrokerId"),
-        concat(lit("P"), pmod(col("c_custkey"), lit(50))).as("PaidBrokerId"),
-        lit("SCHED1").as("CommissionsSchedule"))
-        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      // REAL CSV ingest path (S1+S4+P3): a committed dirty CSV fixture
+      // (fixtures/s1_cert.csv — empty fields, padded whitespace, quoted
+      // commas, invalid dates/numbers, inactive rows) through the
+      // all-string scan -> typed try_cast pass -> active-only filter.
+      // The oracle reads the SAME committed file via read_csv, so CSV
+      // parsing, null-empty semantics and try_cast all hash-check. The
+      // fixture is static (not written at verify time) so no other
+      // bench/verify run at a different SF can clobber it, and an oracle
+      // running in a separate container still sees identical bytes.
+      // premium is surfaced as double: decimal(18,2) stays exercised
+      // inside the typed pass, while the dumped column uses the same
+      // widely-green type as every other money output.
       graft.domain.Ingest.activeOnly(graft.domain.Ingest.typedPass(
-        graft.domain.Ingest.readRawCsv(s, dir), graft.domain.Ingest.certificateSpec))
+        graft.domain.Ingest.readRawCsv(s, "/root/repo/fixtures/s1_cert.csv"),
+        graft.domain.Ingest.certificateSpec))
+        .withColumn("premium", col("premium").cast("double"))
     },
-      Some("""WITH raw AS (SELECT * FROM read_csv('/tmp/graft_s1_csv/*.csv',
+      Some("""WITH raw AS (SELECT * FROM read_csv('/root/repo/fixtures/s1_cert.csv',
                              header = true, all_varchar = true)),
               t AS (SELECT
                 TRY_CAST(NULLIF(trim(CertificateId), '') AS BIGINT) AS cert_id,
@@ -102,7 +90,7 @@ object SparkEntry {
                 NULLIF(trim(CertIssuedState), '') AS state,
                 NULLIF(trim(CertStatus), '') AS cert_status,
                 NULLIF(trim(RecStatus), '') AS rec_status,
-                TRY_CAST(NULLIF(trim(CertPremium), '') AS DECIMAL(18,2)) AS premium,
+                CAST(TRY_CAST(NULLIF(trim(CertPremium), '') AS DECIMAL(18,2)) AS DOUBLE) AS premium,
                 TRY_CAST(NULLIF(trim(CertSplitSeq), '') AS INT) AS split_seq,
                 TRY_CAST(NULLIF(trim(CertSplitPercent), '') AS DECIMAL(5,2)) AS split_pct,
                 TRY_CAST(NULLIF(trim(SplitBrokerSeq), '') AS INT) AS tier_level,
