@@ -11,15 +11,22 @@ object Bench {
     SparkEntry.entry(spark).count()
     // SPARK_GRAFT_ONLY=q1,q2 to time a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // min over N runs per query (SPARK_GRAFT_REPEAT, default 2): this host
+    // is a VM with heavy CPU steal from co-tenants — a single sample can
+    // read 3-4x slow; the minimum is the reproducible cost of the plan
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2).max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // free persisted/localCheckpoint blocks a query left behind so the
-      // next query's timing isn't degraded by memory pressure
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val secs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val s = (System.nanoTime() - t0) / 1e9
+        // free persisted/localCheckpoint blocks a query left behind so the
+        // next query's timing isn't degraded by memory pressure
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        s
+      }.min
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -384,6 +384,19 @@ object SparkEntry {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1""")),
 
+    Q("j14_bloom_semi", (s, d) =>
+      // bloom-prefiltered semi join must be result-identical to the plain
+      // semi join (the exact join removes the bloom's false positives) —
+      // the oracle IS the plain semi join; the bloom's job is to cut the
+      // fact side's shuffle volume before the exact join
+      graft.operators.Joins.bloomSemiJoin(
+        ord(s, d), li(s, d).filter(col("l_quantity") >= 49),
+        "o_orderkey", "l_orderkey", expectedItems = 100000L)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("total_price")),
+      Some("""SELECT o_orderkey, o_totalprice::DOUBLE AS total_price FROM orders
+              WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                   WHERE l_quantity >= 49)""")),
+
     // ===== A: aggregations (SURVEY §2.4) =====
 
     Q("a6_rate_rep", (s, d) =>
@@ -1355,6 +1368,25 @@ object SparkEntry {
               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
 
+    Q("d_stratified_sample", (s, d) => {
+      // deterministic hash-stratified sampling for training-mix
+      // construction: the kept set is a pure function of doc_id, so the
+      // sample is reproducible across runs/engines (rate granularity
+      // 1/10000); per-language rates come from a config-sized frame
+      import s.implicits._
+      val rates = Seq(("en", 0.5), ("es", 0.25), ("fr", 0.1), ("de", 1.0))
+        .toDF("stratum", "rate")
+      graft.operators.Sampling.stratifiedSample(
+        doc(s, d), col("lang"), col("doc_id"), rates)
+        .select(col("doc_id"), col("lang"))
+    },
+      Some("""WITH r AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 0.25),
+                           ('fr', 0.1), ('de', 1.0)) AS t(stratum, rate))
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN r ON d.lang = r.stratum
+              WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                    < floor(rate * 10000)::BIGINT""")),
+
     // ===== V: vector similarity =====
 
     Q("v_cosine_topk", (s, d) => {
@@ -1380,6 +1412,42 @@ object SparkEntry {
       Some("""SELECT vec_id,
               round(sqrt(list_sum([x * x for x in embedding::DOUBLE[]])), 6) AS norm
               FROM embeddings""")),
+
+    Q("v_quantize_int8", (s, d) =>
+      // per-vector int8 scalar quantization (4x embedding-store
+      // compression): codes, reconstruction error, and the quantization
+      // params — min/scale are materialized as columns BEFORE the
+      // transform lambdas so they're computed once per vector
+      emb(s, d)
+        .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vscale", (array_max(col("v")) - array_min(col("v"))) / 255.0)
+        .withColumn("codes",
+          VectorFunctions.quantizeInt8(col("v"), col("vmin"), col("vscale")))
+        .withColumn("recon",
+          VectorFunctions.dequantizeInt8(col("codes"), col("vmin"), col("vscale")))
+        .select(col("vec_id"),
+          round(col("vmin"), 6).as("qmin"),
+          round(col("vscale"), 9).as("qscale"),
+          col("codes").getItem(0).as("c0"), col("codes").getItem(1).as("c1"),
+          col("codes").getItem(2).as("c2"), col("codes").getItem(3).as("c3"),
+          round(VectorFunctions.meanAbsError(col("v"), col("recon")), 6).as("mae")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              b AS (SELECT vec_id, v, list_min(v) AS vmin,
+                           (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+              q AS (SELECT vec_id, v, vmin, sc,
+                      CASE WHEN sc = 0 THEN [0 for x in v]
+                           ELSE [round((x - vmin) / sc)::INT for x in v] END AS codes
+                    FROM b),
+              r AS (SELECT vec_id, vmin, sc, v, codes,
+                      [vmin + codes[i] * sc
+                       for i in generate_series(1, len(codes))] AS recon
+                    FROM q)
+              SELECT vec_id, round(vmin, 6) AS qmin, round(sc, 9) AS qscale,
+                     codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+                     round(list_sum([abs(v[i] - recon[i])
+                                     for i in generate_series(1, len(v))]) / len(v), 6) AS mae
+              FROM r""")),
 
     Q("v_ann_lsh", (s, d) => {
       val e = emb(s, d)
@@ -1510,6 +1578,34 @@ object SparkEntry {
                   + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
                   0.0), 1.0), 6) AS quality
               FROM b""")),
+
+    Q("x_repetition", (s, d) =>
+      // Gopher-style repetition filters: top-2-gram occupancy and
+      // duplicated-3-gram fraction per document, via explode + one hash
+      // aggregate per gram size (map-side partials; no arrays in the agg)
+      TextFunctions.repetitionMetrics(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                            FROM documents),
+              g2 AS (SELECT doc_id,
+                       unnest([array_to_string(t[i:i+1], ' ')
+                               for i in generate_series(1, len(t) - 1)]) AS gram
+                     FROM toks WHERE len(t) >= 2),
+              c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+              t2 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_frac
+                     FROM c2 GROUP BY 1),
+              g3 AS (SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)]) AS gram
+                     FROM toks WHERE len(t) >= 3),
+              c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+              t3 AS (SELECT doc_id,
+                       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt) AS dup_frac
+                     FROM c3 GROUP BY 1)
+              SELECT d.doc_id,
+                     round(coalesce(t2.top_frac, 0), 6) AS top2gram_frac,
+                     round(coalesce(t3.dup_frac, 0), 6) AS dup3gram_frac
+              FROM documents d
+              LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""")),
 
     // ===== M: multimodal plumbing =====
 

@@ -92,6 +92,43 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of word
+    * n-gram occurrences captured by the single most frequent n-gram
+    * (`top{n}gram_frac`), and the fraction of occurrences whose gram
+    * appears more than once (`dup{m}gram_frac`) — the standard cheap
+    * repetition filters for training corpora (Rae et al. 2021, §A1.1).
+    *
+    * Relational on purpose: grams are EXPLODED to rows and counted in one
+    * hash aggregate with map-side partials (same shape as the MinHash
+    * signature build) — the array/HOF form re-evaluates the token array
+    * per element once the optimizer collapses projections. Scales: two
+    * shuffles keyed on (doc, gram) and doc.
+    *
+    * Documents with fewer than max(topN, dupN) tokens report zero
+    * fractions (no full gram exists). */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      topN: Int = 2, dupN: Int = 3): org.apache.spark.sql.DataFrame = {
+    def gramCounts(n: Int) = df
+      .select(id.as("doc_id"), split(trim(text), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"), col("__toks"))
+      .select(col("doc_id"),
+        array_join(slice(col("__toks"), col("__i"), lit(n)), " ").as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(topN).groupBy(col("doc_id"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as("__top_frac"))
+    val dup = gramCounts(dupN).groupBy(col("doc_id"))
+      .agg((sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("double")
+        / sum(col("cnt"))).as("__dup_frac"))
+    df.select(id.as("doc_id"))
+      .join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("__top_frac"), lit(0.0)), 6).as(s"top${topN}gram_frac"),
+        round(coalesce(col("__dup_frac"), lit(0.0)), 6).as(s"dup${dupN}gram_frac"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every char
     * k-gram, slide a window of `w` hashes, keep the minimum per window,
     * dedupe — a position-robust document signature for near-dup /

@@ -36,6 +36,28 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Per-vector int8 scalar quantization (the standard 4x embedding-store
+    * compression for ANN at corpus scale): codes = round((x - min) /
+    * scale) in [0, 255] with scale = (max - min) / 255. Callers pass the
+    * vector's min and scale as separate columns (compute them once in a
+    * projection — a lambda referencing `array_min(v)` would re-evaluate it
+    * per element, HOFs have no subexpression elimination). A constant
+    * vector (scale 0) quantizes to all-zero codes. */
+  def quantizeInt8(v: Column, vmin: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round((x - vmin) / scale).cast("int")))
+
+  /** Reconstruction of [[quantizeInt8]] codes: x' = min + code * scale.
+    * Same IEEE ops in the same order as any engine replicating it. */
+  def dequantizeInt8(codes: Column, vmin: Column, scale: Column): Column =
+    transform(codes, c => vmin + c.cast("double") * scale)
+
+  /** Mean absolute reconstruction error between a vector and its
+    * dequantized form — sequential fold, bit-deterministic. */
+  def meanAbsError(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v) /
+      size(a).cast("double")
+
   /** Signed projection onto a constant hyperplane (for LSH bucketing).
     * The dot product is rounded to 9 decimals before taking the sign so a
     * vector numerically ON the plane (|dot| below accumulation error)

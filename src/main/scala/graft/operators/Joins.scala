@@ -58,6 +58,30 @@ object Joins {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Bloom-prefiltered semi join: build a bloom filter over the key side's
+    * join column (a distributed aggregate; the filter itself is MBs even
+    * for hundreds of millions of keys), broadcast it, prefilter the fact
+    * side with `mightContain`, then run the exact left-semi join on the
+    * survivors. Result is bit-identical to the plain semi join (the exact
+    * join removes the bloom's false positives) — the prefilter exists to
+    * cut the fact side's shuffle volume when the semi join must shuffle
+    * (keys too big to broadcast, facts >> keys). This is the explicit form
+    * of what Spark's runtime bloom join filters
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) inject
+    * automatically on selective shuffle joins.
+    *
+    * Long-typed keys only (integral ids — the common case for fact/dim
+    * keys at scale); `expectedItems`/`fpp` size the filter. */
+  def bloomSemiJoin(
+      fact: DataFrame, keys: DataFrame, factKey: String, keysKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keysKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((x: java.lang.Long) => x != null && bc.value.mightContainLong(x))
+    fact.filter(might(col(factKey)))
+      .join(keys.select(col(keysKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+  }
+
   /** Wildcard composite-key lookup (J6,
     * `sql/transforms/09-policies.sql:128-180`): resolve facts against a
     * rules dim where some key columns may hold the `'*'` wildcard. Tries

@@ -63,4 +63,16 @@ class TextFunctionsSpec extends SparkSpec {
     val overlap = byDoc(1L).intersect(byDoc(2L)).size.toDouble / byDoc(1L).size
     assert(overlap > 0.6, s"overlap=$overlap")
   }
+
+  test("repetitionMetrics: hand-computed gram fractions") {
+    // "a b a b a": 2-grams = [a b, b a, a b, b a] -> top 2/4 = 0.5
+    //              3-grams = [a b a, b a b, a b a] -> dup 2/3
+    // "x y z": both 2-grams unique -> top = 1/2; no dup 3-gram -> 0
+    // "solo": too short for any gram -> 0, 0
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.repetitionMetrics(df, col("doc_id"), col("text"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0.5, 0.666667), (2L, 0.5, 0.0), (3L, 0.0, 0.0)))
+  }
 }

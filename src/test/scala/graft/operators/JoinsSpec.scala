@@ -73,4 +73,16 @@ class JoinsSpec extends SparkSpec {
     // fid=1: |8-10|=2 = |12-10|=2 -> tiebreak lowest cand=100
     assert(got == Set((1, 100), (2, 200)))
   }
+
+  test("bloomSemiJoin is result-identical to the plain semi join") {
+    val fact = ((1L to 200L).map(i => (java.lang.Long.valueOf(i), s"f$i")) :+
+      ((null: java.lang.Long), "fnull")) // null key must not match (and not NPE)
+      .toDF("k", "payload")
+    val keys = Seq(3L, 7L, 7L, 150L, 999L).toDF("kk") // dup + non-matching key
+    val got = Joins.bloomSemiJoin(fact, keys, "k", "kk", expectedItems = 100L)
+      .select(col("k")).as[Long].collect().sorted
+    val plain = fact.join(keys.select(col("kk").as("k")), Seq("k"), "left_semi")
+      .select(col("k")).as[Long].collect().sorted
+    assert(got.toSeq == plain.toSeq && got.toSeq == Seq(3L, 7L, 150L))
+  }
 }

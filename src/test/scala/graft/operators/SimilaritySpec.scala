@@ -69,4 +69,25 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceCosineTopK(q, e, "vec_id", "embedding", "vec_id", "embedding", 2000)
         .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet))
   }
+
+  test("int8 quantization: codes bounded, reconstruction within half a step") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Seq(-1.0, 0.0, 0.5, 1.0, 0.25)),
+      (2L, Seq(3.0, 3.0, 3.0, 3.0, 3.0)), // constant vector: scale 0
+    ).toDF("id", "v")
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("sc", (array_max(col("v")) - array_min(col("v"))) / 255.0)
+      .withColumn("codes", quantizeInt8(col("v"), col("vmin"), col("sc")))
+      .withColumn("recon", dequantizeInt8(col("codes"), col("vmin"), col("sc")))
+      .withColumn("mae", meanAbsError(col("v"), col("recon")))
+    val rows = df.select(col("id"), col("codes"), col("mae"), col("sc"))
+      .as[(Long, Seq[Int], Double, Double)].collect().sortBy(_._1)
+    val (_, codes1, mae1, sc1) = rows(0)
+    assert(codes1.forall(c => c >= 0 && c <= 255))
+    assert(codes1.head == 0 && codes1(3) == 255) // min -> 0, max -> 255
+    assert(mae1 <= sc1 / 2 + 1e-12)              // worst case: half a step
+    val (_, codes2, mae2, _) = rows(1)
+    assert(codes2.forall(_ == 0) && mae2 == 0.0) // constant vector round-trips
+  }
 }
