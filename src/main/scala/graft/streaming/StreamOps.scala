@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured Streaming surface.
   *
@@ -173,6 +174,77 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  case class RecentWindow(user_id: Long, n_kept: Int, event_ids: Seq[Long])
+
+  /** Bounded last-N buffer per key on a `ListState` handle: each batch
+    * appends the new event ids, trims to the newest `keep`, and emits the
+    * kept window. The trim bounds state size per key — unbounded ListState
+    * growth is the classic stateful-streaming leak. RocksDB `appendValue`
+    * is O(1) (no read-modify-write of the whole list); the full read+put
+    * happens only when the buffer overflows `keep`. */
+  class RecentEventsProcessor(keep: Int)
+    extends StatefulProcessor[Long, Event, RecentWindow] {
+    @transient private var st: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RecentWindow] = {
+      // in-batch arrival order is not deterministic; sort by (ts, id)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach(e => st.appendValue(e.event_id))
+      val all = st.get().toArray
+      val kept = if (all.length > keep) {
+        val k = all.takeRight(keep)
+        st.put(k)
+        k
+      } else all
+      Iterator(RecentWindow(key, kept.length, kept.toSeq))
+    }
+  }
+
+  def recentEvents(events: Dataset[Event], keep: Int): Dataset[RecentWindow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(keep), TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Int, total_value: Double)
+
+  /** Per-(key, event_type) running aggregates on a `MapState` handle —
+    * point lookups/updates per touched type instead of deserializing one
+    * fat per-key blob (what a ValueState[Map] would do): on RocksDB each
+    * map entry is its own store key, so a user with many types pays only
+    * for the types present in the batch. Emits updated entries only. */
+  class PerTypeCountsProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var st: MapState[String, (Int, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, (Int, Double)]("perType",
+        Encoders.STRING, Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val (n, tot) =
+          if (st.containsKey(e.event_type)) st.getValue(e.event_type) else (0, 0.0)
+        st.updateValue(e.event_type, (n + 1, tot + e.value))
+        touched += e.event_type
+      }
+      touched.iterator.map { t =>
+        val (n, tot) = st.getValue(t)
+        TypeCount(key, t, n, math.round(tot * 100.0) / 100.0)
+      }
+    }
+  }
+
+  def perTypeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PerTypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stateful sessionization: events within `gapSeconds` of the previous

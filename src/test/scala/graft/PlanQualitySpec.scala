@@ -68,4 +68,19 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), analyzed)
   }
+
+  test("stratified sample joins the config frame broadcast, never SMJ") {
+    val p = plan("d_stratified_sample")
+    // the rates frame is configuration-sized: the fact side must not
+    // shuffle for the join (broadcast hash), and sampling itself is a
+    // filter — no extra exchange beyond the join's broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloom semi join: prefilter sits under an equi semi join") {
+    val p = plan("j14_bloom_semi")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -100,6 +100,65 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("ListState last-N buffer trims across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamOps.RocksDbProvider)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.recentEvents(input.toDS(), keep = 3)
+        .writeStream.outputMode("update").format("memory").queryName("recent_out").start()
+      input.addData(
+        StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        StreamOps.Event(2, ts("2024-01-01 00:01:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.Event(3, ts("2024-01-01 00:02:00"), 1, "click", 1.0),
+        StreamOps.Event(4, ts("2024-01-01 00:03:00"), 1, "click", 1.0))
+      q.processAllAvailable(); q.stop()
+      val byBatch = spark.table("recent_out").as[StreamOps.RecentWindow].collect()
+      // batch 1 kept both; batch 2 trimmed to the newest 3 of [1,2,3,4]
+      assert(byBatch.map(_.event_ids.toList).toSet ==
+        Set(List(1L, 2L), List(2L, 3L, 4L)), byBatch.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("MapState per-type counts update only touched entries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamOps.RocksDbProvider)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.perTypeCounts(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("ptype_out").start()
+      input.addData(
+        StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.5),
+        StreamOps.Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // second batch touches only "click": the "view" entry must persist
+      // in state but NOT re-emit
+      input.addData(StreamOps.Event(3, ts("2024-01-01 00:02:00"), 1, "click", 0.5))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("ptype_out").as[StreamOps.TypeCount].collect()
+      val lastClick = rows.filter(_.event_type == "click").maxBy(_.n)
+      assert(lastClick.n == 2 && lastClick.total_value == 2.0)
+      assert(rows.count(_.event_type == "view") == 1) // emitted once only
+      assert(rows.filter(_.event_type == "view").head.total_value == 2.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers close idle sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
