@@ -145,14 +145,29 @@ object TextFunctions {
   def winnowFingerprints(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       k: Int, w: Int): org.apache.spark.sql.DataFrame = {
-    val positions = df
-      .filter(length(text) >= k + w - 1)
-      .select(id.cast("long").as("doc_id"), text.as("__t"),
-        (length(text) - (k - 1)).as("__npos"))
-      .select(col("doc_id"), col("__npos"),
-        explode(sequence(lit(1), col("__npos"))).as("pos"), col("__t"))
-      .select(col("doc_id"), col("__npos"), col("pos"),
-        graft.operators.Dedup.md5Int(col("__t").substr(col("pos"), lit(k))).as("h"))
+    val base = df.filter(length(text) >= k + w - 1)
+    // native path (GraftExtensions registered): all k-gram hashes of a doc
+    // in ONE pass while the text is still one row, THEN explode — exploded
+    // rows carry (doc_id, pos, long) instead of dragging the full document
+    // text into every position row (O(len^2) bytes in the composable
+    // form). Hash values are bit-equal either way (same md5 prefix), so
+    // the fallback and the oracle agree.
+    val positions =
+      if (df.sparkSession.catalog.functionExists("kgram_md5_hashes"))
+        base
+          .select(id.cast("long").as("doc_id"),
+            (length(text) - (k - 1)).as("__npos"),
+            posexplode(call_function("kgram_md5_hashes", text, lit(k)))
+              .as(Seq("__p0", "h")))
+          .select(col("doc_id"), col("__npos"), (col("__p0") + 1).as("pos"), col("h"))
+      else
+        base
+          .select(id.cast("long").as("doc_id"), text.as("__t"),
+            (length(text) - (k - 1)).as("__npos"))
+          .select(col("doc_id"), col("__npos"),
+            explode(sequence(lit(1), col("__npos"))).as("pos"), col("__t"))
+          .select(col("doc_id"), col("__npos"), col("pos"),
+            graft.operators.Dedup.md5Int(col("__t").substr(col("pos"), lit(k))).as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
     positions

@@ -43,6 +43,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(coerce(children.head), coerce(children(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("kgram_md5_hashes"),
+      new ExpressionInfo(classOf[KgramMd5Hashes].getName, "kgram_md5_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "kgram_md5_hashes expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression, t: org.apache.spark.sql.types.DataType) =
+          if (e.dataType == t) e else Cast(e, t)
+        KgramMd5Hashes(coerce(children.head, StringType), coerce(children(1), IntegerType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
