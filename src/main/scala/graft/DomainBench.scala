@@ -70,12 +70,14 @@ object DomainBench {
     * storage, while an eagerly-counted persist(MEMORY_AND_DISK) survives
     * recompute from lineage. */
   def glPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    def mat(df: DataFrame): DataFrame =
-      if (sys.env.get("SPARK_GRAFT_MAT").contains("persist")) {
+    def mat(df: DataFrame): DataFrame = sys.env.get("SPARK_GRAFT_MAT") match {
+      case Some("persist") =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: a lazy persist consumed by two branches of one
         p         // action computes twice before the cache fills
-      } else df.localCheckpoint(true)
+      case Some("none") => df // rely on ReuseExchange for identical subplans
+      case _ => df.localCheckpoint(true)
+    }
     val certs = mat(synthCertificates(spark, sfDir))
     val hh = mat(Proposals.hierarchyHashes(certs))
     val cfg = mat(Proposals.routeGroups(
