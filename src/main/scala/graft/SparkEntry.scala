@@ -533,6 +533,38 @@ object SparkEntry {
               count(DISTINCT l_returnflag) AS n_flags
               FROM lineitem GROUP BY 1""")),
 
+    Q("a13_countmin", (s, d) => {
+      // deterministic count-min sketch (md5-derived hashes, no RNG):
+      // build = one hash agg whose partial aggregation IS sketch merging;
+      // estimate = min over hash rows, an upper bound on the true count.
+      // The oracle rebuilds the identical grid in SQL, so even the
+      // approximate estimates hash-match exactly
+      val o = ord(s, d)
+      val sk = graft.operators.Sketches.countMinSketch(o, col("o_custkey"), 4, 256)
+      val keys = o.filter(col("o_custkey") < 500)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("true_cnt"))
+      graft.operators.Sketches.countMinEstimate(sk, keys, col("o_custkey"), 4, 256)
+        .select(col("o_custkey"), col("true_cnt"), col("cm_estimate"),
+          (col("cm_estimate") >= col("true_cnt")).as("no_undercount"))
+    },
+      Some("""WITH rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+              cells AS (SELECT r,
+                          ('0x' || substr(md5(r::VARCHAR || ':' || o_custkey::VARCHAR), 1, 8))::BIGINT
+                            % 256 AS c,
+                          count(*) AS cnt
+                        FROM orders CROSS JOIN rws GROUP BY 1, 2),
+              keys AS (SELECT o_custkey, count(*) AS true_cnt FROM orders
+                       WHERE o_custkey < 500 GROUP BY 1),
+              fan AS (SELECT k.o_custkey, k.true_cnt, r.r,
+                        ('0x' || substr(md5(r.r::VARCHAR || ':' || k.o_custkey::VARCHAR), 1, 8))::BIGINT
+                          % 256 AS c
+                      FROM keys k CROSS JOIN rws r)
+              SELECT f.o_custkey, f.true_cnt::BIGINT AS true_cnt,
+                     min(coalesce(cells.cnt, 0))::BIGINT AS cm_estimate,
+                     min(coalesce(cells.cnt, 0)) >= f.true_cnt AS no_undercount
+              FROM fan f LEFT JOIN cells ON cells.r = f.r AND cells.c = f.c
+              GROUP BY f.o_custkey, f.true_cnt""")),
+
     // ===== W: windows (SURVEY §2.5) =====
 
     Q("w4_lead_close", (s, d) =>
@@ -564,6 +596,35 @@ object SparkEntry {
                 || ' - ' || (row_number() OVER (PARTITION BY o_custkey
                              ORDER BY o_orderdate, o_orderkey))::VARCHAR AS label
               FROM orders""")),
+
+    Q("w7_rank_family", (s, d) => {
+      // the full SQL ranking family in one pass: rank/dense_rank/
+      // percent_rank/cume_dist over a TIES-bearing order (month — tie
+      // values are rank-stable by definition), ntile over a total order
+      // (tile assignment of tied rows is order-dependent, so the order
+      // must be total for cross-engine determinism)
+      val wTies = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(month(col("o_orderdate")))
+      val wTotal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(month(col("o_orderdate")), col("o_orderkey"))
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        round(percent_rank().over(wTies), 6).as("prnk"),
+        round(cume_dist().over(wTies), 6).as("cd"),
+        ntile(4).over(wTotal).as("tile"))
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+                (rank() OVER w1)::INT AS rnk,
+                (dense_rank() OVER w1)::INT AS drnk,
+                round(percent_rank() OVER w1, 6) AS prnk,
+                round(cume_dist() OVER w1, 6) AS cd,
+                (ntile(4) OVER w2)::INT AS tile
+              FROM orders
+              WINDOW w1 AS (PARTITION BY o_custkey ORDER BY month(o_orderdate)),
+                     w2 AS (PARTITION BY o_custkey
+                            ORDER BY month(o_orderdate), o_orderkey)""")),
 
     // ===== sorts / limits / set ops (SURVEY §2.6, §2.7) =====
 
@@ -1631,6 +1692,25 @@ object SparkEntry {
           s"(('0x' || substr(md5(text), ${i * 2 + 1}, 2))::INT)::DOUBLE / 255 AS f$i")
           .mkString(", ") +
         " FROM documents")),
+
+    Q("m_resize_stub", (s, d) =>
+      // stride-downsample "resize" of the opaque payload (every 4th byte);
+      // new metadata derived column-natively from the resized payload.
+      // ASCII text payloads make the byte stride replicable as a character
+      // stride in SQL, so even the stub transform is oracle-checked
+      Multimodal.resizeStub(
+        Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain"), 4)
+        .select(col("media_id"),
+          octet_length(col("resized")).cast("long").as("rs_bytes"),
+          md5(col("resized")).as("rs_checksum")),
+      Some("""WITH r AS (SELECT doc_id,
+                array_to_string([substr(text, i, 1)
+                                 for i in generate_series(1, len(text), 4)], '') AS rz
+              FROM documents)
+              SELECT doc_id AS media_id,
+                     octet_length(encode(rz))::BIGINT AS rs_bytes,
+                     md5(rz) AS rs_checksum
+              FROM r""")),
 
     // ===== ST / IV: streaming-in-batch + intervals =====
 

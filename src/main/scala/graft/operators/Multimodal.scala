@@ -60,6 +60,29 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: keep every `factor`-th payload byte — a deterministic
+    * downsample standing in for image/audio resampling (a real codec
+    * changes only the per-row body, not the partition-parallel plumbing).
+    * Emits the resized payload; callers derive new metadata column-natively
+    * (`octet_length`/`md5` on the resized column). */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("resized", BinaryType, nullable = true))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val out =
+          if (p == null) null
+          else if (p.length == 0) Array.empty[Byte]
+          else Array.tabulate((p.length + factor - 1) / factor)(i => p(i * factor))
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sample stance for video-like payloads: deterministic stride
     * sampling of byte blocks, standing in for frame extraction. */
   def frameSampleStub(media: DataFrame, blockSize: Int, stride: Int): DataFrame =

@@ -41,6 +41,17 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("resize stub keeps every factor-th payload byte") {
+    import spark.implicits._
+    val m = graft.operators.Multimodal.asMediaTable(
+      Seq((1L, "abcdefgh"), (2L, "ab"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", "text/plain")
+    val got = graft.operators.Multimodal.resizeStub(m, 3)
+      .select(col("media_id"), col("resized").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "adg", 2L -> "a", 3L -> ""))
+  }
+
   test("multimodal decode stub emits deterministic 8-dim features") {
     val m = graft.operators.Multimodal.asMediaTable(
       Tables.documents(spark, sf001).limit(5), "doc_id", "text", "text/plain")
