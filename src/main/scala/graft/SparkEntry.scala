@@ -1071,6 +1071,94 @@ object SparkEntry {
                      row_number() OVER (ORDER BY product_category, product_code) AS id
               FROM f GROUP BY 1, 2""")),
 
+    Q("g_banking_infos", (s, d) => {
+      // broker banking extraction (12): all-3-fields gate, 'P'-strip
+      // try_cast broker ids (1-in-13 malformed), 9/17-char truncations,
+      // account-type decode, name assembly, individual-beats-org anti
+      // join (suppliers deliberately collide with customer ids)
+      val ind = cst(s, d).select(
+        when(pmod(col("c_custkey"), lit(13)) === 0,
+          concat(lit("P"), col("c_custkey"), lit("X")))
+          .otherwise(concat(lit("P"), col("c_custkey"))).as("PartyUniqueId"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit(" "))
+          .otherwise(concat(lit("06"), col("c_custkey"), lit("9999999")))
+          .as("BankRoutingNumber"),
+        concat(lit("AC-"), col("c_custkey"), lit("-"), col("c_nationkey"),
+          lit("-LONG-SUFFIX")).as("AccountNumber"),
+        when(pmod(col("c_custkey"), lit(3)) === 0, lit("CHK"))
+          .otherwise(col("c_mktsegment")).as("AccountType"),
+        split(col("c_name"), "#").getItem(0).as("IndividualFirstName"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(col("c_custkey").cast("string")).as("IndividualLastName"))
+      val org = sup(s, d).select(
+        concat(lit("P"), col("s_suppkey")).as("PartyUniqueId"),
+        concat(lit("11"), col("s_suppkey"), lit("0000000")).as("BankRoutingNumber"),
+        when(pmod(col("s_suppkey"), lit(4)) === 0, lit(""))
+          .otherwise(concat(lit("ORG-"), col("s_suppkey"), lit("-ACCOUNT-NUM-LONG")))
+          .as("AccountNumber"),
+        lit("Corporate").as("AccountType"),
+        col("s_name").as("OrganizationName"))
+      graft.domain.CoreTransforms.bankingInfos(ind, org)
+    },
+      Some("""WITH ind_src AS (SELECT
+                CASE WHEN c_custkey % 13 = 0 THEN 'P' || c_custkey::VARCHAR || 'X'
+                     ELSE 'P' || c_custkey::VARCHAR END AS pid,
+                CASE WHEN c_custkey % 7 = 0 THEN ' '
+                     ELSE '06' || c_custkey::VARCHAR || '9999999' END AS routing,
+                'AC-' || c_custkey::VARCHAR || '-' || c_nationkey::VARCHAR
+                  || '-LONG-SUFFIX' AS acct,
+                CASE WHEN c_custkey % 3 = 0 THEN 'CHK' ELSE c_mktsegment END AS atype,
+                split_part(c_name, '#', 1) AS fname,
+                CASE WHEN c_custkey % 5 = 0 THEN NULL
+                     ELSE c_custkey::VARCHAR END AS lname
+              FROM customer),
+              ind AS (SELECT
+                TRY_CAST(replace(trim(pid), 'P', '') AS BIGINT) AS broker_id,
+                substr(trim(routing), 1, 9) AS routing_number,
+                substr(trim(acct), 1, 17) AS account_number,
+                CASE WHEN upper(trim(atype)) LIKE 'C%' THEN 'Checking'
+                     ELSE 'Savings' END AS account_type,
+                trim(coalesce(fname, '')
+                  || CASE WHEN fname IS NOT NULL AND lname IS NOT NULL
+                          THEN ' ' ELSE '' END
+                  || coalesce(lname, '')) AS nm,
+                'Source: raw_individual - ETL import' AS notes
+              FROM ind_src
+              WHERE nullif(trim(routing), '') IS NOT NULL
+                AND nullif(trim(acct), '') IS NOT NULL
+                AND nullif(trim(atype), '') IS NOT NULL
+                AND nullif(trim(pid), '') IS NOT NULL
+                AND TRY_CAST(replace(trim(pid), 'P', '') AS BIGINT) IS NOT NULL),
+              org_src AS (SELECT
+                'P' || s_suppkey::VARCHAR AS pid,
+                '11' || s_suppkey::VARCHAR || '0000000' AS routing,
+                CASE WHEN s_suppkey % 4 = 0 THEN ''
+                     ELSE 'ORG-' || s_suppkey::VARCHAR || '-ACCOUNT-NUM-LONG' END AS acct,
+                'Corporate' AS atype, s_name AS oname
+              FROM supplier),
+              org AS (SELECT
+                TRY_CAST(replace(trim(pid), 'P', '') AS BIGINT) AS broker_id,
+                substr(trim(routing), 1, 9) AS routing_number,
+                substr(trim(acct), 1, 17) AS account_number,
+                CASE WHEN upper(trim(atype)) LIKE 'C%' THEN 'Checking'
+                     ELSE 'Savings' END AS account_type,
+                substr(trim(oname), 1, 255) AS nm,
+                'Source: raw_org1 - ETL import' AS notes
+              FROM org_src
+              WHERE nullif(trim(routing), '') IS NOT NULL
+                AND nullif(trim(acct), '') IS NOT NULL
+                AND nullif(trim(atype), '') IS NOT NULL
+                AND nullif(trim(pid), '') IS NOT NULL
+                AND TRY_CAST(replace(trim(pid), 'P', '') AS BIGINT) IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM ind i
+                                WHERE i.broker_id =
+                                  TRY_CAST(replace(trim(pid), 'P', '') AS BIGINT))),
+              unioned AS (SELECT * FROM ind UNION ALL SELECT * FROM org)
+              SELECT broker_id, 1 AS payment_preference, 'Unknown' AS bank_name,
+                     routing_number, account_number, account_type,
+                     nm AS account_holder_name, nm AS payee_name, notes
+              FROM unioned""")),
+
     Q("g_transferee_capture", (s, d) => {
       // assignment capture + transferee fix (proposal-builder.ts:642-662,
       // README.md:311-335): latest split->paid reassignment per broker;

@@ -188,6 +188,50 @@ object CoreTransforms {
           .orderBy(col("product_category"), col("product_code"))).cast("long"))
   }
 
+  /** Broker banking infos (12): ACH extraction from the individual and
+    * organization broker sources
+    * (`sql/transforms/12-broker-banking-infos.sql:57-195`): all three
+    * banking fields must be populated, broker id = 'P'-stripped
+    * `PartyUniqueId` try_cast to long, ABA routing truncated to 9 chars /
+    * account to 17, account type decoded (leading 'C' -> Checking, else
+    * Savings), holder name assembled from first+last (individuals) or the
+    * org name; when a broker appears in BOTH sources the individual row
+    * wins (the reference's NOT IN guard, :185-189 — here a left-anti join,
+    * shuffle-free while the individual side broadcasts).
+    *
+    * Input contract: PartyUniqueId, BankRoutingNumber, AccountNumber,
+    * AccountType + IndividualFirstName/IndividualLastName (individuals)
+    * or OrganizationName (orgs). */
+  def bankingInfos(individuals: DataFrame, orgs: DataFrame): DataFrame = {
+    def brokerId = regexp_replace(trim(col("PartyUniqueId")), "P", "").try_cast("long")
+    def gate(df: DataFrame) = df.filter(
+      Cleaning.cleanStr(col("BankRoutingNumber")).isNotNull &&
+        Cleaning.cleanStr(col("AccountNumber")).isNotNull &&
+        Cleaning.cleanStr(col("AccountType")).isNotNull &&
+        Cleaning.cleanStr(col("PartyUniqueId")).isNotNull && brokerId.isNotNull)
+    def common(name: Column, source: String)(df: DataFrame) = df.select(
+      brokerId.as("broker_id"),
+      lit(1).as("payment_preference"),
+      lit("Unknown").as("bank_name"),
+      substring(trim(col("BankRoutingNumber")), 1, 9).as("routing_number"),
+      substring(trim(col("AccountNumber")), 1, 17).as("account_number"),
+      when(upper(trim(col("AccountType"))).startsWith("C"), "Checking")
+        .otherwise("Savings").as("account_type"),
+      name.as("account_holder_name"),
+      name.as("payee_name"),
+      lit(s"Source: $source - ETL import").as("notes"))
+    val indName = trim(concat(
+      coalesce(col("IndividualFirstName"), lit("")),
+      when(col("IndividualFirstName").isNotNull && col("IndividualLastName").isNotNull,
+        lit(" ")).otherwise(lit("")),
+      coalesce(col("IndividualLastName"), lit(""))))
+    val ind = common(indName, "raw_individual")(gate(individuals))
+    val org = common(substring(trim(col("OrganizationName")), 1, 255),
+      "raw_org1")(gate(orgs))
+      .join(ind.select(col("broker_id")), Seq("broker_id"), "left_anti")
+    ind.unionByName(org)
+  }
+
   /** 51-entry state code -> name lookup as a broadcast map literal
     * (`scripts/proposal-builder.ts:84-101`). Subset here; the operator
     * shape (typedLit map + element_at) is the point. */

@@ -141,4 +141,31 @@ class CoreTransformsSpec extends SparkSpec {
       .as[(String, String, Long, String, Long)].collect().toSet
     assert(got == Set(("CAT1", "A", 2L, "CA,TX", 1L), ("CAT1", "B", 1L, "", 2L)))
   }
+
+  test("bankingInfos: gates, truncation, decode, individual-beats-org") {
+    val ind = Seq(
+      ("P1", "123456789012", "ACCT-1-WAY-TOO-LONG-FOR-17", "checking acct", "Ann", "Lee"),
+      ("P2", "  ", "A2", "Savings", "Bo", null),            // blank routing -> dropped
+      ("P3X", "999", "A3", "C", "Cy", "Dee"),               // bad id -> dropped
+      ("P4", "888", "A4", "corp", "Eve", null))             // lastname null -> no space
+      .toDF("PartyUniqueId", "BankRoutingNumber", "AccountNumber", "AccountType",
+        "IndividualFirstName", "IndividualLastName")
+    val org = Seq(
+      ("P1", "777", "O1", "Corporate", "MegaCorp"),         // collides with ind P1 -> dropped
+      ("P9", "666", "O9", "savings", "OrgNine"))
+      .toDF("PartyUniqueId", "BankRoutingNumber", "AccountNumber", "AccountType",
+        "OrganizationName")
+    val got = CoreTransforms.bankingInfos(ind, org)
+      .select(col("broker_id"), col("routing_number"), col("account_number"),
+        col("account_type"), col("account_holder_name"), col("notes"))
+      .as[(Long, String, String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 4L, 9L))
+    assert(got(1L)._2 == "123456789")                        // 9-char routing
+    assert(got(1L)._3 == "ACCT-1-WAY-TOO-LO")                // 17-char account
+    assert(got(1L)._4 == "Checking" && got(1L)._5 == "Ann Lee")
+    assert(got(4L)._4 == "Checking" && got(4L)._5 == "Eve")  // 'corp' -> C*; no space
+    assert(got(9L)._4 == "Savings" && got(9L)._5 == "OrgNine")
+    assert(got(9L)._6.contains("raw_org1") && got(1L)._6.contains("raw_individual"))
+  }
 }
