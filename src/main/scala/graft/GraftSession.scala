@@ -26,6 +26,11 @@ object GraftSession {
       // per-row stages (hashing, sketching) parallel. On a real cluster
       // this follows executor count instead.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // runtime bloom join filters: on selective shuffle joins the build
+      // side's bloom prefilters the probe side's scan — the automatic
+      // form of Joins.bloomSemiJoin (explicit default in case a deploy
+      // profile flips it)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
