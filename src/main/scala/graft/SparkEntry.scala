@@ -1756,6 +1756,52 @@ object SparkEntry {
               FROM documents d
               LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""")),
 
+    Q("x_tfidf", (s, d) =>
+      // TF-IDF top-3 terms per doc: one explode, two hash aggregates, a
+      // broadcast scalar (N), one window — rank on the ROUNDED score with
+      // a term tiebreak so near-ties can't flip across engines
+      TextFunctions.tfIdfTopK(doc(s, d), col("doc_id"), col("text"), 3),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+              tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                     FROM toks WHERE term <> '' GROUP BY 1, 2),
+              dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln(n.n_docs::DOUBLE / dfq.df), 6) AS tfidf
+                     FROM tf JOIN dfq USING (term) CROSS JOIN n)
+              SELECT doc_id, term, tf, tfidf, rnk FROM (
+                SELECT *, (row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term))::INT AS rnk FROM sc)
+              WHERE rnk <= 3""")),
+
+    Q("x_redact", (s, d) =>
+      // PII scrub: emails/URLs/phones redacted in a fixed order; counts
+      // taken pre-redaction. Docs are synthetic, so PII is injected
+      // deterministically per doc to exercise every pattern
+      doc(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via http://site"), col("doc_id"),
+          lit(".org or 555-"), col("doc_id")).as("t"))
+        .select(col("doc_id"),
+          TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(0)._1).as("n_emails"),
+          TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(1)._1).as("n_urls"),
+          TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(2)._1).as("n_phones"),
+          md5(TextFunctions.redactPii(col("t"))).as("redacted_md5")),
+      Some("""WITH t AS (SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR || '@example.com via http://site'
+                     || doc_id::VARCHAR || '.org or 555-' || doc_id::VARCHAR AS t
+              FROM documents)
+              SELECT doc_id,
+                len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+                len(regexp_extract_all(t, 'https?://[^\s]+'))::INT AS n_urls,
+                len(regexp_extract_all(t, '\b555-[0-9]+\b'))::INT AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  'https?://[^\s]+', '[URL]', 'g'),
+                  '\b555-[0-9]+\b', '[PHONE]', 'g')) AS redacted_md5
+              FROM t""")),
+
     // ===== M: multimodal plumbing =====
 
     Q("m_media_meta", (s, d) =>

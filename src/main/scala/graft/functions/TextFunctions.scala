@@ -92,6 +92,46 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII scrub patterns, applied in a fixed order (emails before URLs
+    * before phones — order is part of the contract since replacements can
+    * overlap). RE2-compatible (no backrefs/lookaround) so any regex engine
+    * reproduces them. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "https?://[^\\s]+" -> "[URL]",
+    "\\b555-[0-9]+\\b" -> "[PHONE]")
+
+  /** Redact PII in place; counts per category come from
+    * [[piiMatchCount]] BEFORE redaction. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  def piiMatchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** TF-IDF top-k terms per document: raw term frequency x ln(N/df),
+    * ranked per doc on the ROUNDED score with a term tiebreak (raw float
+    * ranking can flip across engines). Relational: one explode, two hash
+    * aggregates, one window — no driver-side vocabulary. */
+  def tfIdfTopK(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(split(trim(text), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(id).distinct().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
+  }
+
   /** Gopher-style repetition signals per document: the fraction of word
     * n-gram occurrences captured by the single most frequent n-gram
     * (`top{n}gram_frac`), and the fraction of occurrences whose gram

@@ -64,6 +64,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(overlap > 0.6, s"overlap=$overlap")
   }
 
+  test("tfIdfTopK ranks rare terms above common ones") {
+    // 'rare' appears in 1 of 3 docs (idf=ln 3), 'the' in all (idf=0)
+    val df = Seq((1L, "the rare rare word"), (2L, "the other thing"), (3L, "the end"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.tfIdfTopK(df, col("doc_id"), col("text"), 2)
+      .select(col("doc_id"), col("term"), col("rnk"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got.contains((1L, "rare", 1))) // tf=2 x ln(3) beats everything
+    // 'the' scores 0 everywhere: never rank 1 in doc 1
+    assert(!got.contains((1L, "the", 1)))
+  }
+
+  test("redactPii masks emails, urls and phones; counts match") {
+    val df = Seq("mail a@b.co and c.d@e.org see https://x.y/z?q=1 call 555-123")
+      .toDF("t")
+    val got = df.select(
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(0)._1).as("e"),
+        TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(1)._1).as("u"),
+        TextFunctions.piiMatchCount(col("t"), TextFunctions.piiPatterns(2)._1).as("p"))
+      .as[(String, Int, Int, Int)].head()
+    assert(got._1 == "mail [EMAIL] and [EMAIL] see [URL] call [PHONE]")
+    assert((got._2, got._3, got._4) == (2, 1, 1))
+  }
+
   test("repetitionMetrics: hand-computed gram fractions") {
     // "a b a b a": 2-grams = [a b, b a, a b, b a] -> top 2/4 = 0.5
     //              3-grams = [a b a, b a b, a b a] -> dup 2/3
