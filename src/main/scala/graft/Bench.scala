@@ -13,11 +13,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // min over N runs per query (SPARK_GRAFT_REPEAT, default 2): this host
     // is a VM with heavy CPU steal from co-tenants — a single sample can
-    // read 3-4x slow; the minimum is the reproducible cost of the plan
+    // read 3-4x slow; the minimum is the reproducible cost of the plan.
+    // Sub-second first samples are reported as-is: re-running ~80 light
+    // queries would double wall time for noise that washes out anyway,
+    // and a loaded host must not push the whole bench past a harness
+    // timeout just to de-noise 0.2 s entries.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2).max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to repeat).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
@@ -26,7 +30,11 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         s
-      }.min
+      }
+      val first = once()
+      val secs =
+        if (first < 1.0) first
+        else (first +: (2 to repeat).map(_ => once())).min
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
