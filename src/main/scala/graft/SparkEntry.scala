@@ -1517,6 +1517,43 @@ object SparkEntry {
               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
 
+    Q("d_components", (s, d) => {
+      // pairs -> clusters: min-label propagation over the near-dup pair
+      // graph; component = smallest member id, node==component marks the
+      // canonical survivor. The oracle computes the same components via a
+      // recursive CTE over the identical pair list
+      val pairs = Dedup.embeddingNearDupPairs(
+        emb(s, d), col("vec_id"), col("embedding"), threshold = 0.35, nlist = 16)
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node"), col("component"),
+          (col("node") === col("component")).as("is_canonical"))
+    },
+      Some("""WITH RECURSIVE
+              e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vid = m.mvid),
+              asg AS (SELECT vid, v, cell FROM (
+                        SELECT e.vid, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vid
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1),
+              prs AS (SELECT a.vid AS id_a, b.vid AS id_b
+                      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+                      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION SELECT id_b, id_a FROM prs),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION
+                        SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src)
+              SELECT node, min(rch) AS component,
+                     node = min(rch) AS is_canonical
+              FROM reach GROUP BY node""")),
+
     Q("d_stratified_sample", (s, d) => {
       // deterministic hash-stratified sampling for training-mix
       // construction: the kept set is a pure function of doc_id, so the
@@ -1801,6 +1838,70 @@ object SparkEntry {
                   'https?://[^\s]+', '[URL]', 'g'),
                   '\b555-[0-9]+\b', '[PHONE]', 'g')) AS redacted_md5
               FROM t""")),
+
+    Q("x_corpus_filter", (s, d) => {
+      // the end-to-end corpus curation decision: exact-dup canonical
+      // check, then quality floor, then repetition ceiling — first
+      // failing rule names the drop reason (rule order is the contract)
+      val base = doc(s, d)
+      val quality = base.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val rep = TextFunctions.repetitionMetrics(base, col("doc_id"), col("text"))
+      val canon = base
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .withColumn("canonical_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      base.select(col("doc_id"))
+        .join(quality, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .join(canon.select(col("doc_id"), col("canonical_id")), Seq("doc_id"))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("canonical_id"), "duplicate")
+            .when(col("quality") < 0.4, "low_quality")
+            .when(col("dup3gram_frac") > 0.6, "repetitive")
+            .otherwise("keep"))
+        .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
+    },
+      Some("""WITH b AS (SELECT doc_id, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct
+              FROM documents),
+              q AS (SELECT doc_id,
+                round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality
+              FROM b),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                       FROM documents),
+              g3 AS (SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)]) AS gram
+                     FROM toks WHERE len(t) >= 3),
+              c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+              t3 AS (SELECT doc_id,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS dup3
+                     FROM c3 GROUP BY 1),
+              fp AS (SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+                     FROM documents),
+              canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id
+                        FROM fp),
+              j AS (SELECT d.doc_id, q.quality, coalesce(t3.dup3, 0) AS dup3,
+                           c.canonical_id
+                    FROM documents d
+                    JOIN q USING (doc_id) JOIN canon c USING (doc_id)
+                    LEFT JOIN t3 USING (doc_id))
+              SELECT doc_id, reason = 'keep' AS keep, reason FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id <> canonical_id THEN 'duplicate'
+                       WHEN quality < 0.4 THEN 'low_quality'
+                       WHEN dup3 > 0.6 THEN 'repetitive'
+                       ELSE 'keep' END AS reason
+                FROM j)""")),
 
     // ===== M: multimodal plumbing =====
 

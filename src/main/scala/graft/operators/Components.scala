@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the last step of every real
+  * dedup pipeline: near-dup PAIRS (minhash/simhash/embedding blocking)
+  * become CLUSTERS, and one canonical representative survives per
+  * cluster.
+  *
+  * Algorithm: iterative min-label propagation (each node repeatedly
+  * adopts the smallest label among itself and its neighbors) — the
+  * standard shuffle-based formulation for graphs too big for one machine.
+  * Each round is one join + one hash aggregate keyed on node id;
+  * convergence takes O(component diameter) rounds, and near-dup graphs
+  * are piles of small dense clusters, so a handful. The per-round driver
+  * `count()` reads ONE aggregated number (convergence check), not data.
+  */
+object Components {
+
+  /** `pairs` must carry two long-typed id columns `a` and `b` (undirected
+    * edges). Returns (node, component) where component = the smallest node
+    * id in the cluster — so `node === component` marks the canonical
+    * representative. Nodes not present in any pair are absent (singleton
+    * clusters are the identity mapping; callers left-join and coalesce). */
+  def connectedComponents(
+      pairs: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (col("nbr") < col("label")).as("__chg"))
+        .localCheckpoint(true)
+      converged = {
+        val r = next.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
+        r.isNullAt(0) || r.getLong(0) == 0L // null sum = empty graph
+      }
+      labels = next.drop("__chg")
+      i += 1
+    }
+    sym.unpersist(false)
+    labels.withColumnRenamed("label", "component")
+  }
+}
