@@ -112,7 +112,9 @@ object TextFunctions {
   /** TF-IDF top-k terms per document: raw term frequency x ln(N/df),
     * ranked per doc on the ROUNDED score with a term tiebreak (raw float
     * ranking can flip across engines). Relational: one explode, two hash
-    * aggregates, one window — no driver-side vocabulary. */
+    * aggregates, one window — no driver-side vocabulary. The only
+    * nested-loop join in the plan is the 1-row broadcast of the document
+    * count N (the scalar-subquery shape — bounded at any scale). */
   def tfIdfTopK(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       k: Int): org.apache.spark.sql.DataFrame = {
