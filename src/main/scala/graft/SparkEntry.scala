@@ -1839,6 +1839,30 @@ object SparkEntry {
                   '\b555-[0-9]+\b', '[PHONE]', 'g')) AS redacted_md5
               FROM t""")),
 
+    Q("x_char_entropy", (s, d) => {
+      // per-document character entropy (a cheap perplexity proxy:
+      // gibberish/binary-ish text scores far from natural language) —
+      // reuses the a8 entropy operator on exploded characters
+      val chars = doc(s, d).select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch")).filter(col("ch") =!= "")
+      graft.operators.Routing.entropyMetrics(chars, col("doc_id"), col("ch"))
+        .select(col("grp").as("doc_id"), col("n_members").as("n_chars"),
+          col("n_configs").as("n_distinct_chars"), col("entropy"))
+    },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                          FROM documents),
+              c AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt
+                    FROM ch WHERE ch <> '' GROUP BY 1, 2),
+              m AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars,
+                           count(*)::BIGINT AS n_distinct_chars
+                    FROM c GROUP BY 1),
+              e AS (SELECT c.doc_id,
+                      round(-sum((cnt::DOUBLE / m.n_chars) * log2(cnt::DOUBLE / m.n_chars)), 6)
+                        AS entropy
+                    FROM c JOIN m USING (doc_id) GROUP BY c.doc_id, m.n_chars)
+              SELECT m.doc_id, m.n_chars, m.n_distinct_chars, e.entropy
+              FROM m JOIN e USING (doc_id)""")),
+
     Q("x_corpus_filter", (s, d) => {
       // the end-to-end corpus curation decision: exact-dup canonical
       // check, then quality floor, then repetition ceiling — first

@@ -24,6 +24,27 @@ class KgramMd5HashesSpec extends SparkSpec {
     assert(native(3L).isEmpty && native(4L).isEmpty) // shorter than k
   }
 
+  test("native hashes match the composable form on multi-byte unicode") {
+    // substr is codepoint-based, md5 runs over UTF-8 bytes: the native
+    // kernel must slice by codepoints too, or multi-byte text diverges
+    val df = Seq(
+      (1L, "héllo wörld"), (2L, "日本語のテキスト"), (3L, "a😀b😀c"), (4L, "mixé日a"))
+      .toDF("id", "t")
+    val k = 4
+    val native = df.filter(length(col("t")) >= k).select(col("id"),
+        call_function("kgram_md5_hashes", col("t"), lit(k)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composable = df
+      .filter(length(col("t")) >= k)
+      .select(col("id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"), col("t"))
+      .select(col("id"), col("i"),
+        graft.operators.Dedup.md5Int(col("t").substr(col("i"), lit(k))).as("h"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(native.keySet == composable.keySet)
+    native.keySet.foreach(id => assert(native(id) == composable(id), s"doc $id"))
+  }
+
   test("winnowFingerprints native and fallback paths agree on real docs") {
     val docs = graft.Tables.documents(spark, sf001).limit(50)
     val nat = graft.functions.TextFunctions
