@@ -967,7 +967,7 @@ object SparkEntry {
           col("eff_to").cast("date").as("eff_to"))
     },
       Some("""WITH obs AS (
-                SELECT 'G' || o_custkey::VARCHAR AS key,
+                SELECT DISTINCT 'G' || o_custkey::VARCHAR AS key,
                        o_orderdate::DATE AS observed_at,
                        o_orderpriority AS signature
                 FROM orders),

@@ -22,19 +22,29 @@ object HierarchyVersioning {
   /** From (key, observed_at, signature) observations to
     * (key, version_seq, signature, eff_from, eff_to) version rows.
     * `eff_to` of the latest version = the `'2099-01-01'` open-end sentinel.
-    */
+    *
+    * Observations are DEDUPED first: a repeated (key, observed_at,
+    * signature) row is the same observation, and after dedup
+    * (observed_at, signature) is a TOTAL order per key. That totality is
+    * load-bearing — with duplicate rows the lag window and the
+    * running-sum window may resolve tied peers in different physical
+    * orders (observed in DuckDB at sf0.1: an island split into two
+    * version_seq values), so any engine replicating this must dedup the
+    * same way. */
   def versionsFromObservations(
       obs: DataFrame, key: Column, observedAt: Column, signature: Column): DataFrame = {
-    val byKey = Window.partitionBy(key).orderBy(observedAt, signature)
-    val flagged = obs
-      .withColumn("__prev_sig", lag(signature, 1).over(byKey))
+    val o = obs.select(key.as("key"), observedAt.as("__at"), signature.as("__sig"))
+      .distinct()
+    val byKey = Window.partitionBy(col("key")).orderBy(col("__at"), col("__sig"))
+    val flagged = o
+      .withColumn("__prev_sig", lag(col("__sig"), 1).over(byKey))
       .withColumn("__chg",
-        when(col("__prev_sig").isNull || col("__prev_sig") =!= signature, 1).otherwise(0))
+        when(col("__prev_sig").isNull || col("__prev_sig") =!= col("__sig"), 1).otherwise(0))
       .withColumn("version_seq", sum(col("__chg")).over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val versions = flagged
-      .groupBy(key.as("key"), col("version_seq"), signature.as("signature"))
-      .agg(min(observedAt).as("eff_from"))
+      .groupBy(col("key"), col("version_seq"), col("__sig").as("signature"))
+      .agg(min(col("__at")).as("eff_from"))
     graft.operators.Windows.leadClose(versions,
         Seq(col("key")), Seq(col("eff_from"), col("version_seq")), "eff_from", "eff_to")
       .withColumn("eff_to",
