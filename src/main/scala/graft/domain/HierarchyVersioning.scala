@@ -30,11 +30,18 @@ object HierarchyVersioning {
     * running-sum window may resolve tied peers in different physical
     * orders (observed in DuckDB at sf0.1: an island split into two
     * version_seq values), so any engine replicating this must dedup the
-    * same way. */
+    * same way.
+    *
+    * Callers whose observations are unique per (key, observed_at) BY
+    * CONSTRUCTION (e.g. [[structureSignature]], which group-bys on
+    * exactly that pair) pass `assumeDistinct = true` to skip the dedup
+    * shuffle — uniqueness on (key, observed_at) alone already makes the
+    * order total. */
   def versionsFromObservations(
-      obs: DataFrame, key: Column, observedAt: Column, signature: Column): DataFrame = {
-    val o = obs.select(key.as("key"), observedAt.as("__at"), signature.as("__sig"))
-      .distinct()
+      obs: DataFrame, key: Column, observedAt: Column, signature: Column,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val projected = obs.select(key.as("key"), observedAt.as("__at"), signature.as("__sig"))
+    val o = if (assumeDistinct) projected else projected.distinct()
     val byKey = Window.partitionBy(col("key")).orderBy(col("__at"), col("__sig"))
     val flagged = o
       .withColumn("__prev_sig", lag(col("__sig"), 1).over(byKey))

@@ -206,7 +206,8 @@ object Proposals {
         concat_ws("#", col("group_id"), col("split_seq"))),
       col("__bkey"), col("eff_date"))
     val v = HierarchyVersioning.versionsFromObservations(
-      obs, col("key"), col("observed_at"), col("signature"))
+      obs, col("key"), col("observed_at"), col("signature"),
+      assumeDistinct = true) // structureSignature groups by (key, observed_at)
     val versions = mat(v.select(
       hierKey(upper(sha2(col("key"), 256))).as("hierarchy_id"),
       hierKey(upper(sha2(concat_ws("#", col("key"), col("version_seq")), 256)))
