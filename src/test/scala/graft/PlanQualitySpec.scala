@@ -83,4 +83,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("tf-idf: the only nested loop is the 1-row scalar broadcast of N") {
+    val p = plan("x_tfidf")
+    // one BNLJ (the document-count scalar) is the expected shape; a
+    // second would mean a term/doc join degenerated to a nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("corpus filter joins stay equi (broadcast/SMJ), never nested loop") {
+    val p = plan("x_corpus_filter")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
