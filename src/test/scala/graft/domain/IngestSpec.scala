@@ -37,4 +37,19 @@ class IngestSpec extends SparkSpec {
       .select(col("premium")).collect().head.isNullAt(0)
     assert(badPremium) // try_cast: 'bogus' -> null, not an error
   }
+
+  test("committed s1 fixture: CSV tokenization matches the raw parquet twin") {
+    // The s1_csv_ingest oracle reads fixtures/s1_cert_raw.parquet (the
+    // committed Spark tokenization of fixtures/s1_cert.csv) so the DuckDB
+    // gate is independent of the oracle engine's CSV sniffer. This test is
+    // the other half of that contract: Spark's CSV parse of the committed
+    // bytes must still equal the committed tokenization, cell for cell
+    // (padding kept, quoted commas unwrapped, empties as null).
+    val root = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
+    val csv = Ingest.readRawCsv(spark, s"$root/fixtures/s1_cert.csv")
+    val twin = spark.read.parquet(s"$root/fixtures/s1_cert_raw.parquet")
+    assert(csv.schema.fieldNames.toSeq == twin.schema.fieldNames.toSeq)
+    assert(csv.count() == 1500 && twin.count() == 1500)
+    assert(csv.exceptAll(twin).isEmpty && twin.exceptAll(csv).isEmpty)
+  }
 }
