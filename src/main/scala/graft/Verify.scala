@@ -40,7 +40,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // With the ONLY filter active, restrict the oracle dump to the selected
+    // names: otherwise a reused outDir holds stale dumps that compare as
+    // current, and a fresh one reports every unselected query as missing —
+    // either way a partial run could masquerade as the full gate.
+    val selectedNames = selected.map(_._1).toSet
+    if (only.isDefined)
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY active — PARTIAL run (${selectedNames.size}/${SparkEntry.queries.size} queries); oracle_sql.json restricted to the selection")
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selectedNames(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -39,12 +39,13 @@ class IngestSpec extends SparkSpec {
   }
 
   test("committed s1 fixture: CSV tokenization matches the raw parquet twin") {
-    // The s1_csv_ingest oracle reads fixtures/s1_cert_raw.parquet (the
-    // committed Spark tokenization of fixtures/s1_cert.csv) so the DuckDB
-    // gate is independent of the oracle engine's CSV sniffer. This test is
-    // the other half of that contract: Spark's CSV parse of the committed
-    // bytes must still equal the committed tokenization, cell for cell
-    // (padding kept, quoted commas unwrapped, empties as null).
+    // The s1_csv_ingest oracle reads fixtures/s1_cert_raw.parquet (a
+    // committed python-csv+pyarrow tokenization of fixtures/s1_cert.csv,
+    // regen via tools/gen_s1_fixture.py) so the DuckDB gate is independent
+    // of the oracle engine's CSV sniffer. Because the twin is written by a
+    // NON-Spark tokenizer, this assertion independently verifies Spark's
+    // CSV parse of the committed bytes, cell for cell (padding kept,
+    // quoted commas unwrapped, empties as null).
     val root = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
     val csv = Ingest.readRawCsv(spark, s"$root/fixtures/s1_cert.csv")
     val twin = spark.read.parquet(s"$root/fixtures/s1_cert_raw.parquet")
