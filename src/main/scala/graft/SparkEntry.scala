@@ -239,6 +239,37 @@ object SparkEntry {
               FROM fact f JOIN dim d
                 ON f.k = d.k AND f.ts >= d.f AND (d.t IS NULL OR f.ts < d.t)""")),
 
+    Q("j3b_asof_native", (s, d) => {
+      // Native sort-merge as-of exec (plans/AsOfJoinExec via the injected
+      // strategy): each order resolves to the customer's strictly-previous
+      // order. Self as-of on one scan; the time key folds the order date
+      // and key into one long so (key, time) is unique -> deterministic.
+      // The composed built-in form of the same semantics is j3 + a rank-1
+      // window; this plans two exchanges, two sorts, one merge — no
+      // fact x versions fan-out, no second shuffle (AsOfJoinSpec asserts
+      // the plan shape and the equivalence).
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date")).cast("long") * 1048576L
+          + col("o_orderkey")).as("t"))
+      val dim = o.select(col("o_custkey").as("c"), col("t").as("rt"),
+        col("o_orderkey").as("prev_orderkey"))
+      graft.operators.AsOfNative.asOfJoin(
+          o, dim, Seq("o_custkey" -> "c"), "t", "rt", "left_outer", strict = true)
+        .select(col("o_orderkey"), col("prev_orderkey"))
+    },
+      Some("""WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       datediff('day', DATE '1990-01-01', o_orderdate::DATE)::BIGINT * 1048576
+                         + o_orderkey AS t
+                FROM orders),
+              j AS (
+                SELECT f.o_orderkey, d.o_orderkey AS prev_orderkey,
+                       row_number() OVER (PARTITION BY f.o_orderkey ORDER BY d.t DESC) AS rn
+                FROM o f JOIN o d ON f.o_custkey = d.o_custkey AND d.t < f.t)
+              SELECT f.o_orderkey, j.prev_orderkey
+              FROM o f LEFT JOIN (SELECT o_orderkey, prev_orderkey FROM j WHERE rn = 1) j
+                USING (o_orderkey)""")),
+
     Q("j5_band_join", (s, d) => {
       val bands = {
         import s.implicits._

@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // composable HOF cosine -> native codegen'd expression (bit-exact)
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    // plans graft.plans.AsOfJoinPlan as the native sort-merge as-of exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
