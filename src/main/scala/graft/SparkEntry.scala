@@ -1599,6 +1599,34 @@ object SparkEntry {
               WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
                     < floor(rate * 10000)::BIGINT""")),
 
+    Q("d_weighted_sample", (s, d) =>
+      // quality-weighted deterministic downsampling: longer docs survive
+      // at a higher rate; the kept set is a pure function of doc_id
+      graft.operators.Sampling.weightedSample(doc(s, d), col("doc_id"),
+          least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)))
+        .select(col("doc_id"),
+          round(least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)), 6).as("weight")),
+      Some("""SELECT doc_id, round(least(n_chars / 2000.0, 1.0), 6) AS weight
+              FROM documents
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                    < floor(least(n_chars / 2000.0, 1.0) * 10000)::BIGINT""")),
+
+    Q("d_split_assign", (s, d) =>
+      // leakage-free train/val/test: the label hangs off the SOURCE's hash
+      // bucket, so a source domain can never straddle a split boundary
+      graft.operators.Sampling.splitAssign(doc(s, d), col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n_docs")),
+      Some("""WITH b AS (SELECT source,
+                ('0x' || substr(md5(source), 1, 8))::BIGINT % 10000 AS bkt
+              FROM documents)
+              SELECT source,
+                CASE WHEN bkt < 8000 THEN 'train'
+                     WHEN bkt < 9000 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*)::BIGINT AS n_docs
+              FROM b GROUP BY source, 2""")),
+
     // ===== V: vector similarity =====
 
     Q("v_cosine_topk", (s, d) => {
@@ -1767,6 +1795,52 @@ object SparkEntry {
                                      for j in generate_series(1, len(hs) - 3)]) AS fps
                     FROM h WHERE len(hs) >= 4)
               SELECT doc_id, unnest(fps) AS fp FROM f""")),
+
+    Q("x_passage_dup", (s, d) =>
+      // duplicate-passage pairs: docs sharing >= 2 winnowing fingerprints
+      // (each fingerprint witnesses a shared span). Blocked on the shared
+      // fingerprint with a df-cap of 50 — boilerplate spans are hot keys
+      Dedup.passageDupPairs(doc(s, d), col("doc_id"), col("text"),
+        k = 5, w = 4, minShared = 2, maxDf = Some(50)),
+      Some("""WITH h AS (SELECT doc_id,
+                [('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT
+                 for i in generate_series(1, len(text) - 4)] AS hs
+              FROM documents WHERE len(text) >= 5),
+              f AS (SELECT doc_id,
+                      list_distinct([list_min(hs[j:j+3])
+                                     for j in generate_series(1, len(hs) - 3)]) AS fps
+                    FROM h WHERE len(hs) >= 4),
+              fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+              fp AS (SELECT * FROM fp0
+                     WHERE fp IN (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 50))
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
+    Q("x_decontaminate", (s, d) => {
+      // benchmark decontamination: docs with doc_id % 97 = 0 stand in for
+      // the eval set; report each remaining doc's 5-gram overlap with it
+      val docs = doc(s, d)
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("doc_id"), col("text"), col("text"), n = 5)
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              grams AS (SELECT doc_id,
+                          unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                                for i in generate_series(1, len(w) - 4)])) AS sh
+                        FROM toks WHERE len(w) >= 5),
+              probe AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0),
+              corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+              sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY 1),
+              hit AS (SELECT c.doc_id, count(*)::BIGINT AS n_contaminated
+                      FROM corpus c WHERE c.sh IN (SELECT sh FROM probe) GROUP BY 1)
+              SELECT s.doc_id, s.n_grams,
+                     coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+                     round(coalesce(h.n_contaminated, 0) / s.n_grams, 6) AS contamination
+              FROM sizes s LEFT JOIN hit h USING (doc_id)""")),
 
     Q("x_quality", (s, d) =>
       doc(s, d).select(col("doc_id"),

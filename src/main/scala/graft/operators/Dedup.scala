@@ -236,4 +236,59 @@ object Dedup {
       when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Duplicate-passage detection: document pairs sharing at least
+    * `minShared` winnowing fingerprints ([[graft.functions.TextFunctions
+    * .winnowFingerprints]] — each fingerprint is a window-minimum k-gram
+    * hash, so a shared fingerprint witnesses a shared text span, robust to
+    * position shifts). The scale posture mirrors [[ngramJaccardPairs]]:
+    * candidates are blocked on the shared fingerprint (equi join, never
+    * all-pairs) and `maxDf` drops fingerprints present in more than that
+    * many documents — a boilerplate span (license header, nav bar) is a
+    * hot key whose candidate set grows quadratically. */
+  def passageDupPairs(
+      df: DataFrame, id: Column, text: Column,
+      k: Int, w: Int, minShared: Int, maxDf: Option[Int] = None): DataFrame = {
+    val fps = graft.functions.TextFunctions.winnowFingerprints(df, id, text, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = maxDf match {
+      case Some(cap) =>
+        // fingerprints are distinct per doc, so count(*) = document
+        // frequency; the hot list is tiny -> AQE broadcasts the anti join
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("fp"))
+        fps.join(hot, Seq("fp"), "left_anti")
+      case None => fps
+    }
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Benchmark-decontamination report: for each corpus document, how many
+    * of its distinct word `n`-grams also occur in the `probes` frame (the
+    * eval/benchmark texts), plus the contaminated fraction. The probe gram
+    * set is deduped first and is benchmark-sized in practice, so the semi
+    * join broadcasts; the corpus side aggregates once per doc with
+    * map-side partials. Downstream policy (drop, redact, flag) is the
+    * caller's — this operator only measures. */
+  def contaminationReport(
+      corpus: DataFrame, probes: DataFrame,
+      corpusId: Column, corpusText: Column, probeText: Column,
+      n: Int): DataFrame = {
+    val grams = explodedWordShingles(corpus, corpusId, corpusText, n)
+    val probeSet = explodedWordShingles(probes, lit(0L), probeText, n)
+      .select(col("sh")).distinct()
+    val sizes = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams")) // shingles are distinct per doc
+    val hit = grams.join(probeSet, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hit, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
 }

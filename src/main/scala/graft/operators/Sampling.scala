@@ -59,4 +59,34 @@ object Sampling {
       .orderBy(sampleBucket(id, salt, buckets), id)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Per-row weighted deterministic sample: keep each row with probability
+    * `min(1, max(0, weight))` — e.g. quality-weighted corpus downsampling
+    * where high-quality documents survive at a higher rate. Same hash
+    * bucketing as [[hashSample]] (a pure filter, no shuffle, replicable),
+    * with the rate read from a column instead of a constant. */
+  def weightedSample(
+      df: DataFrame, id: Column, weight: Column,
+      salt: String = "", buckets: Int = DefaultBuckets): DataFrame =
+    df.filter(sampleBucket(id, salt, buckets) <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets).cast("long"))
+
+  /** Leakage-free train/val/test assignment: the split label is a pure
+    * function of the GROUP key's hash bucket (not the row's), so all rows
+    * sharing a group — a source domain, a user, a document family — land
+    * in the same split and can never leak across the boundary. `splits`
+    * maps label -> fraction and must sum to 1. A projection, no shuffle. */
+  def splitAssign(
+      df: DataFrame, groupKey: Column, splits: Seq[(String, Double)],
+      salt: String = "", buckets: Int = DefaultBuckets): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _)
+    val b = sampleBucket(groupKey, salt, buckets)
+    val label = splits.zip(cum.zip(cum.tail)).foldRight(lit(null).cast("string")) {
+      case (((name, _), (lo, hi)), acc) =>
+        when(b >= math.floor(lo * buckets).toLong &&
+          b < math.floor(hi * buckets).toLong, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

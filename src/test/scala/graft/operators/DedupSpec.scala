@@ -87,4 +87,36 @@ class DedupSpec extends SparkSpec {
     assert(ham(got(0), got(1)) < ham(got(0), got(2)),
       s"near=${ham(got(0), got(1))} far=${ham(got(0), got(2))}")
   }
+
+  test("passageDupPairs finds shared-span pairs and the df-cap drops boilerplate spans") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"unrelated prefix text $shared plus extra trailing words"),
+      (3L, "zxqv wmbl kjhg pqrs tuvw xyzc dfgh jklm nbvc qwer")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.passageDupPairs(docs, col("doc_id"), col("text"),
+      k = 5, w = 4, minShared = 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a cap of 1 kills every fingerprint present in both docs -> no pairs
+    assert(Dedup.passageDupPairs(docs, col("doc_id"), col("text"),
+      k = 5, w = 4, minShared = 1, maxDf = Some(1)).count() == 0)
+  }
+
+  test("contaminationReport counts probe-overlapping n-grams per corpus doc") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "nine ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val probes = Seq((99L, "one two three four five six")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, probes,
+        col("doc_id"), col("text"), col("text"), n = 5)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"))
+      .as[(Long, Long, Long)].collect()
+    val m = rep.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((4L, 2L))) // 8 toks -> 4 grams; probe shares 2 of them
+    assert(m(2L) == ((2L, 0L)))
+  }
 }

@@ -47,4 +47,29 @@ class SamplingSpec extends SparkSpec {
     assert(a.select(col("id")).as[Long].collect().toSet ==
       b.select(col("id")).as[Long].collect().toSet)
   }
+
+  test("weightedSample keeps ~weight fraction per weight level; weight>=1 keeps all") {
+    val df = (1L to 6000L).map(i => (i, if (i % 2 == 0) 0.2 else 1.5)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"))
+    val byW = kept.groupBy(col("w")).count().as[(Double, Long)].collect().toMap
+    assert(byW(1.5) == 3000L) // clamped to 1.0 -> keeps every row
+    assert(math.abs(byW(0.2) / 3000.0 - 0.2) < 0.05)
+    // deterministic: same filter, same rows
+    assert(kept.count() == Sampling.weightedSample(df, col("id"), col("w")).count())
+  }
+
+  test("splitAssign is leakage-free (one split per group) and covers every row") {
+    val df = (1L to 3000L).map(i => (i, s"dom${i % 97}")).toDF("id", "grp")
+    val out = Sampling.splitAssign(df, col("grp"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.filter(col("split").isNull).count() == 0)
+    // every group maps to exactly one split
+    val perGroup = out.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1)
+    assert(perGroup.count() == 0)
+    // fractions are about right at the GROUP level
+    val splits = out.select(col("grp"), col("split")).distinct()
+      .groupBy(col("split")).count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == 97L && splits("train") > 60)
+  }
 }
