@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Intervals, Joins, Multimodal, Routing, Similarity, Windows}
+import graft.operators.{Clustering, Dedup, Intervals, Joins, Multimodal, Routing, Similarity, Windows}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1761,7 +1761,98 @@ object SparkEntry {
               WHERE p.query_id <> a.vec_id
               QUALIFY rank <= 5""")),
 
+    Q("v_kmeans", (s, d) => {
+      // deterministic Lloyd's k-means on the embeddings (k=8, 2
+      // iterations): RNG-free seeds (lowest id per residue class),
+      // rounded-cosine assignment with cell tiebreak, element-wise mean
+      // centroids rounded at 6 decimals — every iteration is
+      // engine-replicable, so the full iterative algorithm sits behind
+      // the hash gate, not just a one-shot projection
+      Clustering.kMeansAssign(emb(s, d), col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              c0 AS (SELECT m.cell, e.v AS centroid
+                     FROM (SELECT vec_id % 8 AS cell, min(vec_id) AS mvid
+                           FROM e GROUP BY 1) m
+                     JOIN e ON e.vec_id = m.mvid),
+              a1 AS (SELECT vec_id, v, cell FROM (
+                       SELECT e.vec_id, e.v, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                         c.cell) AS rn
+                       FROM e CROSS JOIN c0 c) WHERE rn = 1),
+              m1 AS (SELECT cell, i, round(avg(v[i + 1]), 6) AS m
+                     FROM a1, range(64) r(i) GROUP BY 1, 2),
+              c1 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m1 GROUP BY 1),
+              a2 AS (SELECT vec_id, v, cell FROM (
+                       SELECT e.vec_id, e.v, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                         c.cell) AS rn
+                       FROM e CROSS JOIN c1 c) WHERE rn = 1),
+              m2 AS (SELECT cell, i, round(avg(v[i + 1]), 6) AS m
+                     FROM a2, range(64) r(i) GROUP BY 1, 2),
+              c2 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m2 GROUP BY 1)
+              SELECT vec_id AS point_id, cell AS cluster, cos FROM (
+                SELECT e.vec_id, c.cell,
+                       round(list_cosine_similarity(e.v, c.centroid), 6) AS cos,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                  c.cell) AS rn
+                FROM e CROSS JOIN c2 c) WHERE rn = 1""")),
+
+    Q("v_random_proj", (s, d) => {
+      // Johnson-Lindenstrauss random projection 64 -> 8 dims with the
+      // same md5-derived deterministic hyperplanes as the LSH family —
+      // values instead of sign bits; one scalar column per output dim
+      val e = emb(s, d).select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      val native = e.sparkSession.catalog.functionExists("dot_product")
+      val projs = VectorFunctions.randomProjection(
+        col("v"), dim = 64, nOut = 8, native = native)
+      e.select(col("vec_id") +: projs.zipWithIndex.map {
+        case (p, i) => p.as(s"p$i")
+      }: _*)
+    },
+      Some("""WITH planes AS (
+                SELECT p, d,
+                       (('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+                        - CASE WHEN ('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT
+                                    >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::DOUBLE
+                       / 9223372036854775807 AS pval
+                FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                     (SELECT unnest(generate_series(0, 63)) AS d)),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              dots AS (SELECT e.vec_id, pl.p, round(sum(e.v[pl.d + 1] * pl.pval), 6) AS dt
+                       FROM e CROSS JOIN planes pl GROUP BY 1, 2)
+              SELECT vec_id,
+                     max(CASE WHEN p = 0 THEN dt END) AS p0,
+                     max(CASE WHEN p = 1 THEN dt END) AS p1,
+                     max(CASE WHEN p = 2 THEN dt END) AS p2,
+                     max(CASE WHEN p = 3 THEN dt END) AS p3,
+                     max(CASE WHEN p = 4 THEN dt END) AS p4,
+                     max(CASE WHEN p = 5 THEN dt END) AS p5,
+                     max(CASE WHEN p = 6 THEN dt END) AS p6,
+                     max(CASE WHEN p = 7 THEN dt END) AS p7
+              FROM dots GROUP BY vec_id""")),
+
     // ===== X: text analysis =====
+
+    Q("x_posting_lists", (s, d) =>
+      // inverted index: term -> df, cf, bounded posting list (first 15
+      // doc ids ascending, comma-joined — scalar output, and the cap is
+      // the hot-term safety contract at corpus scale)
+      graft.operators.InvertedIndex.build(doc(s, d), col("doc_id"), col("text"),
+        maxPostings = 15),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+              tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                     FROM toks WHERE term <> '' GROUP BY 1, 2)
+              SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+                     array_to_string((list_sort(list(doc_id)))[1:15], ',') AS postings
+              FROM tf GROUP BY term""")),
 
     Q("x_lang_id", (s, d) =>
       doc(s, d).select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),

@@ -71,22 +71,36 @@ object VectorFunctions {
     when(round(d, 9) >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** LSH bucket id from `nPlanes` deterministic pseudo-random hyperplanes.
-    * Planes are derived from md5 of (seed, plane, dim) — stable across
-    * runs/executors with no RNG state. */
-  def lshBucket(v: Column, dim: Int, nPlanes: Int, seed: Int = 42,
-      native: Boolean = false): Column = {
-    val planes = (0 until nPlanes).map { p =>
-      (0 until dim).map { d =>
-        // stable hash -> [-1, 1)
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$seed:$p:$d".getBytes("UTF-8"))
-        val x = java.nio.ByteBuffer.wrap(h).getLong
-        (x.toDouble / Long.MaxValue.toDouble)
-      }
+  /** Deterministic pseudo-random hyperplane: component d is md5 of
+    * `seed:p:d`, first 8 digest bytes as a signed big-endian long scaled
+    * to [-1, 1) — stable across runs/executors with no RNG state, and
+    * recomputable inside any engine with an md5 function. */
+  def planeValues(seed: Int, p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$p:$d".getBytes("UTF-8"))
+      val x = java.nio.ByteBuffer.wrap(h).getLong
+      x.toDouble / Long.MaxValue.toDouble
     }
-    planes.zipWithIndex.map { case (plane, i) =>
-      projectSign(v, plane, native) * lit(1 << i)
+
+  /** LSH bucket id from `nPlanes` deterministic pseudo-random hyperplanes
+    * ([[planeValues]]). */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int, seed: Int = 42,
+      native: Boolean = false): Column =
+    (0 until nPlanes).map { p =>
+      projectSign(v, planeValues(seed, p, dim), native) * lit(1 << p)
     }.reduce(_ + _)
-  }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * style): output component p is the dot product with deterministic
+    * hyperplane p, rounded at 6 decimals. The value-bearing sibling of
+    * [[lshBucket]] — same planes, values instead of sign bits. Returns
+    * one column per output dimension so callers keep scalar outputs. */
+  def randomProjection(v: Column, dim: Int, nOut: Int, seed: Int = 42,
+      native: Boolean = false): Seq[Column] =
+    (0 until nOut).map { p =>
+      val planeCol = array(planeValues(seed, p, dim).map(lit): _*)
+      val d = if (native) call_function("dot_product", v, planeCol) else dot(v, planeCol)
+      round(d, 6)
+    }
 }

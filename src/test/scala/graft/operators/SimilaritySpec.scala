@@ -90,4 +90,31 @@ class SimilaritySpec extends SparkSpec {
     val (_, codes2, mae2, _) = rows(1)
     assert(codes2.forall(_ == 0) && mae2 == 0.0) // constant vector round-trips
   }
+
+  test("randomProjection preserves relative distances roughly (JL property)") {
+    import graft.functions.VectorFunctions
+    // two tight groups far apart in 16-dim; projections to 4 dims must
+    // keep within-group distances below the between-group distances
+    val df = (0L until 20L).map { i =>
+      val base = if (i < 10) 5.0 else -5.0
+      (i, Seq.tabulate(16)(j => base + 0.01 * ((i + j) % 3)))
+    }.toDF("vec_id", "v")
+    val projs = VectorFunctions.randomProjection(col("v"), dim = 16, nOut = 4)
+    val rows = df.select(col("vec_id") +: projs.zipWithIndex.map {
+      case (p, j) => p.as(s"p$j")
+    }: _*).as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    def dist(a: (Long, Double, Double, Double, Double),
+             b: (Long, Double, Double, Double, Double)): Double =
+      math.sqrt(math.pow(a._2 - b._2, 2) + math.pow(a._3 - b._3, 2) +
+        math.pow(a._4 - b._4, 2) + math.pow(a._5 - b._5, 2))
+    val g1 = rows.filter(_._1 < 10); val g2 = rows.filter(_._1 >= 10)
+    val within = for (a <- g1; b <- g1 if a._1 < b._1) yield dist(a, b)
+    val between = for (a <- g1; b <- g2) yield dist(a, b)
+    assert(within.max < between.min)
+    // deterministic: same planes every call
+    val again = df.select(col("vec_id") +: VectorFunctions.randomProjection(
+      col("v"), dim = 16, nOut = 4).zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+  }
 }
