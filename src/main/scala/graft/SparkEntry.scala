@@ -1854,6 +1854,38 @@ object SparkEntry {
                      array_to_string((list_sort(list(doc_id)))[1:15], ',') AS postings
               FROM tf GROUP BY term""")),
 
+    Q("x_bigram_lm", (s, d) =>
+      // corpus bigram LM: ordered-pair counts + P(w2|w1); adjacency from
+      // one lead window over exploded positions (no self-join)
+      TextFunctions.bigramLm(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              p AS (SELECT doc_id, pos, w,
+                      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks WHERE w <> ''),
+              c AS (SELECT w AS w1, w2, count(*)::BIGINT AS cnt
+                    FROM p WHERE w2 IS NOT NULL GROUP BY 1, 2)
+              SELECT w1, w2, cnt,
+                     round(cnt / (sum(cnt) OVER (PARTITION BY w1)), 6) AS p_cond
+              FROM c""")),
+
+    Q("d_temperature_mix", (s, d) =>
+      // temperature-scaled source mixing (alpha=0.7, expected total 300):
+      // per-source rates from count^alpha, deterministic hash-bucket keep
+      graft.operators.Sampling.temperatureMix(
+        doc(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), alpha = 0.7, targetRows = 300),
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+              r AS (SELECT source,
+                      least(1.0, round(300.0 * pow(n, 0.7)
+                        / (SELECT sum(pow(n, 0.7)) FROM c) / n, 6)) AS rate
+                    FROM c)
+              SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+              WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                    < floor(rate * 10000)::BIGINT""")),
+
     Q("x_lang_id", (s, d) =>
       doc(s, d).select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
         (TextFunctions.langId(col("text")) === col("lang")).as("agrees")),

@@ -134,6 +134,34 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
   }
 
+  /** Corpus bigram language model: count of each ordered token pair and
+    * the conditional probability P(w2 | w1) = c(w1,w2) / Σ_w2 c(w1,w2)
+    * (the denominator is occurrences of w1 as a predecessor, so rows per
+    * w1 sum to exactly 1). The counting core of n-gram LM training and of
+    * BPE-style pair-merge vocabulary induction.
+    *
+    * Relational shape: tokens are EXPLODED with positions, adjacency comes
+    * from one `lead` window keyed on the document (not a self-join — one
+    * shuffle), then a (w1,w2) hash aggregate with map-side partials and a
+    * w1-window for the denominator. Scales: the widest frame is the token
+    * stream itself. */
+  def bigramLm(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column
+  ): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"),
+        posexplode(split(trim(text), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+    pairs.groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p_cond",
+        round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
+  }
+
   /** Gopher-style repetition signals per document: the fraction of word
     * n-gram occurrences captured by the single most frequent n-gram
     * (`top{n}gram_frac`), and the fraction of occurrences whose gram

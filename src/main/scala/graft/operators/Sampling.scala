@@ -71,6 +71,36 @@ object Sampling {
     df.filter(sampleBucket(id, salt, buckets) <
       floor(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets).cast("long"))
 
+  /** Temperature-scaled source mixing (the standard multilingual /
+    * multi-source training-mix recipe): source `s` with `n_s` rows is
+    * sampled at a rate proportional to `n_s^alpha / n_s`, normalized so
+    * the expected kept total is `targetRows` (rates cap at 1). `alpha=1`
+    * preserves the natural mix; `alpha=0` equalizes sources; in between
+    * up-weights the tail. Rates are rounded at 6 decimals so the derived
+    * configuration is engine-replicable; the per-source frame is
+    * aggregation output (configuration-sized in practice — one row per
+    * corpus source) and AQE broadcasts the join back; the fact side stays
+    * a pure filter. */
+  def temperatureMix(
+      df: DataFrame, source: Column, id: Column,
+      alpha: Double, targetRows: Long,
+      salt: String = "", buckets: Int = DefaultBuckets): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    // window over the whole (tiny) counts frame: one partition of
+    // #sources rows — the same bounded-total posture as TF-IDF's N
+    val rates = counts
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+      .withColumn("__rate", least(lit(1.0),
+        round(lit(targetRows.toDouble) * col("__w") /
+          sum(col("__w")).over(org.apache.spark.sql.expressions.Window.partitionBy()) /
+          col("__n").cast("double"), 6)))
+      .select(col("__src"), col("__rate"))
+    df.join(rates, source === col("__src"), "inner")
+      .filter(sampleBucket(id, salt, buckets) <
+        floor(col("__rate") * buckets).cast("long"))
+      .drop("__src", "__rate")
+  }
+
   /** Leakage-free train/val/test assignment: the split label is a pure
     * function of the GROUP key's hash bucket (not the row's), so all rows
     * sharing a group — a source domain, a user, a document family — land

@@ -100,4 +100,16 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 0.5, 0.666667), (2L, 0.5, 0.0), (3L, 0.0, 0.0)))
   }
+  test("bigramLm: hand-computed pair counts and conditional probabilities") {
+    val df = Seq((1L, "a b c a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLm(df, col("doc_id"), col("text"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // pairs: doc1 = (a b)(b c)(c a)(a b), doc2 = (a b); doc3 has none
+    assert(got == Seq(("a", "b", 3L, 1.0), ("b", "c", 1L, 1.0), ("c", "a", 1L, 1.0)))
+    // probabilities per w1 sum to 1
+    val sums = TextFunctions.bigramLm(df, col("doc_id"), col("text"))
+      .groupBy(col("w1")).agg(round(sum(col("p_cond")), 4).as("s"))
+      .as[(String, Double)].collect()
+    assert(sums.forall(_._2 == 1.0))
+  }
 }

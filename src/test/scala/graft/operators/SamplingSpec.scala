@@ -72,4 +72,30 @@ class SamplingSpec extends SparkSpec {
       .groupBy(col("split")).count().as[(String, Long)].collect().toMap
     assert(splits.values.sum == 97L && splits("train") > 60)
   }
+  test("temperatureMix: rates follow count^alpha and total approximates target") {
+    val df = ((1L to 4000L).map(i => (i, "big")) ++
+      (4001L to 4400L).map(i => (i, "mid")) ++
+      (4401L to 4440L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, col("src"), col("id"),
+      alpha = 0.5, targetRows = 500)
+    val byS = out.groupBy(col("src")).count().as[(String, Long)].collect().toMap
+    // alpha < 1 up-weights the tail: small keeps a larger FRACTION than big
+    val fBig = byS("big") / 4000.0; val fSmall = byS.getOrElse("small", 0L) / 40.0
+    assert(fSmall > fBig)
+    // expected total is ~target (hash-bucket granularity + capping slack)
+    assert(math.abs(out.count() - 500L) < 100)
+    // deterministic
+    assert(out.count() == Sampling.temperatureMix(df, col("src"), col("id"),
+      alpha = 0.5, targetRows = 500).count())
+  }
+
+  test("temperatureMix alpha=0 equalizes expected per-source keeps") {
+    val df = ((1L to 3000L).map(i => (i, "a")) ++
+      (3001L to 3300L).map(i => (i, "b"))).toDF("id", "src")
+    val byS = Sampling.temperatureMix(df, col("src"), col("id"),
+      alpha = 0.0, targetRows = 400)
+      .groupBy(col("src")).count().as[(String, Long)].collect().toMap
+    // each source targets ~200 rows regardless of its size
+    assert(math.abs(byS("a") - 200.0) < 60 && math.abs(byS("b") - 200.0) < 60)
+  }
 }
