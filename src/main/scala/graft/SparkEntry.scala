@@ -1925,10 +1925,16 @@ object SparkEntry {
       // fingerprint with a df-cap of 50 — boilerplate spans are hot keys
       Dedup.passageDupPairs(doc(s, d), col("doc_id"), col("text"),
         k = 5, w = 4, minShared = 2, maxDf = Some(50)),
-      Some("""WITH h AS (SELECT doc_id,
-                [('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT
-                 for i in generate_series(1, len(text) - 4)] AS hs
-              FROM documents WHERE len(text) >= 5),
+      // oracle replays the Rabin-Karp rolling kernel as a per-gram fold
+      // (acc * B + codepoint) mod M — exact integer arithmetic, bit-equal
+      // to the native O(1)-per-position recurrence by construction
+      Some("""WITH cs AS (SELECT doc_id, string_split(text, '') AS cs
+                          FROM documents WHERE len(text) >= 5),
+              h AS (SELECT doc_id,
+                [list_reduce([ord(ch)::BIGINT for ch in cs[i:i + 4]],
+                   (a, b) -> (a * 1000003 + b) % 2147483629)
+                 for i in generate_series(1, len(cs) - 4)] AS hs
+              FROM cs),
               f AS (SELECT doc_id,
                       list_distinct([list_min(hs[j:j+3])
                                      for j in generate_series(1, len(hs) - 3)]) AS fps

@@ -214,30 +214,40 @@ object TextFunctions {
     * document and a 100x slowdown observed at sf0.1. */
   def winnowFingerprints(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, w: Int, hash: String = "md5"): org.apache.spark.sql.DataFrame = {
+    require(hash == "md5" || hash == "poly", s"unknown kgram hash kernel: $hash")
     val base = df.filter(length(text) >= k + w - 1)
-    // native path (GraftExtensions registered): all k-gram hashes of a doc
-    // in ONE pass while the text is still one row, THEN explode — exploded
-    // rows carry (doc_id, pos, long) instead of dragging the full document
-    // text into every position row (O(len^2) bytes in the composable
-    // form). Hash values are bit-equal either way (same md5 prefix), so
-    // the fallback and the oracle agree.
+    val nativeFn = s"kgram_${hash}_hashes"
+    val catalog = df.sparkSession.catalog
+    // fully native path (GraftExtensions registered): hash every k-gram in
+    // one pass (`hash="poly"` = the O(1)-per-position Rabin–Karp rolling
+    // kernel; "md5" = the digest kernel), take window minima with the
+    // O(n) monotonic-deque sliding_min, dedupe in-row — the whole
+    // fingerprint computation is a row-local projection with NO
+    // per-position rows, no doc-keyed shuffle and no WindowExec. What
+    // leaves the row is the (small) fingerprint set itself. Values are
+    // bit-equal to the composable form below, so oracles agree either way.
+    if (catalog.functionExists(nativeFn) && catalog.functionExists("sliding_min"))
+      return base.select(id.cast("long").as("doc_id"),
+        explode(array_distinct(call_function("sliding_min",
+          call_function(nativeFn, text, lit(k)), lit(w)))).as("fp"))
     val positions =
-      if (df.sparkSession.catalog.functionExists("kgram_md5_hashes"))
-        base
-          .select(id.cast("long").as("doc_id"),
-            (length(text) - (k - 1)).as("__npos"),
-            posexplode(call_function("kgram_md5_hashes", text, lit(k)))
-              .as(Seq("__p0", "h")))
-          .select(col("doc_id"), col("__npos"), (col("__p0") + 1).as("pos"), col("h"))
-      else
-        base
+      {
+        val exploded = base
           .select(id.cast("long").as("doc_id"), text.as("__t"),
             (length(text) - (k - 1)).as("__npos"))
           .select(col("doc_id"), col("__npos"),
             explode(sequence(lit(1), col("__npos"))).as("pos"), col("__t"))
-          .select(col("doc_id"), col("__npos"), col("pos"),
-            graft.operators.Dedup.md5Int(col("__t").substr(col("pos"), lit(k))).as("h"))
+        val gram = col("__t").substr(col("pos"), lit(k))
+        val h =
+          if (hash == "md5") graft.operators.Dedup.md5Int(gram)
+          else
+            // composable Rabin–Karp twin: fold (acc*B + codepoint) mod M
+            // over the gram's characters; bit-equal to the native kernel
+            aggregate(split(gram, ""), lit(0L), (acc, ch) =>
+              (acc * graft.sql.PolyHash.B + ascii(ch)) % graft.sql.PolyHash.M)
+        exploded.select(col("doc_id"), col("__npos"), col("pos"), h.as("h"))
+      }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
     positions

@@ -248,8 +248,12 @@ object Dedup {
     * hot key whose candidate set grows quadratically. */
   def passageDupPairs(
       df: DataFrame, id: Column, text: Column,
-      k: Int, w: Int, minShared: Int, maxDf: Option[Int] = None): DataFrame = {
-    val fps = graft.functions.TextFunctions.winnowFingerprints(df, id, text, k, w)
+      k: Int, w: Int, minShared: Int, maxDf: Option[Int] = None,
+      hash: String = "poly"): DataFrame = {
+    // poly (Rabin–Karp rolling) is the default kernel here: passage
+    // witness only needs fingerprint EQUALITY, and the rolling form is
+    // O(1) per position instead of an O(k) md5 digest
+    val fps = graft.functions.TextFunctions.winnowFingerprints(df, id, text, k, w, hash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = maxDf match {
       case Some(cap) =>

@@ -56,6 +56,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KgramMd5Hashes(coerce(children.head, StringType), coerce(children(1), IntegerType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("kgram_poly_hashes"),
+      new ExpressionInfo(classOf[KgramPolyHashes].getName, "kgram_poly_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "kgram_poly_hashes expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression, t: org.apache.spark.sql.types.DataType) =
+          if (e.dataType == t) e else Cast(e, t)
+        KgramPolyHashes(coerce(children.head, StringType), coerce(children(1), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "sliding_min expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+        val arr = children.head.dataType match {
+          case ArrayType(LongType, _) => children.head // nullability-agnostic
+          case _ => Cast(children.head, ArrayType(LongType))
+        }
+        val w = if (children(1).dataType == IntegerType) children(1)
+          else Cast(children(1), IntegerType)
+        SlidingMin(arr, w)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
