@@ -97,4 +97,33 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("x_corpus_filter")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("winnowing is row-local: no WindowExec, no per-position shuffle") {
+    val p = plan("x_winnow")
+    assert(!p.contains("Window"), p)
+    // the only aggregation is the final fingerprint dedupe
+    assert(!p.contains("Exchange hashpartitioning(pos"), p)
+  }
+
+  test("k-means: centroids broadcast every iteration, corpus never nested-loops itself") {
+    val p = plan("v_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus side appears once per assignment pass against a
+    // broadcast; a corpus x corpus SMJ would indicate an all-pairs bug
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("posting lists build is explode + two hash aggregates with partials") {
+    val p = plan("x_posting_lists")
+    assert(p.contains("Generate explode"), p)
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("temperature mix: fact side is a filter; rates join is broadcast") {
+    val p = plan("d_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // the corpus side must not shuffle
+  }
 }
