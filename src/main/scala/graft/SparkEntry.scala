@@ -1886,6 +1886,65 @@ object SparkEntry {
               WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
                     < floor(rate * 10000)::BIGINT""")),
 
+    Q("x_bm25", (s, d) =>
+      // BM25 top-20 for a fixed bag-of-words query: token stream scanned
+      // once for lengths (column expr, no explode) and once for the tf of
+      // the 3 query terms (isin prunes before the aggregate)
+      graft.operators.InvertedIndex.bm25TopK(doc(s, d), col("doc_id"), col("text"),
+        Seq("spark", "join", "table"), k = 20),
+      Some("""WITH docs AS (SELECT doc_id,
+                (CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS dl,
+                text FROM documents),
+              stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+              toks AS (SELECT doc_id, dl,
+                unnest(string_split_regex(trim(text), '\s+')) AS term FROM docs),
+              tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM toks
+                     WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) CROSS JOIN stats GROUP BY 1)
+              SELECT doc_id, score, rank FROM (
+                SELECT *, (row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank
+                FROM sc) WHERE rank <= 20""")),
+
+    Q("d_pagerank", (s, d) => {
+      // simplified PageRank, 3 iterations, over the customer<->supplier
+      // trade graph (supplier ids offset into their own range); each
+      // iteration rounds at 9 decimals so the trajectory replays
+      // identically in the oracle — the k-means playbook on a graph
+      val e = li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("p"))
+      val edges = e.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(e.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Components.pageRank(edges, "src", "dst", iters = 3)
+    },
+      Some("""WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (SELECT c AS src, p AS dst FROM b
+                    UNION SELECT p AS src, c AS dst FROM b),
+              n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+              r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM n),
+              r1 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node)),
+              r2 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node)),
+              r3 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node))
+              SELECT node, rank FROM r3""")),
+
     Q("x_lang_id", (s, d) =>
       doc(s, d).select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
         (TextFunctions.langId(col("text")) === col("lang")).as("agrees")),

@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Simplified PageRank (the original non-normalized formulation:
+    * `r' = (1-d) + d * Σ_in r/outdeg`, no dangling-mass redistribution)
+    * over a directed edge list, for a FIXED number of iterations —
+    * influence/centrality scoring for corpus link graphs or entity
+    * graphs.
+    *
+    * Determinism: every iteration rounds ranks at 9 decimals, so the
+    * next iteration's input — and therefore the whole fixed-point
+    * trajectory — replays identically in any engine that can do the
+    * same join + grouped sum (the k-means playbook applied to graphs).
+    *
+    * Scale shape: out-degrees are one hash aggregate; each iteration is
+    * one equi join of ranks to edges (shuffle on node id) plus one
+    * grouped sum with map-side partials. Nothing collects to the
+    * driver; the lineage grows linearly in `iters`, which is a small
+    * constant by contract (pass a materializer for long runs). */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 9)
+            .as("rank"))
+    }
+    ranks
+  }
+
   /** `pairs` must carry two long-typed id columns `a` and `b` (undirected
     * edges). Returns (node, component) where component = the smallest node
     * id in the cluster — so `node === component` marks the canonical

@@ -37,4 +37,47 @@ object InvertedIndex {
         sum(col("tf")).as("cf"),
         array_join(slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings), ",")
           .as("postings"))
+
+  /** BM25 top-k retrieval for a fixed bag-of-words query (the standard
+    * lexical ranking function; Robertson & Zaragoza 2009):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl))
+    *   idf(t)   = ln( (N − df + 0.5) / (df + 0.5) + 1 )   (always ≥ 0)
+    *
+    * Scale shape: the token stream is scanned ONCE for per-doc lengths
+    * (a column expression — no explode) and once more for the tf of the
+    * few query terms (`isin` prunes before the aggregate, so the tf
+    * frame is |query| × matching docs, not corpus × vocabulary). N and
+    * avgdl ride a 1-row broadcast (the scalar-subquery shape); df joins
+    * on the query-term key. Scores are rounded at 6 with a doc-id
+    * tiebreak so ranks are engine-stable. */
+  def bm25TopK(
+      df: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(id.cast("long").as("doc_id"),
+      graft.functions.TextFunctions.tokenCountWs(text).cast("double").as("dl"),
+      text.as("__text"))
+    val stats = broadcast(docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(trim(col("__text")), "\\s+")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(stats)
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    // top-k via sort+limit (TakeOrderedAndProject — no global shuffle of
+    // the scored frame); the rank window then runs over k rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
 }

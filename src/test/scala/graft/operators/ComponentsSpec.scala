@@ -30,4 +30,25 @@ class ComponentsSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(pairs, "a", "b").count() == 0L)
   }
+  test("pageRank: star graph gives the hub the highest rank; deterministic") {
+    // edges: 1->0, 2->0, 3->0 and back — node 0 is the hub
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val r = Components.pageRank(e, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) > r(1L) && r(0L) > r(2L) && r(0L) > r(3L))
+    // spokes are symmetric
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+    val again = Components.pageRank(e, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r == again)
+  }
+
+  test("pageRank: sink keeps the floor rank; no in-edges = 1 - damping") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Components.pageRank(e, "src", "dst", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.15) // no in-edges
+    assert(r(2L) == 0.2775) // 0.15 + 0.85 * 0.15, rounded at 9 in-query
+  }
 }

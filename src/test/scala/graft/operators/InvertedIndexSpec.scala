@@ -29,4 +29,35 @@ class InvertedIndexSpec extends SparkSpec {
     assert(row._2 == 100L && row._3 == 100L)
     assert(row._4 == "1,2,3,4,5") // lowest ids, deterministic prefix
   }
+  test("bm25TopK: matching docs rank above partial matches; scores positive") {
+    val docs = Seq(
+      (1L, "spark join table spark"),
+      (2L, "spark only here"),
+      (3L, "nothing relevant at all"),
+      (4L, "join table join table join")
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("spark", "join", "table"), k = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // doc 3 matches nothing -> absent; all returned scores positive
+    assert(!got.exists(_._1 == 3L))
+    assert(got.forall(_._2 > 0))
+    // docs hitting all three query terms outrank the single-term doc
+    val rankOf = got.map(r => r._1 -> r._3).toMap
+    assert(rankOf(1L) < rankOf(2L))
+    // rank sequence is 1..n
+    assert(got.map(_._3).toSeq == (1 to got.length))
+  }
+
+  test("bm25TopK saturates term frequency (k1 bound)") {
+    val docs = Seq(
+      (1L, "term " * 50),
+      (2L, "term filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("term"), k = 2).as[(Long, Double, Int)].collect()
+    val s = got.map(r => r._1 -> r._2).toMap
+    // tf=50 must not score 50x the tf=1 doc: BM25 caps near (k1+1)*idf
+    assert(s(1L) < s(2L) * 4)
+  }
 }
