@@ -37,19 +37,23 @@ object Bench {
         else (first +: (2 to repeat).map(_ => once())).min
       name -> secs
     }
-    // One JSON line. The harness that archives this output keeps only the
-    // LAST ~2000 characters, so the headline keys (metric/value/flagship)
-    // go at the END of the object — JSON key order is irrelevant to any
-    // parser, but tail-truncation would otherwise cut exactly the numbers
-    // that matter. Timings are rounded to ms: this VM's run-to-run noise
-    // is orders of magnitude above micro-precision, and the shorter line
-    // keeps more queries inside the preserved tail window.
+    // One JSON line, sized to SURVIVE the archiver: the harness keeps only
+    // the LAST ~2000 characters of output, and at 100+ queries a line
+    // carrying every timing is front-truncated into unparseable garbage
+    // (BENCH_r04 recorded parsed:null for exactly this reason). So the
+    // JSON line itself stays compact — per-query detail for queries
+    // >= 0.5 s (the only ones whose timing beats this VM's noise floor),
+    // one aggregate for the sub-0.5 s rest — with the headline keys last.
+    // The complete per-query list still goes to stdout, one "#bench"
+    // comment line each, for human/log inspection.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    results.foreach { case (k, v) => println(s"#bench $k ${f(v)}") }
+    val (slow, fast) = results.partition(_._2 >= 0.5)
+    val qs = slow.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val flagship = results.collectFirst { case ("domain_e2e_gl", v) => f(v) }.getOrElse("null")
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"flagship_domain_e2e_gl_sec":$flagship,"metric":"total","value":${f(total)},"unit":"sec"}""")
+    println(s"""{"queries":$qs,"fast_queries_n":${fast.size},"fast_queries_total":${f(fast.map(_._2).sum)},"sf":"$sfDir","n_queries":${results.size},"flagship_domain_e2e_gl_sec":$flagship,"metric":"total","value":${f(total)},"unit":"sec"}""")
     spark.stop()
   }
 }
