@@ -1945,6 +1945,73 @@ object SparkEntry {
                        GROUP BY 1) s USING (node))
               SELECT node, rank FROM r3""")),
 
+    Q("x_tokenize_vocab", (s, d) => {
+      // corpus-induced top-50 vocab (cf desc, term tiebreak), then each
+      // doc encoded as its token-id sequence (OOV -> -1), comma-joined
+      val docs = doc(s, d)
+      graft.operators.Tokenize.encodeWithVocab(docs, col("doc_id"), col("text"),
+        graft.operators.Tokenize.vocabTopN(docs, col("doc_id"), col("text"), v = 50))
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              t AS (SELECT * FROM toks WHERE term <> ''),
+              cf AS (SELECT term, count(*)::BIGINT AS cf FROM t GROUP BY 1),
+              vocab AS (SELECT term,
+                          (row_number() OVER (ORDER BY cf DESC, term) - 1)::BIGINT AS tok_id
+                        FROM cf ORDER BY cf DESC, term LIMIT 50),
+              enc AS (SELECT t.doc_id, t.pos, coalesce(v.tok_id, -1) AS tok_id
+                      FROM t LEFT JOIN vocab v USING (term))
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     array_to_string(list(tok_id ORDER BY pos), ',') AS token_ids
+              FROM enc GROUP BY 1""")),
+
+    Q("x_seq_pack", (s, d) =>
+      // deterministic sequence packing: per source, docs in id order fill
+      // 2048-token sequences by running total — one window, no per-bin
+      // state, replayable in any engine
+      graft.operators.Tokenize.seqPack(
+        doc(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), seqLen = 2048),
+      Some("""WITH d AS (SELECT doc_id, source,
+                (CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tok
+              FROM documents)
+              SELECT doc_id, source, n_tok,
+                     floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok) / 2048)::BIGINT AS seq_id
+              FROM d""")),
+
+    Q("a14_histogram", (s, d) =>
+      // fixed-width histogram with edge clamping: portable floor of a
+      // linear map, one hash aggregate
+      graft.operators.Stats.histogram(li(s, d), col("l_extendedprice"),
+        lo = 0.0, hi = 60000.0, bins = 20),
+      Some("""WITH b AS (SELECT
+                least(greatest(floor(l_extendedprice / 3000), 0), 19)::BIGINT AS bin,
+                l_extendedprice AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL)
+              SELECT bin, count(*)::BIGINT AS n,
+                     round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+              FROM b GROUP BY 1""")),
+
+    Q("a15_zscore", (s, d) =>
+      // per-type z-score outliers on the event stream: group stats from
+      // one aggregate joined back (no corpus-sized window partitions)
+      graft.operators.Stats.zScoreOutliers(
+        ev(s, d).select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("event_id"), col("value"), threshold = 3.0),
+      Some("""WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+                         FROM events GROUP BY 1),
+              z AS (SELECT e.event_id, e.event_type, e.value,
+                      CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+                           ELSE round((e.value - s.m) / s.sd, 4) END AS z
+                    FROM events e JOIN s USING (event_type))
+              SELECT event_id, event_type, value, z, abs(z) > 3.0 AS is_outlier
+              FROM z""")),
+
     Q("x_lang_id", (s, d) =>
       doc(s, d).select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
         (TextFunctions.langId(col("text")) === col("lang")).as("agrees")),

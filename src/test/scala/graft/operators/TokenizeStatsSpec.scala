@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TokenizeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabTopN ids follow (cf desc, term) order; encode maps OOV to -1") {
+    val docs = Seq(
+      (1L, "b a a c"),
+      (2L, "a b zz")
+    ).toDF("doc_id", "text")
+    // cf: a=3, b=2, c=1, zz=1 -> vocab(3): a=0, b=1, c=2; zz OOV
+    val vocab = Tokenize.vocabTopN(docs, col("doc_id"), col("text"), v = 3)
+      .select(col("term"), col("tok_id")).as[(String, Long)].collect().toMap
+    assert(vocab == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val enc = Tokenize.encodeWithVocab(docs, col("doc_id"), col("text"),
+      Tokenize.vocabTopN(docs, col("doc_id"), col("text"), v = 3))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc(1L) == ((4L, "1,0,0,2")))
+    assert(enc(2L) == ((3L, "0,1,-1")))
+  }
+
+  test("seqPack: running total within group assigns sequence bins") {
+    val df = Seq(
+      (1L, "s1", 1000L), (2L, "s1", 1000L), (3L, "s1", 100L), (4L, "s1", 3000L),
+      (5L, "s2", 10L)
+    ).toDF("doc_id", "src", "n_tok")
+    val got = Tokenize.seqPack(df, col("src"), col("doc_id"), col("n_tok"), seqLen = 2048)
+      .select(col("doc_id"), col("seq_id")).as[(Long, Long)].collect().toMap
+    // cum-exclusive: 0, 1000, 2000, 2100 -> bins 0, 0, 0, 1; s2 starts at 0
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("histogram clamps outliers into edge buckets and counts exactly") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 150.0).toDF("v")
+    val got = Stats.histogram(df, col("v"), lo = 0.0, hi = 100.0, bins = 10)
+      .select(col("bin"), col("n")).as[(Long, Long)].collect().toMap
+    assert(got(0L) == 3L) // -5 clamped, 0.0, 9.9
+    assert(got(1L) == 1L) // 10.0
+    assert(got(5L) == 1L) // 55
+    assert(got(9L) == 2L) // 99.9 and clamped 150
+    assert(got.values.sum == 7L)
+  }
+
+  test("zScoreOutliers flags the planted outlier and zeroes degenerate groups") {
+    val base = (1L to 100L).map(i => (i, "g", 10.0 + (i % 7) * 0.1))
+    val df = (base :+ ((101L, "g", 500.0)) :+ ((102L, "solo", 4.2)))
+      .toDF("id", "grp", "v")
+    val got = Stats.zScoreOutliers(df, col("grp"), col("id"), col("v"))
+      .select(col("id"), col("z"), col("is_outlier"))
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(101L)._3) // the planted 500.0
+    assert(base.forall(b => !got(b._1)._3))
+    assert(got(102L)._2 == 0.0 && !got(102L)._3) // single-row group: sd null -> z 0
+  }
+}
