@@ -35,6 +35,32 @@ object StreamOps {
         col("n"), col("total_value"))
   }
 
+  /** Idempotent keyed parquet sink via foreachBatch: every micro-batch
+    * left-anti joins against the target's existing keys (a column-pruned
+    * scan) and appends only NEW keys — the streaming twin of the export
+    * upsert (`graft.domain.Export`, SURVEY §2.1 S8). Replayed batches
+    * (restart, at-least-once upstream) converge instead of duplicating,
+    * which is exactly the delivery contract a 100 TB ingest needs on an
+    * append-only store. Returns the StreamingQuery; callers own the
+    * trigger/termination policy. */
+  def idempotentKeyedSink(
+      stream: DataFrame, keyCols: Seq[String], targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(path)) {
+            val existing = spark.read.parquet(targetDir)
+            graft.domain.Export.upsertCandidates(batch, existing, keyCols)
+          } else batch
+        fresh.write.mode("append").parquet(targetDir)
+      }
+      .start()
+
   /** Streaming dedup: drop repeated ids inside the watermark horizon —
     * the streaming twin of exact dedup (state is bounded by the
     * watermark, so it runs forever at 100 TB/day event volumes). */

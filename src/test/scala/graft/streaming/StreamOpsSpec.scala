@@ -274,4 +274,31 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+  test("idempotentKeyedSink: overlapping micro-batches converge to unique keys") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val target = s"$dir/table"; val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.idempotentKeyedSink(input.toDF(), Seq("event_id"), target, ckpt)
+    input.addData(
+      StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      StreamOps.Event(2, ts("2024-01-01 00:00:01"), 1, "a", 2.0))
+    q.processAllAvailable()
+    input.addData( // batch 2 replays key 2 with different payload, adds 3
+      StreamOps.Event(2, ts("2024-01-01 00:00:02"), 9, "b", 9.0),
+      StreamOps.Event(3, ts("2024-01-01 00:00:03"), 1, "a", 3.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(target)
+    assert(got.count() == 3)
+    assert(got.select(col("event_id")).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // first write wins: the replayed key kept its original payload
+    val k2 = got.filter(col("event_id") === 2).select(col("user_id")).as[Long].head()
+    assert(k2 == 1L)
+    // a fresh query over the same target (restart) re-appends nothing
+    val input2 = MemoryStream[StreamOps.Event]
+    val q2 = StreamOps.idempotentKeyedSink(input2.toDF(), Seq("event_id"), target, s"$dir/ckpt2")
+    input2.addData(StreamOps.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(target).count() == 3)
+  }
 }
