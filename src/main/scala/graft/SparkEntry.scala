@@ -1967,6 +1967,47 @@ object SparkEntry {
                      array_to_string(list(tok_id ORDER BY pos), ',') AS token_ids
               FROM enc GROUP BY 1""")),
 
+    Q("x_bpe_merges", (s, d) =>
+      // BPE vocabulary induction, 2 merge steps: heaviest adjacent symbol
+      // pair (weight desc, pair lexicographic) merged left-to-right in
+      // every word via plain string replace — the oracle replays the
+      // whole trajectory (both iterations) in SQL
+      graft.operators.Tokenize.bpeMerges(doc(s, d), col("doc_id"), col("text"),
+        nMerges = 2),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+              wrd AS (SELECT term AS word, count(*)::BIGINT AS freq
+                      FROM toks WHERE term <> '' GROUP BY 1),
+              w0 AS (SELECT word, freq,
+                       array_to_string(string_split(word, ''), '  ') AS seg FROM wrd),
+              p1 AS (SELECT sym AS a, nxt AS b, sum(freq) AS wgt FROM (
+                       SELECT word, freq, sym,
+                              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                       FROM (SELECT word, freq,
+                               unnest(string_split(seg, '  ')) AS sym,
+                               generate_subscripts(string_split(seg, '  '), 1) AS pos
+                             FROM w0))
+                     WHERE nxt IS NOT NULL GROUP BY 1, 2),
+              t1 AS (SELECT a, b FROM p1 ORDER BY wgt DESC, a, b LIMIT 1),
+              w1 AS (SELECT word, freq,
+                       trim(replace(' ' || seg || ' ',
+                         ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')) AS seg
+                     FROM w0 CROSS JOIN t1),
+              p2 AS (SELECT sym AS a, nxt AS b, sum(freq) AS wgt FROM (
+                       SELECT word, freq, sym,
+                              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                       FROM (SELECT word, freq,
+                               unnest(string_split(seg, '  ')) AS sym,
+                               generate_subscripts(string_split(seg, '  '), 1) AS pos
+                             FROM w1))
+                     WHERE nxt IS NOT NULL GROUP BY 1, 2),
+              t2 AS (SELECT a, b FROM p2 ORDER BY wgt DESC, a, b LIMIT 1),
+              w2 AS (SELECT word, freq,
+                       trim(replace(' ' || seg || ' ',
+                         ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')) AS seg
+                     FROM w1 CROSS JOIN t2)
+              SELECT word, freq, replace(seg, '  ', ' ') AS seg FROM w2""")),
+
     Q("x_seq_pack", (s, d) =>
       // deterministic sequence packing: per source, docs in id order fill
       // 2048-token sequences by running total — one window, no per-bin

@@ -37,6 +37,57 @@ object Tokenize {
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok_id")))),
           s => s.getField("tok_id")), ",").as("token_ids"))
 
+  /** BPE vocabulary induction, `nMerges` merge steps (Sennrich et al.
+    * 2016), fully deterministic and engine-replayable:
+    *
+    *  - a word is its space-joined symbol string (chars initially);
+    *  - each step counts adjacent symbol pairs weighted by word
+    *    frequency, picks the heaviest pair (weight desc, then pair
+    *    lexicographic — a total order), and merges its non-overlapping
+    *    occurrences left-to-right in every word;
+    *  - the merge itself is a plain string replace — non-overlapping
+    *    left-to-right in Spark and DuckDB alike, which is EXACTLY the
+    *    BPE merge contract, so the whole trajectory replays in SQL with
+    *    no UDFs. Symbols are joined with TWO spaces internally: with
+    *    single spaces, consecutive occurrences ("a b a b") share the
+    *    boundary space and the second would escape the replace; with
+    *    double separators each match consumes one space from each side
+    *    and the replacement restores them, so every occurrence merges.
+    *
+    * Scale shape per step: one explode of the distinct-word frame (not
+    * the corpus — frequencies were aggregated once), one pair count with
+    * map-side partials, a 1-row TakeOrdered winner broadcast back, one
+    * projection. `nMerges` is a small constant by contract (real BPE
+    * training runs the loop to 30-50k merges — at that point each step
+    * is this same plan, so the shape holds; the lineage then needs a
+    * materializer every few hundred steps).
+    *
+    * Returns (word, freq, seg) — each word's segmentation after all
+    * merges. */
+  def bpeMerges(
+      df: DataFrame, id: Column, text: Column, nMerges: Int): DataFrame = {
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var words = InvertedIndex.termPairs(df, id, text)
+      .groupBy(col("term").as("word")).agg(sum(col("tf")).as("freq"))
+      .withColumn("seg", concat_ws("  ", split(col("word"), "")))
+    for (_ <- 1 to nMerges) {
+      val pairs = words
+        .select(col("word"), col("freq"),
+          posexplode(split(col("seg"), "  ")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("wgt"))
+      val top = pairs.orderBy(col("wgt").desc, col("a").asc, col("b").asc).limit(1)
+        .select(col("a"), col("b"))
+      words = words.crossJoin(broadcast(top))
+        .withColumn("seg", trim(expr(
+          "replace(concat(' ', seg, ' '), concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")))
+        .drop("a", "b")
+    }
+    words.withColumn("seg", regexp_replace(col("seg"), " {2}", " "))
+  }
+
   /** Deterministic sequence packing: within each `group` (a source, a
     * shard), documents in `orderCol` order fill fixed-budget sequences of
     * `seqLen` tokens; a document lands in the sequence its RUNNING token

@@ -55,4 +55,24 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(base.forall(b => !got(b._1)._3))
     assert(got(102L)._2 == 0.0 && !got(102L)._3) // single-row group: sd null -> z 0
   }
+  test("bpeMerges: hand-traced two-step merge incl. greedy overlap") {
+    // corpus: "aaab aaab ab" -> freq(aaab)=2, freq(ab)=1
+    // step 1 pairs: (a,a) weight 4 (two per aaab), (a,b) weight 3 -> merge (a,a)
+    //   aaab -> [aa, a, b] (greedy left-to-right: the 2nd/3rd a pair once)
+    // step 2 pairs: (aa,a)=2, (a,b)=3 -> merge (a,b): aaab -> [aa, ab]; ab -> [ab]
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = Tokenize.bpeMerges(df, col("doc_id"), col("text"), nMerges = 2)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("aaab") == ((2L, "aa ab")))
+    assert(got("ab") == ((1L, "ab")))
+  }
+
+  test("bpeMerges handles consecutive pair occurrences (boundary sharing)") {
+    // "abab": with single-space separators the second (a,b) would escape
+    // the replace; the double-separator representation must merge both
+    val df = Seq((1L, "abab abab q")).toDF("doc_id", "text")
+    val got = Tokenize.bpeMerges(df, col("doc_id"), col("text"), nMerges = 1)
+      .as[(String, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("abab") == "ab ab")
+  }
 }
