@@ -1838,6 +1838,68 @@ object SparkEntry {
                      max(CASE WHEN p = 7 THEN dt END) AS p7
               FROM dots GROUP BY vec_id""")),
 
+    Q("d_cluster_sample", (s, d) => {
+      // diversity-balanced subset: k-means cells (1 Lloyd iteration) then
+      // a deterministic 10-per-cluster hash sample — operator composition
+      val assigned = Clustering.kMeansAssign(emb(s, d), col("vec_id"), col("embedding"),
+        k = 8, iters = 1)
+      graft.operators.Sampling.groupSample(
+        assigned.select(col("point_id"), col("cluster")),
+        Seq(col("cluster")), col("point_id"), k = 10)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              c0 AS (SELECT m.cell, e.v AS centroid
+                     FROM (SELECT vec_id % 8 AS cell, min(vec_id) AS mvid
+                           FROM e GROUP BY 1) m
+                     JOIN e ON e.vec_id = m.mvid),
+              a1 AS (SELECT vec_id, v, cell FROM (
+                       SELECT e.vec_id, e.v, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                         c.cell) AS rn
+                       FROM e CROSS JOIN c0 c) WHERE rn = 1),
+              m1 AS (SELECT cell, i, round(avg(v[i + 1]), 6) AS m
+                     FROM a1, range(64) r(i) GROUP BY 1, 2),
+              c1 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m1 GROUP BY 1),
+              fin AS (SELECT vec_id AS point_id, cell AS cluster FROM (
+                        SELECT e.vec_id, c.cell,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN c1 c) WHERE rn = 1)
+              SELECT point_id, cluster FROM (
+                SELECT point_id, cluster,
+                       row_number() OVER (PARTITION BY cluster
+                         ORDER BY ('0x' || substr(md5(point_id::VARCHAR), 1, 8))::BIGINT % 10000,
+                                  point_id) AS rnk
+                FROM fin) WHERE rnk <= 10""")),
+
+    Q("v_standardize", (s, d) => {
+      // per-dimension standardization (embedding whitening prep): corpus
+      // mean/stddev per dim from ONE aggregate pass over scalar columns,
+      // broadcast back; emitted for the first 4 dims
+      val e = emb(s, d).select(col("vec_id") +:
+        (0 until 4).map(i =>
+          element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+      val statCols = (0 until 4).flatMap(i => Seq(
+        avg(col(s"x$i")).as(s"m$i"), stddev_samp(col(s"x$i")).as(s"s$i")))
+      val stats = broadcast(e.agg(statCols.head, statCols.tail: _*))
+      e.crossJoin(stats).select(col("vec_id") +:
+        (0 until 4).map(i =>
+          round((col(s"x$i") - col(s"m$i")) / col(s"s$i"), 4).as(s"z$i")): _*)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              s AS (SELECT avg(v[1]) AS m0, stddev_samp(v[1]) AS s0,
+                           avg(v[2]) AS m1, stddev_samp(v[2]) AS s1,
+                           avg(v[3]) AS m2, stddev_samp(v[3]) AS s2,
+                           avg(v[4]) AS m3, stddev_samp(v[4]) AS s3 FROM e)
+              SELECT vec_id,
+                     round((v[1] - m0) / s0, 4) AS z0,
+                     round((v[2] - m1) / s1, 4) AS z1,
+                     round((v[3] - m2) / s2, 4) AS z2,
+                     round((v[4] - m3) / s3, 4) AS z3
+              FROM e CROSS JOIN s""")),
+
     // ===== X: text analysis =====
 
     Q("x_posting_lists", (s, d) =>
