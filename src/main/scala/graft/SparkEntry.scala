@@ -2100,6 +2100,29 @@ object SparkEntry {
                      round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
               FROM b GROUP BY 1""")),
 
+    Q("a16_funnel", (s, d) =>
+      // ordered view -> click -> purchase funnel per user: earliest stage
+      // times with the previous-stage-first constraint; stage = progress
+      graft.operators.Stats.funnel(
+        ev(s, d).select(col("user_id"), col("ts"), col("event_type")),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              s0 AS (SELECT user_id, min(ts) AS t_0 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              s1 AS (SELECT e.user_id, min(e.ts) AS t_1 FROM events e
+                     JOIN s0 ON s0.user_id = e.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s0.t_0 GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+                     JOIN s1 ON s1.user_id = e.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s1.t_1 GROUP BY 1)
+              SELECT u.user_id, s0.t_0, s1.t_1, s2.t_2,
+                     (CASE WHEN s2.t_2 IS NOT NULL THEN 3
+                           WHEN s1.t_1 IS NOT NULL THEN 2
+                           WHEN s0.t_0 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage
+              FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+                     LEFT JOIN s2 USING (user_id)""")),
+
     Q("a15_zscore", (s, d) =>
       // per-type z-score outliers on the event stream: group stats from
       // one aggregate joined back (no corpus-sized window partitions)

@@ -26,6 +26,40 @@ object Stats {
         round(max(value), 6).as("vmax"))
   }
 
+  /** Ordered funnel analysis: for each user, the earliest time of each
+    * stage GIVEN the previous stage happened earlier — `stage` counts how
+    * far the user progressed (0 = never entered). The standard product /
+    * event-stream conversion query.
+    *
+    * Scale shape: one conditional aggregate for stage 1, then one equi
+    * join + filtered aggregate per later stage — every shuffle keys on
+    * the user id, so the partitioning is reused across stages; no
+    * windows over whole event histories. */
+  def funnel(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val base = events.select(user.as("user_id"), ts.as("__ts"), eventType.as("__et"))
+    val users = base.select(col("user_id")).distinct()
+    var acc = users.join(
+      base.filter(col("__et") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("__ts")).as("t_0")),
+      Seq("user_id"), "left")
+    for (i <- 1 until stages.length) {
+      val prev = s"t_${i - 1}"
+      val next = base.filter(col("__et") === stages(i))
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .filter(col("__ts") > col(prev))
+        .groupBy(col("user_id")).agg(min(col("__ts")).as(s"t_$i"))
+      acc = acc.join(next, Seq("user_id"), "left")
+    }
+    // deepest stage wins: fold ascending so t_{n-1} ends up outermost
+    val stage = stages.indices.foldLeft(lit(0)) { (e, i) =>
+      when(col(s"t_$i").isNotNull, i + 1).otherwise(e)
+    }
+    acc.withColumn("stage", stage)
+  }
+
   /** Per-group z-score outlier flags: z = (x - mean_g) / stddev_g (sample
     * stddev), rounded at 4; |z| > `threshold` flags the row. Group stats
     * come from one hash aggregate joined back (group count is bounded by

@@ -75,4 +75,17 @@ class TokenizeStatsSpec extends SparkSpec {
       .as[(String, Long, String)].collect().map(r => r._1 -> r._3).toMap
     assert(got("abab") == "ab ab")
   }
+  test("funnel: ordering constraint gates later stages") {
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"), // full funnel
+      (2L, t(5), "click"), (2L, t(6), "view"),                         // click BEFORE view
+      (3L, t(1), "view"),                                              // stops at view
+      (4L, t(9), "error")                                              // never enters
+    ).toDF("user_id", "ts", "event_type")
+    val got = Stats.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
 }
