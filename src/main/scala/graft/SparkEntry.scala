@@ -2100,6 +2100,60 @@ object SparkEntry {
                      round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
               FROM b GROUP BY 1""")),
 
+    Q("x_phrase_search", (s, d) => {
+      // positional phrase search "join table": filter the token stream to
+      // the two phrase terms FIRST (isin before the join), then adjacency
+      // via an equi self-join on (doc, pos+1) — positional-postings
+      // intersection, the retrieval twin of the bigram adjacency
+      val toks = doc(s, d).select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+        .filter(col("term").isin("join", "table"))
+      val a = toks.filter(col("term") === "join")
+        .select(col("doc_id"), col("pos").as("p1"))
+      val b = toks.filter(col("term") === "table")
+        .select(col("doc_id"), col("pos").as("p2"))
+      a.join(b, a("doc_id") === b("doc_id") && col("p2") === col("p1") + 1)
+        .groupBy(a("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              a AS (SELECT doc_id, pos FROM toks WHERE term = 'join'),
+              b AS (SELECT doc_id, pos FROM toks WHERE term = 'table')
+              SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+              FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1""")),
+
+    Q("a17_equidepth", (s, d) =>
+      // equi-DEPTH histogram (complement of a14's equi-width): ntile over
+      // a TOTAL order (value, unique id) so bucket edges are deterministic
+      ev(s, d).select(col("event_id"), col("value"))
+        .withColumn("bucket", ntile(8).over(
+          Window.partitionBy().orderBy(col("value"), col("event_id"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("vmin"),
+          round(max(col("value")), 6).as("vmax")),
+      Some("""WITH b AS (SELECT value,
+                ntile(8) OVER (ORDER BY value, event_id) AS bucket FROM events)
+              SELECT bucket::INT AS bucket, count(*)::BIGINT AS n,
+                     round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+              FROM b GROUP BY 1""")),
+
+    Q("a18_corr_panel", (s, d) =>
+      // Pearson correlation panel in one aggregate pass
+      li(s, d).agg(
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("c_price_qty"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("c_disc_tax"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("c_price_disc"),
+        count(lit(1)).as("n")),
+      Some("""SELECT round(corr(l_extendedprice, l_quantity), 6) AS c_price_qty,
+                     round(corr(l_discount, l_tax), 6) AS c_disc_tax,
+                     round(corr(l_extendedprice, l_discount), 6) AS c_price_disc,
+                     count(*)::BIGINT AS n
+              FROM lineitem""")),
+
     Q("a16_funnel", (s, d) =>
       // ordered view -> click -> purchase funnel per user: earliest stage
       // times with the previous-stage-first constraint; stage = progress
