@@ -2100,21 +2100,11 @@ object SparkEntry {
                      round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
               FROM b GROUP BY 1""")),
 
-    Q("x_phrase_search", (s, d) => {
-      // positional phrase search "join table": filter the token stream to
-      // the two phrase terms FIRST (isin before the join), then adjacency
-      // via an equi self-join on (doc, pos+1) — positional-postings
-      // intersection, the retrieval twin of the bigram adjacency
-      val toks = doc(s, d).select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
-        .filter(col("term").isin("join", "table"))
-      val a = toks.filter(col("term") === "join")
-        .select(col("doc_id"), col("pos").as("p1"))
-      val b = toks.filter(col("term") === "table")
-        .select(col("doc_id"), col("pos").as("p2"))
-      a.join(b, a("doc_id") === b("doc_id") && col("p2") === col("p1") + 1)
-        .groupBy(a("doc_id")).agg(count(lit(1)).as("n_occurrences"))
-    },
+    Q("x_phrase_search", (s, d) =>
+      // positional phrase search "join table": token stream pruned to the
+      // phrase terms before the (doc, pos+i) adjacency joins
+      graft.operators.InvertedIndex.phraseSearch(doc(s, d),
+        col("doc_id"), col("text"), Seq("join", "table")),
       Some("""WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(text), '\s+')) AS term,
                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos

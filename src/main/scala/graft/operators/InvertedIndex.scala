@@ -38,6 +38,27 @@ object InvertedIndex {
         array_join(slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings), ",")
           .as("postings"))
 
+  /** Positional phrase search: documents containing `phrase` as adjacent
+    * tokens, with occurrence counts. The token stream is pruned to the
+    * phrase's terms BEFORE any join, then adjacency chains through
+    * (doc, pos + i) equi self-joins — positional-postings intersection,
+    * |postings of phrase terms| joined rows, never corpus-sized. */
+  def phraseSearch(df: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = df.select(id.cast("long").as("doc_id"),
+        posexplode(split(trim(text), "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    val head = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(head) { case (acc, (w, i)) =>
+      val next = toks.filter(col("term") === w)
+        .select(col("doc_id"), col("pos").as(s"p$i"))
+      acc.join(next, Seq("doc_id")).filter(col(s"p$i") === col("p0") + i)
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** BM25 top-k retrieval for a fixed bag-of-words query (the standard
     * lexical ranking function; Robertson & Zaragoza 2009):
     *

@@ -60,4 +60,17 @@ class InvertedIndexSpec extends SparkSpec {
     // tf=50 must not score 50x the tf=1 doc: BM25 caps near (k1+1)*idf
     assert(s(1L) < s(2L) * 4)
   }
+  test("phraseSearch: n-term adjacency, counts occurrences, no false partial matches") {
+    val docs = Seq(
+      (1L, "fast join table scan join table x"),
+      (2L, "table join fast"),         // right words, wrong order
+      (3L, "join x table")             // not adjacent
+    ).toDF("doc_id", "text")
+    val two = InvertedIndex.phraseSearch(docs, col("doc_id"), col("text"),
+      Seq("join", "table")).as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 2L))
+    val three = InvertedIndex.phraseSearch(docs, col("doc_id"), col("text"),
+      Seq("fast", "join", "table")).as[(Long, Long)].collect().toMap
+    assert(three == Map(1L -> 1L))
+  }
 }
