@@ -1727,6 +1727,45 @@ object SparkEntry {
               FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
               QUALIFY rank <= 5""")),
 
+    Q("v_ann_multiprobe", (s, d) => {
+      val e = emb(s, d)
+      Similarity.lshMultiProbeTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 8)
+    },
+      // the v_ann_lsh replica plus Hamming-1 probe expansion on the query
+      // side (xor over generate_series) and pair dedupe before ranking
+      Some("""WITH planes AS (
+                SELECT p, d,
+                       (('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+                        - CASE WHEN ('0x' || substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 16))::UBIGINT
+                                    >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::DOUBLE
+                       / 9223372036854775807 AS pval
+                FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                     (SELECT unnest(generate_series(0, 63)) AS d)),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              dots AS (SELECT e.vec_id, pl.p,
+                              round(sum(e.v[pl.d + 1] * pl.pval), 9) AS dt
+                       FROM e CROSS JOIN planes pl GROUP BY 1, 2),
+              buckets AS (SELECT vec_id,
+                                 sum(CASE WHEN dt >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+                          FROM dots GROUP BY 1),
+              qb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)
+                     WHERE e.vec_id < 20),
+              probes AS (SELECT vec_id, v, bucket FROM qb
+                         UNION ALL
+                         SELECT qb.vec_id, qb.v, xor(qb.bucket, 1::BIGINT << f.p) AS bucket
+                         FROM qb, (SELECT unnest(generate_series(0, 7)) AS p) f),
+              c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+              pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                               round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                        FROM probes q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+              SELECT query_id, neighbor_id, cos,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id))::INT AS rank
+              FROM pairs QUALIFY rank <= 5""")),
+
     Q("v_ann_ivf", (s, d) => {
       val e = emb(s, d)
       Similarity.ivfCosineTopK(

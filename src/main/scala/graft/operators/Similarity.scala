@@ -89,6 +89,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Multi-probe LSH ANN: like [[lshCosineTopK]], but each query also
+    * probes the `nPlanes` Hamming-distance-1 neighbor buckets (one sign
+    * bit flipped). Standard recall/cost dial (Lv et al. 2007): probes
+    * cost |query side| x (nPlanes+1) exploded rows — query-side only, the
+    * corpus is still bucketed once and joined equi on the bucket id. */
+  def lshMultiProbeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val nativeDot = corpus.sparkSession.catalog.functionExists("dot_product")
+    val q = queries.select(col(qId).as("query_id"),
+        VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+      .withColumn("bucket",
+        VectorFunctions.lshBucket(col("qv"), dim, nPlanes, native = nativeDot))
+      .withColumn("probe", explode(array(
+        col("bucket") +: (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1 << p))): _*)))
+      .select(col("query_id"), col("qv"), col("probe").as("bucket"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+        VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+      .withColumn("bucket",
+        VectorFunctions.lshBucket(col("cv"), dim, nPlanes, native = nativeDot))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineCol(corpus)(col("qv"), col("cv")), 6).as("cos"))
+      .distinct() // a pair can match via several probes; score is identical
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** LSH-bucketed ANN: random-hyperplane buckets, exact rerank within the
     * bucket. Trades recall for a corpus-sized scan with no all-pairs
     * shuffle — the scale path. */

@@ -117,4 +117,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
     assert(rows.toSeq == again.toSeq)
   }
+  test("multi-probe LSH recall >= single-bucket LSH recall vs exact") {
+    val vecs = (0L until 120L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 1.3 + j * 0.7)))
+    }.toDF("vec_id", "v")
+    val q = vecs.filter(col("vec_id") < 10)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceCosineTopK(q, vecs, "vec_id", "v", "vec_id", "v", 5)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+      val got = df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val single = recall(Similarity.lshCosineTopK(q, vecs, "vec_id", "v", "vec_id", "v",
+      5, dim = 16, nPlanes = 6))
+    val multi = recall(Similarity.lshMultiProbeTopK(q, vecs, "vec_id", "v", "vec_id", "v",
+      5, dim = 16, nPlanes = 6))
+    assert(multi >= single)
+    assert(multi > 0.5) // probing 7 buckets must recover most true neighbors
+  }
 }
