@@ -2183,6 +2183,26 @@ object SparkEntry {
                      count(*)::BIGINT AS n
               FROM lineitem""")),
 
+    Q("a19_retention", (s, d) => {
+      // weekly cohort retention: users bucketed by first-seen week, then
+      // distinct active users per (cohort, activity) week pair — two hash
+      // aggregates + one user-keyed equi join
+      val e = ev(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.select(col("user_id"), col("wk")).distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), col("wk").as("activity_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+              cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+              act AS (SELECT DISTINCT user_id, wk FROM e)
+              SELECT c.cohort_wk, a.wk AS activity_wk,
+                     count(DISTINCT a.user_id)::BIGINT AS n_users
+              FROM act a JOIN cohort c USING (user_id)
+              GROUP BY 1, 2""")),
+
     Q("a16_funnel", (s, d) =>
       // ordered view -> click -> purchase funnel per user: earliest stage
       // times with the previous-stage-first constraint; stage = progress
