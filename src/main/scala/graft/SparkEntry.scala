@@ -2651,6 +2651,31 @@ object SparkEntry {
                      round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
               FROM s GROUP BY 1, 2""")),
 
+    Q("iv_gaps", (s, d) =>
+      // coverage holes between merged order-coverage windows per customer
+      Intervals.coverageGaps(
+        ord(s, d).select(col("o_custkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("o_end")),
+        col("o_custkey"), col("o_orderdate"), col("o_end")),
+      Some("""WITH s AS (SELECT o_custkey AS key, o_orderdate AS f,
+                                o_orderdate + INTERVAL 30 DAY AS t FROM orders),
+              x AS (SELECT key, f, t,
+                      max(t) OVER (PARTITION BY key ORDER BY f, t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+                    FROM s),
+              y AS (SELECT key, f, t,
+                      sum(CASE WHEN mx IS NULL OR f > mx THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY key ORDER BY f, t ROWS UNBOUNDED PRECEDING) AS isl
+                    FROM x),
+              m AS (SELECT key, min(f) AS range_from, max(t) AS range_to
+                    FROM y GROUP BY key, isl),
+              g AS (SELECT key, range_to AS gap_from,
+                      lead(range_from) OVER (PARTITION BY key ORDER BY range_from) AS gap_to
+                    FROM m)
+              SELECT key, gap_from, gap_to,
+                     date_diff('day', gap_from::DATE, gap_to::DATE)::BIGINT AS gap_days
+              FROM g WHERE gap_to IS NOT NULL""")),
+
     Q("iv_merge_intervals", (s, d) =>
       Intervals.mergeIntervals(
         ord(s, d).select(col("o_custkey"), col("o_orderdate"),

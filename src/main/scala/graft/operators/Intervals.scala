@@ -54,6 +54,24 @@ object Intervals {
         col("n_merged"))
   }
 
+  /** Coverage gaps: the holes BETWEEN a key's merged intervals — the
+    * complement query of [[mergeIntervals]] (lapsed-coverage detection,
+    * scheduling holes). One lead window over the merged frame, which is
+    * already tiny relative to the input. */
+  def coverageGaps(
+      df: DataFrame, key: Column, from: Column, to: Column): DataFrame = {
+    val merged = mergeIntervals(df, key, from, to)
+    val w = Window.partitionBy(col("key")).orderBy(col("range_from"))
+    merged
+      .withColumn("__next_from", lead(col("range_from"), 1).over(w))
+      .filter(col("__next_from").isNotNull)
+      .select(col("key"),
+        col("range_to").as("gap_from"),
+        col("__next_from").as("gap_to"),
+        datediff(col("__next_from").cast("date"), col("range_to").cast("date"))
+          .cast("long").as("gap_days"))
+  }
+
   /** Sessionize an event stream in batch: events for the same user that
     * are within `gapSeconds` of the previous event share a session.
     * Pure window-function formulation (gaps-and-islands) — no typed path

@@ -36,4 +36,16 @@ class IntervalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+  test("coverageGaps emits only true holes with day widths") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val df = Seq(
+      (1L, t("2024-01-01"), t("2024-01-10")),
+      (1L, t("2024-01-05"), t("2024-01-12")), // overlaps -> merges
+      (1L, t("2024-02-01"), t("2024-02-05")), // 20-day hole before this
+      (2L, t("2024-01-01"), t("2024-01-02"))  // single interval: no gap
+    ).toDF("k", "f", "t")
+    val got = Intervals.coverageGaps(df, col("k"), col("f"), col("t"))
+      .select(col("key"), col("gap_days")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L)))
+  }
 }
