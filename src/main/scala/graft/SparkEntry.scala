@@ -1479,6 +1479,29 @@ object SparkEntry {
                          JOIN sizes sb ON sb.doc_id = id_b
               WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1""")),
 
+    Q("d_prefix_jaccard", (s, d) =>
+      // prefix-filtered similarity join: the oracle is the PLAIN exact
+      // shared-any-shingle formulation — identical results prove the
+      // rarest-token-prefix pruning is semantics-preserving (unlike the
+      // df cap in d_ngram_jaccard, which changes the measure)
+      Dedup.prefixJaccardPairs(doc(s, d), col("doc_id"), col("text"),
+        n = 2, threshold = 0.5),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+1], ' ')
+                                             for i in generate_series(1, len(w) - 1)])) AS s
+                     FROM toks WHERE len(w) >= 2),
+              sizes AS (SELECT doc_id, count(*)::INT AS n_sh FROM sh GROUP BY 1),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+                        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                     round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+              FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5""")),
+
     Q("d_minhash_lsh", (s, d) =>
       Dedup.minHashLshPairs(doc(s, d), col("doc_id"), col("text"),
         shingleWords = 3, numHashes = 16, bands = 4),

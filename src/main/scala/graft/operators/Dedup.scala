@@ -95,6 +95,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard pairs (PPJoin-style, Xiao et al.,
+    * WWW'08 — public algorithm): candidates come from shared tokens in
+    * each doc's RAREST-token prefix instead of any shared token.
+    *
+    * Each doc's distinct shingles are ordered by ascending global
+    * document frequency (ties broken by the shingle string — a total
+    * order), and only the first `|d| - ceil(t*|d|) + 1` of them are
+    * blocking keys. The prefix-filter lemma guarantees any pair with
+    * Jaccard >= t shares at least one prefix token, so the result is
+    * IDENTICAL to [[ngramJaccardPairs]] with no df cap — the oracle for
+    * this operator is the plain exact formulation, which proves the
+    * pruning is semantics-preserving.
+    *
+    * Scale shape vs the shared-any-shingle join: stop-shingles ("of the
+    * and") have the HIGHEST df, so they land at the back of every doc's
+    * ordering and almost never act as blocking keys — the hot-key
+    * quadratic blowup disappears without changing the answer (df-capping
+    * changes the measure; this does not). Joins are equi (shingle, then
+    * doc ids); the verify stage rescans full shingle sets only for
+    * candidate pairs. */
+  def prefixJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    // exploded feeds ranking, the candidate prefixes AND the verify
+    // stage — persist so shingle generation runs once
+    val exploded = explodedWordShingles(df, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val perDoc = exploded.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__sorted"),
+        count(lit(1)).cast("int").as("n_sh"))
+      .withColumn("__plen",
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int"))
+    val prefixes = perDoc.select(col("doc_id"), col("n_sh"),
+      explode(slice(transform(col("__sorted"), _.getField("sh")),
+        lit(1), col("__plen"))).as("sh"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      // length filter: jaccard >= t requires t*|larger| <= |smaller|
+      .filter(least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .dropDuplicates("id_a", "id_b")
+    val common = cands
+      .join(exploded.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(exploded.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Stable 32-bit integer hash of a string: first 8 hex chars of md5.
     * Replicable in any engine (unlike Murmur3 `hash()`). */
   def md5Int(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")

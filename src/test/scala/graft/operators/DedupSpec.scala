@@ -36,6 +36,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0) // stop-shingle dropped -> no blocking key left
   }
 
+  test("prefixJaccardPairs equals the unblocked exact join, incl. hot shingles") {
+    // every doc shares the stop-bigrams of "of the and"; pairs (1,2) and
+    // (3,4) are true near-dups that must survive the prefix pruning
+    val docs = Seq(
+      (1L, "of the and alpha beta gamma delta"),
+      (2L, "of the and alpha beta gamma DELTA"),
+      (3L, "of the and zeta eta theta iota"),
+      (4L, "of the and zeta eta theta IOTA"),
+      (5L, "of the and unrelated tail words here"))
+    val df = docs.toDF("doc_id", "text")
+    for (th <- Seq(0.3, 0.5, 0.7)) {
+      val pruned = Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 2, th)
+        .as[(Long, Long, Double)].collect().toSet
+      val exact = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 2, th)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == exact, s"threshold $th")
+    }
+    val high = Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(high.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("embeddingNearDupPairs (IVF-blocked) matches exact within cells; subset of exact") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (16L, Array(0.99, 0.01, 0.0)), // -> cell 0
