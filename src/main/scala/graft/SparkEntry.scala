@@ -1634,6 +1634,39 @@ object SparkEntry {
               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
                     < floor(least(n_chars / 2000.0, 1.0) * 10000)::BIGINT""")),
 
+    Q("d_dsir_resample", (s, d) =>
+      // targeted data selection: importance-resample the raw pool toward
+      // the src0 distribution (hashed-unigram log-likelihood ratio +
+      // deterministic Gumbel top-k). DECIMAL log-ratio sums keep the
+      // score order-independent; the oracle replays the whole lineage.
+      graft.operators.Sampling.dsirResample(doc(s, d), col("doc_id"),
+        col("text"), col("source") === "src0"),
+      Some("""WITH tk AS (SELECT doc_id, source = 'src0' AS t,
+                ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+              FROM (SELECT doc_id, source,
+                      unnest(string_split_regex(trim(text), '\s+')) AS w
+                    FROM documents) WHERE w <> ''),
+              tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tk WHERE t GROUP BY 1),
+              bg  AS (SELECT b, count(*)::BIGINT AS cb FROM tk WHERE NOT t GROUP BY 1),
+              tot AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
+                             (SELECT sum(cb) FROM bg) AS tb),
+              r AS (SELECT bg.b,
+                      round(ln((coalesce(ct, 0) + 1) / (tt + 64))
+                            - ln((cb + 1) / (tb + 64)), 9)::DECIMAL(18,9) AS r
+                    FROM bg LEFT JOIN tgt USING (b), tot),
+              sc AS (SELECT doc_id, sum(c * r) AS score
+                     FROM (SELECT doc_id, b, count(*)::BIGINT AS c
+                           FROM tk WHERE NOT t GROUP BY 1, 2) rc
+                     JOIN r USING (b) GROUP BY 1),
+              ky AS (SELECT doc_id, round(score, 6)::DOUBLE AS log_w,
+                       round(score + round(-ln(-ln(
+                         (('0x' || substr(md5(doc_id::VARCHAR || '#dsir'), 1, 8))::BIGINT
+                          % 1000000 + 0.5) / 1000000.0)), 9)::DECIMAL(18,9), 6)::DOUBLE
+                         AS gumbel_key
+                     FROM sc)
+              SELECT doc_id, log_w, gumbel_key FROM ky
+              ORDER BY gumbel_key DESC, doc_id LIMIT 100""")),
+
     Q("d_split_assign", (s, d) =>
       // leakage-free train/val/test: the label hangs off the SOURCE's hash
       // bucket, so a source domain can never straddle a split boundary

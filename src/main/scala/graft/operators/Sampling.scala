@@ -101,6 +101,66 @@ object Sampling {
       .drop("__src", "__rate")
   }
 
+  /** Importance resampling for targeted data selection (DSIR-shaped:
+    * Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — public paper). Scores every raw-pool document by the
+    * log-likelihood ratio of hashed unigram features under the TARGET
+    * corpus vs the raw pool (add-one smoothing over `buckets` hashed
+    * feature buckets), perturbs with deterministic hash-derived Gumbel
+    * noise, and keeps the top `k` (Gumbel-top-k sampling without
+    * replacement ~ sampling proportional to the importance weights).
+    *
+    * Determinism/parity: per-bucket log ratios are rounded at 9 decimals
+    * and summed as DECIMAL (exact, order-independent — a double sum would
+    * depend on partial-aggregation order); the Gumbel noise derives from
+    * the doc id's md5 (no RNG). Scale shape: two feature aggregates with
+    * map-side combine, a broadcast join of the bucket ratio table
+    * (`buckets` rows), and a TakeOrdered top-k — no full sort, no
+    * driver-side loop. */
+  def dsirResample(
+      df: DataFrame, id: Column, text: Column, isTarget: Column,
+      buckets: Int = 64, k: Int = 100): DataFrame = {
+    val toks = df
+      .select(id.cast("long").as("doc_id"), isTarget.as("__t"),
+        explode(split(trim(text), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", pmod(Dedup.md5Int(col("w")), lit(buckets)))
+    val tgt = toks.filter(col("__t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val bg  = toks.filter(!col("__t")).groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    // bucket domain = buckets present in the raw pool (covers every raw
+    // doc's features); target-only buckets can't appear in scored docs
+    val ratios = bg.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+      .crossJoin(broadcast(bg.agg(sum(col("cb")).as("tb"))))
+      // decimal widths are deliberately TIGHT (|log ratio| < 1000, doc
+      // token counts < 10^10): a wider operand (e.g. long * decimal(18,9))
+      // overflows Spark's 38-digit product/sum precision, and the silent
+      // precision adjustment re-rounds intermediate values at scale 7-8 —
+      // a half-up re-round the oracle engine (exact at scale 9) won't do
+      .withColumn("r", round(
+        log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("cb") + 1).cast("double") / (col("tb") + buckets)), 9)
+        .cast("decimal(12,9)"))
+      .select(col("b"), col("r"))
+    val scores = toks.filter(!col("__t"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(10,0)") * col("r")).as("__s"))
+      .withColumn("__score", col("__s").cast("decimal(18,9)"))
+    val u = (pmod(Dedup.md5Int(concat(col("doc_id").cast("string"), lit("#dsir"))),
+      lit(1000000)).cast("double") + 0.5) / 1000000.0
+    scores
+      .withColumn("__g", round(-log(-log(u)), 9).cast("decimal(12,9)"))
+      // round the DECIMAL (exact half-up), THEN cast: rounding after a
+      // decimal->double cast puts exact-.5 ties a hair below the boundary
+      .withColumn("log_w", round(col("__score"), 6).cast("double"))
+      .withColumn("gumbel_key", round(col("__score") + col("__g"), 6).cast("double"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("log_w"), col("gumbel_key"))
+  }
+
   /** Leakage-free train/val/test assignment: the split label is a pure
     * function of the GROUP key's hash bucket (not the row's), so all rows
     * sharing a group — a source domain, a user, a document family — land

@@ -98,4 +98,28 @@ class SamplingSpec extends SparkSpec {
     // each source targets ~200 rows regardless of its size
     assert(math.abs(byS("a") - 200.0) < 60 && math.abs(byS("b") - 200.0) < 60)
   }
+
+  test("dsirResample up-weights target-like documents, deterministically") {
+    // target speaks "alpha beta gamma"; half the raw pool mimics it, the
+    // other half speaks "omega psi chi" — the mimics must dominate the
+    // kept set and carry strictly higher importance weights
+    val target = (1L to 20L).map(i => (i, "alpha beta gamma alpha beta", true))
+    val mimics = (100L to 119L).map(i => (i, "alpha beta gamma beta alpha", false))
+    val others = (200L to 219L).map(i => (i, "omega psi chi omega psi", false))
+    val df = (target ++ mimics ++ others).toDF("doc_id", "text", "is_t")
+    val got = Sampling.dsirResample(df, col("doc_id"), col("text"), col("is_t"),
+      buckets = 16, k = 20)
+      .as[(Long, Double, Double)].collect()
+    val again = Sampling.dsirResample(df, col("doc_id"), col("text"), col("is_t"),
+      buckets = 16, k = 20)
+      .as[(Long, Double, Double)].collect()
+    assert(got.toSeq == again.toSeq) // hash-derived noise: replayable
+    assert(got.length == 20)
+    val mimicW = got.filter(_._1 < 200).map(_._2)
+    val otherW = got.filter(_._1 >= 200).map(_._2)
+    // every kept mimic outweighs every kept non-mimic, and mimics dominate
+    assert(mimicW.nonEmpty)
+    assert(otherW.isEmpty || mimicW.min > otherW.max)
+    assert(mimicW.length >= 15)
+  }
 }
