@@ -185,12 +185,23 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val p = 4294967311L
-    val exploded = explodedWordShingles(df, id, text, shingleWords)
-      .withColumn("h", md5Int(col("sh")))
-    val docs = exploded.groupBy(col("doc_id"))
-      .agg(array((0 until numHashes).map { i =>
-        min((col("h") * (1L + 2L * i) + (11L * i + 7L)) % p)
-      }: _*).as("sig"))
+    // native kernel when registered: the signature is built inside the
+    // row (one md5 per shingle, permutation minima folded in-place), so
+    // signature construction needs NO explode and NO shuffle — bit-equal
+    // to the composable aggregate below, which remains the fallback
+    val docs =
+      if (df.sparkSession.catalog.functionExists("minhash_sig"))
+        df.select(id.cast("long").as("doc_id"),
+            call_function("minhash_sig", text, lit(shingleWords), lit(numHashes)).as("sig"))
+          .filter(size(col("sig")) > 0)
+      else {
+        val exploded = explodedWordShingles(df, id, text, shingleWords)
+          .withColumn("h", md5Int(col("sh")))
+        exploded.groupBy(col("doc_id"))
+          .agg(array((0 until numHashes).map { i =>
+            min((col("h") * (1L + 2L * i) + (11L * i + 7L)) % p)
+          }: _*).as("sig"))
+      }
     val banded = docs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",

@@ -82,6 +82,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SlidingMin(arr, w)
       }))
     ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "minhash_sig expects 3 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            t: org.apache.spark.sql.types.DataType) =
+          if (e.dataType == t) e else Cast(e, t)
+        MinHashSig(coerce(children.head, StringType),
+          coerce(children(1), IntegerType), coerce(children(2), IntegerType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
