@@ -55,6 +55,36 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
   private case class Q(name: String, fn: QFn, oracle: Option[String])
 
+  /** Generated N-step BPE oracle: the same per-step CTE triple the
+    * hand-written 2-step x_bpe_merges oracle uses, chained `n` times —
+    * the oracle replays the full merge trajectory. */
+  private def bpeOracleSql(n: Int): String = {
+    val head =
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |wrd AS (SELECT term AS word, count(*)::BIGINT AS freq
+        |        FROM toks WHERE term <> '' GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT word, freq,
+        |         array_to_string(string_split(word, ''), '  ') AS seg FROM wrd)""".stripMargin
+    val steps = (1 to n).map { i =>
+      s""",
+         |p$i AS (SELECT sym AS a, nxt AS b, sum(freq) AS wgt FROM (
+         |         SELECT word, freq, sym,
+         |                lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |         FROM (SELECT word, freq,
+         |                 unnest(string_split(seg, '  ')) AS sym,
+         |                 generate_subscripts(string_split(seg, '  '), 1) AS pos
+         |               FROM w${i - 1}))
+         |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |t$i AS (SELECT a, b FROM p$i ORDER BY wgt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, freq,
+         |         trim(replace(' ' || seg || ' ',
+         |           ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')) AS seg
+         |       FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
+    }.mkString
+    s"$head$steps\nSELECT word, freq, replace(seg, '  ', ' ') AS seg FROM w$n"
+  }
+
   /** Repo root for committed fixtures — env-overridable so a checkout at a
     * different location resolves the same files. Note: the value is baked
     * into the rendered oracle SQL, so the Spark side and the oracle engine
@@ -2164,6 +2194,15 @@ object SparkEntry {
                          ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')) AS seg
                      FROM w1 CROSS JOIN t2)
               SELECT word, freq, replace(seg, '  ', ' ') AS seg FROM w2""")),
+
+    Q("x_bpe_deep", (s, d) =>
+      // deep BPE run (12 merges, one materialized constant-shape job per
+      // step — each step reads the previous frame twice, so without the
+      // truncation the tail re-evaluates 2^steps times); the oracle
+      // replays all 12 iterations via a generated CTE chain
+      graft.operators.Tokenize.bpeMerges(doc(s, d), col("doc_id"), col("text"),
+        nMerges = 12, matEvery = 1),
+      Some(bpeOracleSql(12))),
 
     Q("x_seq_pack", (s, d) =>
       // deterministic sequence packing: per source, docs in id order fill

@@ -65,12 +65,24 @@ object Tokenize {
     * Returns (word, freq, seg) — each word's segmentation after all
     * merges. */
   def bpeMerges(
-      df: DataFrame, id: Column, text: Column, nMerges: Int): DataFrame = {
+      df: DataFrame, id: Column, text: Column, nMerges: Int): DataFrame =
+    bpeMerges(df, id, text, nMerges, matEvery = 0)
+
+  /** `matEvery > 0` truncates the lineage every that-many merge steps
+    * (localCheckpoint of the small vocab frame). Each step consumes the
+    * previous frame TWICE (pair weights + the rewrite input), so an
+    * unmaterialized run re-evaluates the tail 2^steps times — for deep
+    * runs (real BPE training is hundreds of merges) `matEvery = 1` is
+    * the right setting: one constant-shape job per step, plan depth and
+    * recompute both bounded. `0` (never) is only for shallow demos. */
+  def bpeMerges(
+      df: DataFrame, id: Column, text: Column, nMerges: Int,
+      matEvery: Int): DataFrame = {
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
     var words = InvertedIndex.termPairs(df, id, text)
       .groupBy(col("term").as("word")).agg(sum(col("tf")).as("freq"))
       .withColumn("seg", concat_ws("  ", split(col("word"), "")))
-    for (_ <- 1 to nMerges) {
+    for (step <- 1 to nMerges) {
       val pairs = words
         .select(col("word"), col("freq"),
           posexplode(split(col("seg"), "  ")).as(Seq("pos", "sym")))
@@ -84,6 +96,8 @@ object Tokenize {
         .withColumn("seg", trim(expr(
           "replace(concat(' ', seg, ' '), concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")))
         .drop("a", "b")
+      if (matEvery > 0 && step % matEvery == 0 && step < nMerges)
+        words = words.localCheckpoint(true)
     }
     words.withColumn("seg", regexp_replace(col("seg"), " {2}", " "))
   }

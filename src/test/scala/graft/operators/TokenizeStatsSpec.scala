@@ -75,6 +75,15 @@ class TokenizeStatsSpec extends SparkSpec {
       .as[(String, Long, String)].collect().map(r => r._1 -> r._3).toMap
     assert(got("abab") == "ab ab")
   }
+  test("bpeMerges: per-step materialization changes nothing but the lineage") {
+    val df = Seq((1L, "banana bandana ban nab"), (2L, "banana ban ban")).toDF("doc_id", "text")
+    val lazyRun = Tokenize.bpeMerges(df, col("doc_id"), col("text"), nMerges = 4)
+      .as[(String, Long, String)].collect().toSet
+    val matRun = Tokenize.bpeMerges(df, col("doc_id"), col("text"), nMerges = 4,
+      matEvery = 1).as[(String, Long, String)].collect().toSet
+    assert(lazyRun == matRun)
+  }
+
   test("funnel: ordering constraint gates later stages") {
     def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
     val ev = Seq(
