@@ -277,6 +277,12 @@ object Dedup {
     * the scale form of [[simHash]] (whose per-row HOF fold re-hashes per
     * bit and stays interpreted). Same fingerprint values. */
   def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    // native kernel when registered: one md5 per token, all bit counters
+    // folded inside the row — a pure projection, no explode, no shuffle;
+    // bit-equal to the aggregate fallback below
+    if (df.sparkSession.catalog.functionExists("simhash_sig"))
+      return df.select(id.cast("long").as("doc_id"),
+        call_function("simhash_sig", text, lit(bits)).as("simhash"))
     val toks = df.select(id.cast("long").as("doc_id"),
         explode(split(trim(text), "\\s+")).as("tok"))
       .withColumn("h", md5Int(col("tok")))

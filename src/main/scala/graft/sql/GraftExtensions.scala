@@ -95,6 +95,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           coerce(children(1), IntegerType), coerce(children(2), IntegerType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "simhash_sig expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            t: org.apache.spark.sql.types.DataType) =
+          if (e.dataType == t) e else Cast(e, t)
+        SimHashSig(coerce(children.head, StringType), coerce(children(1), IntegerType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
