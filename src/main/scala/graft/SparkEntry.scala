@@ -2221,6 +2221,23 @@ object SparkEntry {
                               ROWS UNBOUNDED PRECEDING) - n_tok) / 2048)::BIGINT AS seq_id
               FROM d""")),
 
+    Q("a16_skew_report", (s, d) =>
+      // the pre-join skew diagnostic: hot-key share/cumulative-share/
+      // ratio-to-mean over the event stream's type key
+      graft.operators.Skew.keySkewReport(ev(s, d), col("event_type"), topK = 20),
+      Some("""WITH c AS (SELECT event_type::VARCHAR AS key, count(*)::BIGINT AS cnt
+                         FROM events GROUP BY 1),
+              t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nkeys FROM c),
+              top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+              SELECT row_number() OVER (ORDER BY cnt DESC, key)::INT AS rank,
+                     key, cnt,
+                     round(cnt * 100.0 / total, 6) AS share_pct,
+                     round(sum(cnt) OVER (ORDER BY cnt DESC, key
+                             ROWS UNBOUNDED PRECEDING) * 100.0 / total, 6)
+                       AS cum_share_pct,
+                     round(cnt::DOUBLE * nkeys / total, 6) AS ratio_to_avg
+              FROM top, t""")),
+
     Q("a14_histogram", (s, d) =>
       // fixed-width histogram with edge clamping: portable floor of a
       // linear map, one hash aggregate

@@ -42,4 +42,35 @@ object Skew {
     val coldJoined = coldLeft.join(right, Seq(key))
     hotJoined.unionByName(coldJoined)
   }
+
+  /** Key-skew diagnostic: the report you run BEFORE choosing a join
+    * strategy at 100 TB — top-`topK` hot keys with their share of the
+    * table, cumulative share, and ratio to the mean key load. A
+    * `ratio_to_avg` in the thousands on key #1 says "salt or split this
+    * join"; a flat report says the hash join is fine as-is.
+    *
+    * One hash aggregate over the key plus a tiny top-K sort; the global
+    * totals ride along via a 1-row broadcast cross join (never a
+    * driver-side collect). Deterministic: ties rank by key string. */
+  def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(totals))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("key").asc)))
+      .withColumn("share_pct", round(col("cnt") * 100.0 / col("__total"), 6))
+      .withColumn("cum_share_pct", round(sum(col("cnt")).over(w) * 100.0 / col("__total"), 6))
+      .withColumn("ratio_to_avg",
+        round(col("cnt").cast("double") * col("__nkeys") / col("__total"), 6))
+      .select(col("rank"), col("key"), col("cnt"),
+        col("share_pct"), col("cum_share_pct"), col("ratio_to_avg"))
+  }
 }
