@@ -440,6 +440,55 @@ object SparkEntry {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1""")),
 
+    Q("j15_record_linkage", (s, d) => {
+      // blocked Fellegi-Sunter linkage: a 1-in-5 "inquiry" slice against a
+      // deterministically perturbed registry twin (some names suffixed,
+      // some segments wiped). Nation blocks; name/area/segment weights.
+      // Twins with perturbed names fall below threshold - the classic
+      // missed-match tradeoff of agreement-weight linkage, on purpose.
+      // (fields: lowercased name, acctbal thousand-band, market segment)
+      val base = cst(s, d)
+      val aSide = base.filter(pmod(col("c_custkey"), lit(5)) === 0).select(
+        col("c_custkey").as("rid"), col("c_nationkey").as("blk"),
+        lower(col("c_name")).as("name"),
+        floor(col("c_acctbal") / 1000).cast("int").as("band"),
+        col("c_mktsegment").as("seg"))
+      val bSide = base.select(
+        col("c_custkey").as("rid"), col("c_nationkey").as("blk"),
+        when(pmod(col("c_custkey"), lit(11)) === 0,
+          concat(lower(col("c_name")), lit(" jr")))
+          .otherwise(lower(col("c_name"))).as("name"),
+        floor(col("c_acctbal") / 1000).cast("int").as("band"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      Joins.linkagePairs(aSide, bSide, "blk", "rid",
+        Seq(("name", 4.0, -2.0), ("band", 2.0, -1.0), ("seg", 1.5, -1.0)),
+        threshold = 4.0)
+    },
+      Some("""WITH a AS (SELECT c_custkey AS id_a, c_nationkey AS blk,
+                       lower(c_name) AS name, floor(c_acctbal / 1000)::INT AS band,
+                       c_mktsegment AS seg
+                FROM customer WHERE c_custkey % 5 = 0),
+              b AS (SELECT c_custkey AS id_b, c_nationkey AS blk,
+                       CASE WHEN c_custkey % 11 = 0 THEN lower(c_name) || ' jr'
+                            ELSE lower(c_name) END AS name,
+                       floor(c_acctbal / 1000)::INT AS band,
+                       CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+                            ELSE c_mktsegment END AS seg
+                FROM customer),
+              p AS (SELECT id_a, id_b,
+                      ((CASE WHEN a.name = b.name THEN 1 ELSE 0 END)
+                       + (CASE WHEN a.band = b.band THEN 1 ELSE 0 END)
+                       + (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END))::INT AS n_agree,
+                      round((CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0.0
+                                  WHEN a.name = b.name THEN 4.0 ELSE -2.0 END)
+                          + (CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
+                                  WHEN a.band = b.band THEN 2.0 ELSE -1.0 END)
+                          + (CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+                                  WHEN a.seg = b.seg THEN 1.5 ELSE -1.0 END), 6) AS score
+                    FROM a JOIN b USING (blk))
+              SELECT * FROM p WHERE score >= 4.0""")),
+
     Q("j14_bloom_semi", (s, d) =>
       // bloom-prefiltered semi join must be result-identical to the plain
       // semi join (the exact join removes the bloom's false positives) —

@@ -120,4 +120,39 @@ object Joins {
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn", "__tier", "__fid")
   }
+
+  /** Blocked record linkage (Fellegi–Sunter-shaped): candidate pairs come
+    * from an equi-join on `blockKey` (NEVER all-pairs — the blocking key
+    * is the scale contract: pick one selective enough that a block's
+    * candidate set fits a task), each configured field contributes its
+    * agreement weight when equal, its disagreement weight when not, and
+    * 0 when either side is null (missing is evidence of nothing); pairs
+    * at or above `threshold` link.
+    *
+    * `a`/`b` are pre-projected frames both containing `idCol`, `blockKey`
+    * and every compared field in `fields` (name, wAgree, wDisagree).
+    * The per-pair score is a fixed-order sum of constants — no float
+    * aggregation-order sensitivity — so any engine replays it exactly. */
+  def linkagePairs(
+      a: DataFrame, b: DataFrame, blockKey: String, idCol: String,
+      fields: Seq[(String, Double, Double)], threshold: Double): DataFrame = {
+    val aSel = a.select(col(idCol).as("id_a") +: col(blockKey).as("__blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"__a_$f") }: _*)
+    val bSel = b.select(col(idCol).as("id_b") +: col(blockKey).as("__blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"__b_$f") }: _*)
+    val joined = aSel.join(bSel, Seq("__blk"))
+    val score = fields.map { case (f, wA, wD) =>
+      when(col(s"__a_$f").isNull || col(s"__b_$f").isNull, lit(0.0))
+        .when(col(s"__a_$f") === col(s"__b_$f"), lit(wA))
+        .otherwise(lit(wD))
+    }.reduce(_ + _)
+    val nAgree = fields.map { case (f, _, _) =>
+      when(col(s"__a_$f") === col(s"__b_$f"), 1).otherwise(0)
+    }.reduce(_ + _)
+    joined
+      .withColumn("score", round(score, 6))
+      .withColumn("n_agree", nAgree)
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("score"))
+  }
 }

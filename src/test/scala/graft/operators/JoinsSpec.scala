@@ -85,4 +85,23 @@ class JoinsSpec extends SparkSpec {
       .select(col("k")).as[Long].collect().sorted
     assert(got.toSeq == plain.toSeq && got.toSeq == Seq(3L, 7L, 150L))
   }
+
+  test("linkagePairs: agreement weights, null fields score zero, blocking bounds candidates") {
+    val a = Seq(
+      (1L, "b1", "ann", "x"),
+      (2L, "b1", "bob", null.asInstanceOf[String]),
+      (3L, "b2", "cat", "z"))
+      .toDF("rid", "blk", "name", "tag")
+    val b = Seq(
+      (10L, "b1", "ann", "x"),   // full agree with 1: 3 + 1 = 4
+      (11L, "b1", "ann", "y"),   // name agree, tag disagree with 1: 3 - 1 = 2
+      (12L, "b1", "bob", "x"),   // name agree with 2, 2's tag null: 3 + 0 = 3
+      (13L, "b3", "cat", "z"))   // right block key unseen on the left
+      .toDF("rid", "blk", "name", "tag")
+    val got = Joins.linkagePairs(a, b, "blk", "rid",
+      Seq(("name", 3.0, -3.0), ("tag", 1.0, -1.0)), threshold = 3.0)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // cat/cat would score 4 but lives in different blocks -> never compared
+    assert(got == Set((1L, 10L, 2, 4.0), (2L, 12L, 1, 3.0)))
+  }
 }
