@@ -882,6 +882,30 @@ object SparkEntry {
               true AS within_5pct
               FROM lineitem GROUP BY 1""")),
 
+    Q("a17_approx_quantile", (s, d) =>
+      // approx_percentile (GK sketch) — the scale path for quantiles.
+      // Sketch picks differ per engine, so the hashable output is the
+      // exact quantile plus a rank-error bound check: the approx value's
+      // true rank must sit within eps*N of the target rank
+      // (accuracy=1000 -> eps=0.001; rank tolerance padded +1 for the
+      // discrete boundary)
+      {
+        val base = li(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        val approx = base.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx"),
+            count(lit(1)).as("n"))
+        // true rank of the approx value = how many rows sort at or below it
+        val ranked = base.join(approx, Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("rank_apx"),
+            first(col("n")).as("n"))
+        ranked.select(col("l_returnflag"), col("n"),
+          (abs(col("rank_apx") - col("n") * 0.5) <= col("n") * 0.001 + 1)
+            .as("rank_within_eps"))
+      },
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n, true AS rank_within_eps
+              FROM lineitem GROUP BY 1""")),
+
     // ===== G: proposal-builder-shaped composites (SURVEY §2.10) =====
 
     Q("g_config_hash", (s, d) => {
