@@ -1669,6 +1669,36 @@ object SparkEntry {
               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""")),
 
+    Q("d_triangles", (s, d) =>
+      // per-vertex triangle counts over the supplier co-supply graph
+      // (suppliers sharing an order, 1-in-20 order slice): degree-ordered
+      // orientation -> wedge join -> one equi closing join
+      graft.operators.Components.triangleCounts(
+        li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("a")
+          .join(li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb")),
+        col("sa"), col("sb")),
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                          WHERE l_orderkey % 20 = 0),
+              e0 AS (SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                            greatest(a.l_suppkey, b.l_suppkey) AS v
+                     FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                        AND a.l_suppkey < b.l_suppkey),
+              deg AS (SELECT x, count(*)::BIGINT AS d
+                      FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+                      GROUP BY 1),
+              o AS (SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+                           CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+                    FROM e0 JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+              w AS (SELECT a.s AS x, a.t AS y, b.t AS z
+                    FROM o a JOIN o b ON a.t = b.s),
+              tri AS (SELECT x, y, z FROM w JOIN o ON o.s = w.x AND o.t = w.z)
+              SELECT vertex, count(*)::BIGINT AS n_tri
+              FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+              GROUP BY 1""")),
+
     Q("d_components", (s, d) => {
       // pairs -> clusters: min-label propagation over the near-dup pair
       // graph; component = smallest member id, node==component marks the

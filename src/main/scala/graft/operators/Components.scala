@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — the last step of every real
@@ -92,5 +92,46 @@ object Components {
     }
     sym.unpersist(false)
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Per-vertex triangle counts by degree-ordered orientation (the
+    * distributed-triangle-counting standard, e.g. Suri & Vassilvitskii's
+    * MR "compact-forward"): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher, enumerate wedges by
+    * joining oriented edges head-to-tail, and close them with ONE
+    * two-column equi join — the (degree, id) order is total and
+    * transitive, so a triangle's closing edge can only be oriented
+    * x -> z, and every triangle is found exactly once.
+    *
+    * Scale shape: orientation bounds every vertex's out-degree by
+    * O(sqrt(m)), so the wedge join — the only superlinear step — is
+    * sum(outdeg^2) <= m^1.5 instead of sum(deg^2), which a hub vertex
+    * makes quadratic. All joins are equi; no driver loops.
+    *
+    * Input may contain duplicates, self-loops, or either edge direction;
+    * it is canonicalized first. Output: (vertex, n_tri) for every vertex
+    * in at least one triangle. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e0 = edges
+      .select(least(src, dst).cast("long").as("u"),
+        greatest(src, dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.as("a").join(o.as("b"), col("a.t") === col("b.s"))
+      .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
+    val tris = wedges
+      .join(o.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 }

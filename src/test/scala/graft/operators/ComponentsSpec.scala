@@ -51,4 +51,22 @@ class ComponentsSpec extends SparkSpec {
     assert(r(1L) == 0.15) // no in-edges
     assert(r(2L) == 0.2775) // 0.15 + 0.85 * 0.15, rounded at 9 in-query
   }
+
+  test("triangleCounts: K4 minus an edge, dups/reversed/self-loops canonicalized") {
+    // K4 on {1,2,3,4} without edge (1,4): triangles (1,2,3) and (2,3,4);
+    // vertices 2,3 sit in both. Noise: duplicate edge, reversed edge,
+    // self-loop — all must be absorbed by canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 3L), (4L, 4L))
+      .toDF("a", "b")
+    val got = Components.triangleCounts(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(Components.triangleCounts(edges, col("a"), col("b")).count() == 0)
+  }
 }
