@@ -126,4 +126,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p) // the corpus side must not shuffle
   }
+
+  test("prefix-filtered similarity join: every join is equi, never all-pairs") {
+    val p = plan("d_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("DSIR: ratio table broadcasts back; scoring side never nested-loops") {
+    val p = plan("d_dsir_resample")
+    // the 1-row totals cross joins are bounded broadcasts; the per-bucket
+    // ratio join must be a broadcast hash join, the top-k a TakeOrdered
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash signature build is a projection (no explode, no aggregate before banding)") {
+    val p = plan("d_minhash_lsh")
+    // with the native kernel the only Generate left is the band explode,
+    // and no hash aggregate exists before the bucket join
+    assert(p.contains("minhash_sig"), p)
+  }
+
+  test("simhash fingerprints are projection-only (native kernel in the plan)") {
+    val p = plan("d_simhash")
+    assert(p.contains("simhash_sig"), p)
+    assert(!p.contains("Exchange"), p) // whole query: scan -> project
+  }
+
+  test("triangle counting: orientation + wedge + closing joins are all equi") {
+    val p = plan("d_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("record linkage blocks on the key: equi join only, no all-pairs") {
+    val p = plan("j15_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
