@@ -2475,6 +2475,47 @@ object SparkEntry {
               FROM sc)
               SELECT doc_id, pred_lang, pred_lang = lang AS agrees FROM p""")),
 
+    Q("x_corpus_card", (s, d) =>
+      // the per-source dataset-release report: size, token budget, mean
+      // quality (DECIMAL-exact sum), predicted-English share, exact-dup
+      // rate — one projection + one hash aggregate over the corpus
+      TextFunctions.corpusCard(doc(s, d), col("source"), col("text"), col("n_chars")),
+      Some("""WITH b AS (SELECT source, n_chars, lower(text) AS lt, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tok,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+              FROM documents),
+              q AS (SELECT source, n_chars, n_tok, fp,
+                round(least(greatest(
+                  least(n_tok / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6)::DECIMAL(10,6) AS qv,
+                (CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                      WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                      WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                      ELSE 'und' END) AS pred
+              FROM (SELECT *,
+                      len(regexp_extract_all(lt, '\b(the|and|of|is|was|that|with)\b')) AS s_en,
+                      len(regexp_extract_all(lt, '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
+                      len(regexp_extract_all(lt, '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
+                      len(regexp_extract_all(lt, '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
+                    FROM b))
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(n_tok)::BIGINT AS total_tokens,
+                     round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+                     round(sum(qv)::DOUBLE / count(*), 6) AS avg_quality,
+                     round(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+                       AS pct_pred_en,
+                     round((count(*) - count(DISTINCT fp)) * 100.0 / count(*), 6)
+                       AS dup_rate_pct
+              FROM q GROUP BY 1""")),
+
     Q("x_winnow", (s, d) =>
       // winnowing document fingerprints (k-gram hash, window-min, dedupe)
       TextFunctions.winnowFingerprints(doc(s, d), col("doc_id"), col("text"),

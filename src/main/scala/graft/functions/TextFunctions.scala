@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale corpus pipelines:
@@ -255,5 +255,29 @@ object TextFunctions {
       .filter(col("pos") <= col("__npos") - (w - 1)) // full windows only
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
+  }
+
+  /** Per-source corpus card — the one-row-per-source report a dataset
+    * release ships with (size, token budget, mean quality, language mix,
+    * exact-dup rate). One projection over the corpus + one hash
+    * aggregate; per-doc quality is summed as DECIMAL (exact,
+    * aggregation-order-independent) before the single final division, so
+    * the report is engine-replayable bit for bit. */
+  def corpusCard(
+      df: DataFrame, source: Column, text: Column, nChars: Column): DataFrame = {
+    val scored = df.select(source.as("source"), nChars.as("n_chars"),
+      tokenCountWs(text).cast("long").as("n_tok"),
+      qualityScore(text).cast("decimal(10,6)").as("q"),
+      langId(text).as("pred"),
+      fingerprint(text).as("fp"))
+    val n = count(lit(1))
+    scored.groupBy(col("source")).agg(
+      n.as("n_docs"),
+      sum(col("n_tok")).as("total_tokens"),
+      round(sum(col("n_chars")).cast("double") / n, 6).as("avg_chars"),
+      round(sum(col("q")).cast("double") / n, 6).as("avg_quality"),
+      round(sum(when(col("pred") === "en", 1L).otherwise(0L)) * 100.0 / n, 6)
+        .as("pct_pred_en"),
+      round((n - countDistinct(col("fp"))) * 100.0 / n, 6).as("dup_rate_pct"))
   }
 }

@@ -112,4 +112,22 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(String, Double)].collect()
     assert(sums.forall(_._2 == 1.0))
   }
+
+  test("corpusCard: counts, dup rate and language share per source") {
+    val df = Seq(
+      (1L, "srcA", "the cat is on the mat", 22L),
+      (2L, "srcA", "the  cat is  on the mat ", 24L),  // ws-normalized dup of 1
+      (3L, "srcA", "el gato es que la los", 21L),
+      (4L, "srcB", "the dog and the fox", 19L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = TextFunctions.corpusCard(df, col("source"), col("text"), col("n_chars"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = got("srcA")
+    assert(a._2 == 3 && a._3 == 18)          // 6 + 6 + 6 tokens
+    assert(a._6 == 66.666667)                 // 2 of 3 predicted en
+    assert(a._7 == 33.333333)                 // 1 dup of 3
+    val bCard = got("srcB")
+    assert(bCard._2 == 1 && bCard._6 == 100.0 && bCard._7 == 0.0)
+  }
 }
