@@ -1832,6 +1832,32 @@ object SparkEntry {
               FROM q, c WHERE q.vec_id <> c.vec_id
               QUALIFY rank <= 5""")),
 
+    Q("v_maxsim", (s, d) => {
+      // late-interaction retrieval: vectors chunked 4-per-doc; the 5
+      // query docs (vec_id < 20) score every corpus doc by summed
+      // per-token max cosine, top-3 each
+      val e = emb(s, d)
+      Similarity.maxSimTopK(
+        e.filter(col("vec_id") < 20).select(
+          floor(col("vec_id") / 4).cast("long").as("qdoc"),
+          col("vec_id").as("qtok"), col("embedding")),
+        e.select(floor(col("vec_id") / 4).cast("long").as("cdoc"), col("embedding")),
+        "qdoc", "qtok", "embedding", "cdoc", "embedding", k = 3)
+    },
+      Some("""WITH q AS (SELECT vec_id // 4 AS qdoc, vec_id AS qtok,
+                       embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 20),
+              c AS (SELECT vec_id // 4 AS cdoc, embedding::DOUBLE[] AS cv
+                    FROM embeddings),
+              m AS (SELECT qdoc, qtok, cdoc,
+                      max(round(list_cosine_similarity(qv, cv), 6))::DECIMAL(10,6) AS mx
+                    FROM q, c WHERE cdoc <> qdoc GROUP BY 1, 2, 3),
+              s AS (SELECT qdoc, cdoc, sum(mx) AS score FROM m GROUP BY 1, 2)
+              SELECT qdoc AS query_doc, cdoc AS doc_id, score::DOUBLE AS maxsim,
+                     (row_number() OVER (PARTITION BY qdoc
+                        ORDER BY score DESC, cdoc))::INT AS rank
+              FROM s QUALIFY rank <= 3""")),
+
     Q("v_norm", (s, d) =>
       // native l2_norm expression (fused loop); sequential accumulation
       // matches DuckDB's list comprehension fold

@@ -148,4 +148,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** Late-interaction retrieval (MaxSim, ColBERT-style — Khattab &
+    * Zaharia 2020, public): every query and document is a BAG of token
+    * vectors; score(q, d) = sum over q's tokens of the max cosine
+    * against d's tokens. Catches term-level matches a single pooled
+    * vector blurs away.
+    *
+    * `queries` rows: (queryDoc, queryTok, vec); `corpus` rows:
+    * (corpusDoc, vec). The query bag broadcasts (probe-shaped workload);
+    * the corpus streams through one scored pass, then two hash
+    * aggregates (max per query token, DECIMAL-exact sum per doc — the
+    * per-token maxima are rounded first, so the final sum is
+    * aggregation-order-independent) and a per-query top-k window. */
+  def maxSimTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qDoc: String, qTok: String, qVec: String,
+      cDoc: String, cVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qDoc).as("query_doc"), col(qTok).as("__qtok"),
+      VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+    val c = corpus.select(col(cDoc).as("doc_id"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+    val perTok = c.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .groupBy(col("query_doc"), col("__qtok"), col("doc_id"))
+      .agg(max(round(cosineCol(corpus)(col("qv"), col("cv")), 6))
+        .cast("decimal(10,6)").as("__mx"))
+    val scored = perTok.groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("__mx")).as("__score"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("doc_id"),
+        col("__score").cast("double").as("maxsim"), col("rank"))
+  }
 }

@@ -136,4 +136,22 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= single)
     assert(multi > 0.5) // probing 7 buckets must recover most true neighbors
   }
+
+  test("maxSimTopK: per-token maxima sum; token-level match beats pooled blur") {
+    // query doc 0 has two tokens along axes x and y. Doc 1 matches BOTH
+    // tokens exactly (maxsim 2.0); doc 2 matches only x (1.0 + 0.0);
+    // doc 3 sits diagonally: each token maxes at cos 45deg ~ 0.707107.
+    val q = Seq(
+      (0L, 100L, Array(1.0, 0.0)), (0L, 101L, Array(0.0, 1.0)))
+      .toDF("qdoc", "qtok", "v")
+    val c = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.7071067811865476, 0.7071067811865476)))
+      .toDF("cdoc", "v")
+    val got = Similarity.maxSimTopK(q, c, "qdoc", "qtok", "v", "cdoc", "v", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq((1L, 2.0), (3L, 1.414214), (2L, 1.0)))
+  }
 }
