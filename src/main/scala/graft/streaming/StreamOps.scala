@@ -35,6 +35,18 @@ object StreamOps {
         col("n"), col("total_value"))
   }
 
+  /** Stream-static enrichment: join a stream against a batch dimension
+    * frame. The static side is re-evaluated per micro-batch (Spark's
+    * stream-static contract — a dimension UPDATE is visible to the next
+    * batch without restarting the query), and the broadcast hint keeps
+    * the stream side shuffle-free: stateless, no watermark, no state
+    * store — the right shape for reference-data enrichment at any rate.
+    * Works identically on a batch frame (the twin the oracle checks). */
+  def enrichWithDim(
+      events: DataFrame, dim: DataFrame, key: Seq[String],
+      joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), key, joinType)
+
   /** Idempotent keyed parquet sink via foreachBatch: every micro-batch
     * left-anti joins against the target's existing keys (a column-pruned
     * scan) and appends only NEW keys — the streaming twin of the export

@@ -29,6 +29,32 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the current dim") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val dim = Seq(("click", "engagement"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val q = StreamOps.enrichWithDim(input.toDF(), dim, Seq("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    input.addData(
+      StreamOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      StreamOps.Event(2, ts("2024-01-01 00:11:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(
+      StreamOps.Event(3, ts("2024-01-01 00:12:00"), 3, "purchase", 9.0)) // no dim row
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+      .select(col("event_id"), col("category")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(1L -> Some("engagement"), 2L -> Some("passive"), 3L -> None))
+    // batch twin: identical operator, identical result
+    val batch = StreamOps.enrichWithDim(
+      Seq(StreamOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0)).toDF(),
+      dim, Seq("event_type"))
+      .select(col("event_id"), col("category")).as[(Long, Option[String])].collect().toMap
+    assert(batch == Map(1L -> Some("engagement")))
+  }
+
   test("stream-stream interval join attributes effects within the horizon") {
     implicit val sc = spark.sqlContext
     val li = MemoryStream[StreamOps.Event]
