@@ -2803,6 +2803,34 @@ object SparkEntry {
               octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum
               FROM documents""")),
 
+    Q("m_patch_grid", (s, d) =>
+      // ViT patchification bookkeeping: synthetic per-doc image dims
+      // (derived from byte length), 16px grid, edge patches clipped —
+      // integer-only arithmetic, engine-replayable
+      Multimodal.patchGrid(
+        Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
+          .select(col("media_id"),
+            (lit(32) + pmod(col("meta.n_bytes"), lit(48))).as("w"),
+            (lit(16) + pmod(col("meta.n_bytes"), lit(32))).as("h")),
+        col("media_id"), col("w"), col("h"), patch = 16),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                       (32 + octet_length(encode(text)) % 48)::INT AS w,
+                       (16 + octet_length(encode(text)) % 32)::INT AS h
+                FROM documents),
+              g AS (SELECT media_id, w, h,
+                      unnest(generate_series(0, (w + 15) // 16 - 1)) AS px
+                    FROM m WHERE w > 0 AND h > 0),
+              p AS (SELECT media_id, w, h, px,
+                      unnest(generate_series(0, (h + 15) // 16 - 1)) AS py
+                    FROM g)
+              SELECT media_id, px::INT AS px, py::INT AS py,
+                     (px * 16)::INT AS x0, (py * 16)::INT AS y0,
+                     least(px * 16 + 16, w)::INT AS x1,
+                     least(py * 16 + 16, h)::INT AS y1,
+                     ((least(px * 16 + 16, w) - px * 16)
+                      * (least(py * 16 + 16, h) - py * 16))::INT AS n_px
+              FROM p""")),
+
     Q("m_decode_stub", (s, d) =>
       // per-element double columns (not the raw array — unhashable in the
       // driver's comparator; not a joined string — float formatting differs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,4 +92,28 @@ object Multimodal {
           greatest(floor((octet_length(col("payload")) - 1) / (blockSize * stride))
             .cast("int"), lit(0))),
         i => col("payload").substr((i * blockSize * stride + 1).cast("int"), lit(blockSize))))
+
+  /** ViT-style patchification bookkeeping: one row per (media, patch)
+    * with grid position and pixel bounding box, edge patches clipped to
+    * the image — the patch table a vision pipeline shuffles to encoders.
+    * Pure integer column arithmetic (ceil-div via `(n + p - 1) / p`, no
+    * floats), two bounded explodes; scales as a projection. */
+  def patchGrid(
+      media: DataFrame, id: Column, width: Column, height: Column,
+      patch: Int): DataFrame = {
+    val nx = floor((width + (patch - 1)) / patch).cast("int")
+    val ny = floor((height + (patch - 1)) / patch).cast("int")
+    media
+      .select(id.cast("long").as("media_id"),
+        width.cast("int").as("w"), height.cast("int").as("h"),
+        nx.as("__nx"), ny.as("__ny"))
+      .filter(col("w") > 0 && col("h") > 0)
+      .withColumn("px", explode(sequence(lit(0), col("__nx") - 1)))
+      .withColumn("py", explode(sequence(lit(0), col("__ny") - 1)))
+      .select(col("media_id"), col("px"), col("py"),
+        (col("px") * patch).as("x0"), (col("py") * patch).as("y0"),
+        least(col("px") * patch + patch, col("w")).as("x1"),
+        least(col("py") * patch + patch, col("h")).as("y1"))
+      .withColumn("n_px", (col("x1") - col("x0")) * (col("y1") - col("y0")))
+  }
 }

@@ -41,6 +41,19 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("patchGrid: full grid with clipped edge patches, degenerate dims dropped") {
+    import spark.implicits._
+    // 20x17 @ patch 16 -> 2x2 grid; right/bottom patches clip to 4/1 px
+    val m = Seq((1L, 20, 17), (2L, 16, 16), (3L, 0, 5)).toDF("mid", "w", "h")
+    val got = graft.operators.Multimodal.patchGrid(m, col("mid"), col("w"), col("h"), 16)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+    val m1 = got.filter(_._1 == 1L).map(r => (r._2, r._3, r._6, r._7, r._8)).toSet
+    assert(m1 == Set(
+      (0, 0, 16, 16, 256), (1, 0, 20, 16, 64), (0, 1, 16, 17, 16), (1, 1, 20, 17, 4)))
+    assert(got.count(_._1 == 2L) == 1)          // exact single patch
+    assert(!got.exists(_._1 == 3L))             // zero-width image dropped
+  }
+
   test("resize stub keeps every factor-th payload byte") {
     import spark.implicits._
     val m = graft.operators.Multimodal.asMediaTable(
