@@ -1587,14 +1587,18 @@ object SparkEntry {
       // shared-any-shingle formulation — identical results prove the
       // rarest-token-prefix pruning is semantics-preserving (unlike the
       // df cap in d_ngram_jaccard, which changes the measure)
+      // TRIGRAM shingles: the prefix filter's fan-out is governed by
+      // blocking-shingle selectivity — on a small-vocab corpus bigrams
+      // are so shared that half-doc prefixes candidate most of the
+      // corpus (measured 5.5M candidate pairs at sf0.1 vs 193K here)
       Dedup.prefixJaccardPairs(doc(s, d), col("doc_id"), col("text"),
-        n = 2, threshold = 0.5),
+        n = 3, threshold = 0.6),
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                             FROM documents),
               sh AS (SELECT doc_id,
-                       unnest(list_distinct([array_to_string(w[i:i+1], ' ')
-                                             for i in generate_series(1, len(w) - 1)])) AS s
-                     FROM toks WHERE len(w) >= 2),
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
               sizes AS (SELECT doc_id, count(*)::INT AS n_sh FROM sh GROUP BY 1),
               pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1603,7 +1607,7 @@ object SparkEntry {
                      round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
               FROM pairs JOIN sizes sa ON sa.doc_id = id_a
                          JOIN sizes sb ON sb.doc_id = id_b
-              WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5""")),
+              WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6""")),
 
     Q("d_minhash_lsh", (s, d) =>
       Dedup.minHashLshPairs(doc(s, d), col("doc_id"), col("text"),
@@ -2349,6 +2353,27 @@ object SparkEntry {
                      floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                               ROWS UNBOUNDED PRECEDING) - n_tok) / 2048)::BIGINT AS seq_id
               FROM d""")),
+
+    Q("a18_incremental_agg", (s, d) => {
+      // incremental rollup maintenance: base slice (orders % 10 != 0)
+      // aggregated yesterday + today's delta (% 10 = 0), merged — the
+      // oracle recomputes the rollup from scratch over ALL orders, so a
+      // green hash PROVES incremental == full recompute
+      def slice(pred: Column) = ord(s, d).filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("total"),
+          count(lit(1)).as("n_orders"))
+      val merged = graft.operators.Stats.mergeAggState(
+        Seq(slice(pmod(col("o_orderkey"), lit(10)) =!= 0),
+          slice(pmod(col("o_orderkey"), lit(10)) === 0)),
+        keys = Seq("o_custkey"), measures = Seq("total", "n_orders"))
+      merged.select(col("o_custkey"), col("total").cast("double").as("total"),
+        col("n_orders"))
+    },
+      Some("""SELECT o_custkey,
+                     sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total,
+                     count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY 1""")),
 
     Q("a16_skew_report", (s, d) =>
       // the pre-join skew diagnostic: hot-key share/cumulative-share/

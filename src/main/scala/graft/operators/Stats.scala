@@ -78,4 +78,21 @@ object Stats {
       .withColumn("is_outlier", abs(col("z")) > threshold)
       .drop("__g", "__mean", "__sd")
   }
+
+  /** Incremental aggregate maintenance: merge partial aggregate states
+    * (each a keyed frame of decomposable measures — sums/counts — e.g.
+    * yesterday's materialized rollup plus today's delta batch) into the
+    * state the full recompute would produce. The 100 TB contract: a
+    * nightly pipeline re-aggregates only the delta and folds it in,
+    * never rescanning the base. Works for any commutative-monoid
+    * measure; averages etc. derive from (sum, count) at read time.
+    * Sums over DECIMAL stay exact under any merge order. */
+  def mergeAggState(
+      states: Seq[DataFrame], keys: Seq[String], measures: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state frame")
+    val aggs = measures.map(m => sum(col(m)).as(m))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

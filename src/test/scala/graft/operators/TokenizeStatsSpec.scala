@@ -84,6 +84,24 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(lazyRun == matRun)
   }
 
+  test("mergeAggState folds partial states into the full recompute") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("a", 4.0), ("c", 7.0))
+    def agg(xs: Seq[(String, Double)]) = xs.toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(sum(col("v").cast("decimal(10,2)")).as("total"), count(lit(1)).as("n"))
+    // three deltas, one of them empty-overlap with the others
+    val merged = Stats.mergeAggState(
+      Seq(agg(rows.take(2)), agg(rows.slice(2, 4)), agg(rows.drop(4))),
+      keys = Seq("k"), measures = Seq("total", "n"))
+      .select(col("k"), col("total").cast("double"), col("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val full = agg(rows)
+      .select(col("k"), col("total").cast("double"), col("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(merged == full)
+    assert(merged == Set(("a", 7.0, 3L), ("b", 10.0, 1L), ("c", 7.0, 1L)))
+  }
+
   test("funnel: ordering constraint gates later stages") {
     def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
     val ev = Seq(
