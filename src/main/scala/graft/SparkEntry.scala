@@ -733,6 +733,22 @@ object SparkEntry {
 
     // ===== sorts / limits / set ops (SURVEY §2.6, §2.7) =====
 
+    Q("s9_zorder_stats", (s, d) =>
+      // Morton-interleave (part, supp) keys and report per-z-bucket
+      // min/max on BOTH dimensions — the file-skipping statistics a
+      // z-ordered layout gives a reader's predicate pushdown
+      graft.operators.Layout.zBucketStats(li(s, d),
+        col("l_partkey"), col("l_suppkey"), bits = 16, bucketShift = 20),
+      Some("""WITH z AS (SELECT l_partkey AS a, l_suppkey AS b,
+                list_sum([(((a >> i) & 1) << (2 * i))
+                          + (((b >> i) & 1) << (2 * i + 1))
+                          for i in generate_series(0, 15)])::BIGINT AS zv
+              FROM lineitem)
+              SELECT (zv >> 20)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+                     min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
+                     min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
+              FROM z GROUP BY 1""")),
+
     Q("s6_topk", (s, d) =>
       prt(s, d).orderBy(col("p_retailprice").desc, col("p_partkey").asc)
         .limit(10).select(col("p_partkey"), col("p_name"), col("p_retailprice")),
