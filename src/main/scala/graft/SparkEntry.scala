@@ -2207,6 +2207,30 @@ object SparkEntry {
                      round(cnt / (sum(cnt) OVER (PARTITION BY w1)), 6) AS p_cond
               FROM c""")),
 
+    Q("x_perplexity_filter", (s, d) =>
+      // CCNet-shaped perplexity-band filter: mean bigram NLL under the
+      // corpus's own LM (DECIMAL-exact sums), keep the low-perplexity band
+      TextFunctions.perplexityFilter(doc(s, d), col("doc_id"), col("text"),
+        doc(s, d), col("doc_id"), col("text"), keepBelow = 3.2),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              p AS (SELECT doc_id, w AS w1,
+                      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks WHERE w <> ''),
+              pairs AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+              c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2),
+              lm AS (SELECT w1, w2,
+                       round(-ln(round(cnt / (sum(cnt) OVER (PARTITION BY w1)), 6)), 9)
+                         ::DECIMAL(12,9) AS nll
+                     FROM c)
+              SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                     round(sum(nll)::DOUBLE / count(*), 6) AS avg_nll,
+                     round(sum(nll)::DOUBLE / count(*), 6) <= 3.2 AS keep
+              FROM pairs JOIN lm USING (w1, w2)
+              GROUP BY 1""")),
+
     Q("d_temperature_mix", (s, d) =>
       // temperature-scaled source mixing (alpha=0.7, expected total 300):
       // per-source rates from count^alpha, deterministic hash-bucket keep

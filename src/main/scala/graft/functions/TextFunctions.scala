@@ -162,6 +162,42 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** Perplexity-band filtering (the CCNet/ccnet-style quality filter,
+    * public technique): score every document by its mean bigram negative
+    * log-likelihood under the corpus LM ([[bigramLm]] trained on `lmDf` —
+    * pass a reference corpus for held-out scoring, or the same frame for
+    * self-scoring) and keep documents under `keepBelow`. Repetitive /
+    * formulaic text scores low NLL, gibberish high; the band is the
+    * filter.
+    *
+    * Determinism: per-pair NLL is rounded at 9 and summed as DECIMAL
+    * (order-independent); the mean divides once at the end. Docs with
+    * fewer than 2 tokens have no bigrams and are not scored. The LM join
+    * is an equi join on the pair — data-dependent cardinality, so no
+    * forced broadcast (AQE decides). */
+  def perplexityFilter(
+      df: DataFrame, id: Column, text: Column,
+      lmDf: DataFrame, lmId: Column, lmText: Column,
+      keepBelow: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val lm = bigramLm(lmDf, lmId, lmText)
+      .select(col("w1"), col("w2"),
+        round(-log(col("p_cond")), 9).cast("decimal(12,9)").as("__nll"))
+    val pairs = df.select(id.as("doc_id"),
+        posexplode(split(trim(text), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("w2", lead(col("w"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    pairs.join(lm, Seq("w1", "w2"), "inner")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__nll")).as("__sum"), count(lit(1)).as("n_pairs"))
+      .withColumn("avg_nll", round(col("__sum").cast("double") / col("n_pairs"), 6))
+      .withColumn("keep", col("avg_nll") <= keepBelow)
+      .select(col("doc_id"), col("n_pairs"), col("avg_nll"), col("keep"))
+  }
+
   /** Gopher-style repetition signals per document: the fraction of word
     * n-gram occurrences captured by the single most frequent n-gram
     * (`top{n}gram_frac`), and the fraction of occurrences whose gram

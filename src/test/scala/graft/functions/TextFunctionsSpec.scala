@@ -113,6 +113,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sums.forall(_._2 == 1.0))
   }
 
+  test("perplexityFilter: predictable docs score lower NLL than odd ones") {
+    // LM corpus: "a b" dominates after "a"; "a z" is the rare branch
+    val lmDf = (1L to 9L).map(i => (i, "a b a b a b")) :+ (10L, "a z")
+    val df = Seq(
+      (100L, "a b a b"),   // all high-probability bigrams
+      (101L, "a z"),       // one rare bigram
+      (102L, "solo"))      // < 2 tokens: not scored
+      .toDF("doc_id", "text")
+    val got = TextFunctions.perplexityFilter(
+      df, col("doc_id"), col("text"),
+      lmDf.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      keepBelow = 1.0)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(102L))
+    assert(got(100L)._3 < got(101L)._3)
+    assert(got(100L)._4 && !got(101L)._4)
+  }
+
   test("corpusCard: counts, dup rate and language share per source") {
     val df = Seq(
       (1L, "srcA", "the cat is on the mat", 22L),
