@@ -2394,6 +2394,21 @@ object SparkEntry {
                               ROWS UNBOUNDED PRECEDING) - n_tok) / 2048)::BIGINT AS seq_id
               FROM d""")),
 
+    Q("a20_decayed_sum", (s, d) =>
+      // recency-weighted per-user activity: half-life 7 days against the
+      // newest event; weights are exact powers of two (shift, not pow)
+      graft.operators.Stats.decayedSum(ev(s, d), col("user_id"),
+        col("value"), col("ts"), halfLifeDays = 7),
+      Some("""WITH r AS (SELECT max(ts::DATE) AS ref FROM events),
+              w AS (SELECT user_id AS key, value,
+                      date_diff('day', ts::DATE, ref) // 7 AS k
+                    FROM events, r)
+              SELECT key,
+                     sum(round(value * (1.0 / (1::BIGINT << k)), 6)::DECIMAL(18,6))
+                       ::DOUBLE AS decayed_value,
+                     count(*)::BIGINT AS n_events
+              FROM w GROUP BY 1""")),
+
     Q("a18_incremental_agg", (s, d) => {
       // incremental rollup maintenance: base slice (orders % 10 != 0)
       // aggregated yesterday + today's delta (% 10 = 0), merged — the

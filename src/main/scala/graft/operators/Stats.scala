@@ -79,6 +79,33 @@ object Stats {
       .drop("__g", "__mean", "__sd")
   }
 
+  /** Time-decayed aggregation (recency-weighted feature engineering:
+    * activity scores, rolling engagement): each row's value is weighted
+    * by `1 / 2^floor(age / halfLife)` relative to the NEWEST row in the
+    * frame, then summed per key.
+    *
+    * Determinism across engines without libm: the decay bucket is an
+    * integer, and `1 / 2^k` is an EXACT power-of-two double (computed by
+    * bit shift + one exact division — never `pow`/`exp`, whose last-ulp
+    * behavior differs across math libraries); weighted values are
+    * rounded then summed as DECIMAL. The reference date comes from a
+    * 1-row aggregate broadcast, not a driver collect. */
+  def decayedSum(
+      df: DataFrame, key: Column, value: Column, ts: Column,
+      halfLifeDays: Int): DataFrame = {
+    val ref = df.agg(max(to_date(ts)).as("__ref"))
+    df.select(key.as("key"), value.as("__v"), to_date(ts).as("__d"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__k",
+        floor(datediff(col("__ref"), col("__d")) / halfLifeDays).cast("int"))
+      .withColumn("__w",
+        lit(1.0) / expr("shiftleft(cast(1 as bigint), __k)").cast("double"))
+      .withColumn("__wv", round(col("__v") * col("__w"), 6).cast("decimal(18,6)"))
+      .groupBy(col("key"))
+      .agg(sum(col("__wv")).cast("double").as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Incremental aggregate maintenance: merge partial aggregate states
     * (each a keyed frame of decomposable measures — sums/counts — e.g.
     * yesterday's materialized rollup plus today's delta batch) into the

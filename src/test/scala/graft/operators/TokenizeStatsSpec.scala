@@ -84,6 +84,20 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(lazyRun == matRun)
   }
 
+  test("decayedSum halves weights per half-life bucket, exactly") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    val df = Seq(
+      (1L, 8.0, t("2024-01-29")),  // age 0 days  -> w=1
+      (1L, 8.0, t("2024-01-22")),  // age 7 days  -> w=1/2
+      (1L, 8.0, t("2024-01-08")),  // age 21 days -> w=1/8
+      (2L, 4.0, t("2024-01-29")))  // newest row defines the reference
+      .toDF("user_id", "value", "ts")
+    val got = Stats.decayedSum(df, col("user_id"), col("value"), col("ts"), 7)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((8.0 + 4.0 + 1.0, 3L)))
+    assert(got(2L) == ((4.0, 1L)))
+  }
+
   test("mergeAggState folds partial states into the full recompute") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("a", 4.0), ("c", 7.0))
     def agg(xs: Seq[(String, Double)]) = xs.toDF("k", "v")
