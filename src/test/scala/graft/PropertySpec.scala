@@ -139,4 +139,84 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 14)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(len, Gen.choose(0, 7).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("prefixJaccardPairs == unblocked exact join on random corpora (4 seeds x 2 thresholds)") {
+    (20L to 23L).foreach { seed =>
+      val docs = sample(corpusGen, seed)
+      val df = docs.toDF("doc_id", "text")
+      for (th <- Seq(0.3, 0.6)) {
+        val pruned = graft.operators.Dedup
+          .prefixJaccardPairs(df, col("doc_id"), col("text"), 2, th)
+          .as[(Long, Long, Double)].collect().toSet
+        val exact = graft.operators.Dedup
+          .ngramJaccardPairs(df, col("doc_id"), col("text"), 2, th)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pruned == exact, s"seed=$seed th=$th")
+      }
+    }
+  }
+
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L)
+    } yield (a, b))
+  } yield edges
+
+  test("triangleCounts == brute-force triple enumeration on random graphs (5 seeds)") {
+    (30L to 34L).foreach { seed =>
+      val edges = sample(graphGen, seed)
+      val got = graft.operators.Components
+        .triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      val adj = edges.collect { case (a, b) if a != b =>
+        Set(math.min(a, b) -> math.max(a, b)) }.flatten.toSet
+      val vs = adj.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        Seq(x, y, z) <- vs.combinations(3)
+        if adj(x -> y) && adj(y -> z) && adj(x -> z)
+        v <- Seq(x, y, z)
+      } brute(v) += 1
+      assert(got == brute.toMap, s"seed=$seed")
+    }
+  }
+
+  test("mergeAggState == full recompute under random partitionings (5 seeds)") {
+    val rowsGen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 4).map(i => s"k$i")
+        v <- Gen.choose(-10000, 10000)
+      } yield (k, v / 100.0))
+    } yield rows
+    (40L to 44L).foreach { seed =>
+      val rows = sample(rowsGen, seed)
+      val cut1 = sample(Gen.choose(0, rows.size), seed * 7)
+      val cut2 = sample(Gen.choose(cut1, rows.size), seed * 13)
+      def agg(xs: Seq[(String, Double)]) = xs.toDF("k", "v")
+        .groupBy(col("k"))
+        .agg(sum(col("v").cast("decimal(12,2)")).as("total"), count(lit(1)).as("n"))
+      val parts = Seq(rows.take(cut1), rows.slice(cut1, cut2), rows.drop(cut2))
+        .filter(_.nonEmpty).map(agg)
+      if (parts.nonEmpty) {
+        val merged = graft.operators.Stats
+          .mergeAggState(parts, Seq("k"), Seq("total", "n"))
+          .select(col("k"), col("total").cast("double"), col("n"))
+          .as[(String, Double, Long)].collect().toSet
+        val full = agg(rows)
+          .select(col("k"), col("total").cast("double"), col("n"))
+          .as[(String, Double, Long)].collect().toSet
+        assert(merged == full, s"seed=$seed")
+      }
+    }
+  }
 }
