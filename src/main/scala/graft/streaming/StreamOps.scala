@@ -73,6 +73,38 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental commissions calculation: premiums arrive as a STREAM,
+    * every micro-batch runs the full 8-stage `Calc` against the static
+    * reference frames (certificates, proposals, splits, hierarchy
+    * versions, participants, rates, assignments — re-evaluated per batch
+    * under the stream-static contract, so a reference-data update is
+    * picked up on the next batch) and the GL entries upsert by their
+    * natural key. Replayed or overlapping batches converge: the
+    * persisted ledger equals what ONE batch run over all premiums would
+    * have produced — the property `StreamOpsSpec` asserts. The batch
+    * lineage is identical to `Calc.run`, so correctness rides on the
+    * same oracle-checked code path as `domain_e2e_gl`. */
+  def incrementalGlSink(
+      premiumStream: DataFrame, staticInputs: graft.domain.Calc.CalcInputs,
+      targetDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    premiumStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gl = graft.domain.Calc.glEntries(graft.domain.Calc.run(
+          staticInputs.copy(premiums = batch)))
+        val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(path)) {
+            val existing = spark.read.parquet(targetDir)
+            graft.domain.Export.upsertCandidates(gl,
+              existing, Seq("premium_id", "broker_id", "entry_type"))
+          } else gl
+        fresh.write.mode("append").parquet(targetDir)
+      }
+      .start()
+
   /** Streaming dedup: drop repeated ids inside the watermark horizon —
     * the streaming twin of exact dedup (state is bounded by the
     * watermark, so it runs forever at 100 TB/day event volumes). */

@@ -300,6 +300,59 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+  test("incrementalGlSink: streamed premiums converge to the one-shot batch GL") {
+    implicit val sc = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val statics = graft.domain.Calc.CalcInputs(
+      premiums = null, // supplied per micro-batch
+      certificates = Seq(
+        (1L, "G1", "ST", 25, null.asInstanceOf[java.lang.Double], "PRODA", "*"),
+        (2L, "G1", "ST", 25, null.asInstanceOf[java.lang.Double], "PRODA", "*"))
+        .toDF("cert_id", "group_id", "state", "group_size", "real_rate",
+          "product_code", "plan_code"),
+      proposals = Seq(("PR1", "G1", d("2020-01-01"), null.asInstanceOf[java.sql.Date]))
+        .toDF("proposal_id", "group_id", "eff_from", "eff_to"),
+      splits = Seq(("PR1", 1, 100.0, "H1"))
+        .toDF("proposal_id", "split_seq", "split_pct", "hierarchy_id"),
+      hierarchyVersions = Seq(("H1", "H1V1", d("2020-01-01"),
+        null.asInstanceOf[java.sql.Date]))
+        .toDF("hierarchy_id", "version_id", "eff_from", "eff_to"),
+      participants = Seq(("H1V1", 1, "B1", "SCHED1", Some(10.0)))
+        .toDF("version_id", "tier_level", "broker_id", "schedule_code",
+          "participant_rate"),
+      scheduleRates = Seq(("SCHED1", "*", "*",
+        None: Option[Int], None: Option[Int], 5.0))
+        .toDF("schedule_code", "product_code", "state", "size_from", "size_to", "rate"),
+      assignments = Seq.empty[(String, String, Double, java.sql.Date, java.sql.Date)]
+        .toDF("broker_id", "recipient_id", "assigned_pct", "eff_from", "eff_to"))
+    val allPremiums = Seq(
+      (100L, 1L, "G1", 1000.0, d("2020-06-15")),
+      (101L, 2L, "G1", 500.0, d("2020-06-15")),
+      (102L, 1L, "G1", 800.0, d("2020-07-15")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_glsink").toString
+    val target = s"$dir/gl"; val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(Long, Long, String, Double, java.sql.Date)]
+    val stream = input.toDF()
+      .toDF("premium_id", "cert_id", "group_id", "amount", "txn_date")
+    val q = StreamOps.incrementalGlSink(stream, statics, target, ckpt)
+    input.addData(allPremiums(0), allPremiums(1))
+    q.processAllAvailable()
+    input.addData(allPremiums(1), allPremiums(2)) // 101 replayed + new 102
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(target)
+      .select(col("premium_id"), col("broker_id"), col("entry_type"),
+        col("amount").cast("double"))
+      .as[(Long, String, String, Double)].collect().toSet
+    val batch = graft.domain.Calc.glEntries(graft.domain.Calc.run(
+      statics.copy(premiums = allPremiums
+        .toDF("premium_id", "cert_id", "group_id", "amount", "txn_date"))))
+      .select(col("premium_id"), col("broker_id"), col("entry_type"),
+        col("amount").cast("double"))
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size == 3) // one Original entry per premium
+  }
+
   test("idempotentKeyedSink: overlapping micro-batches converge to unique keys") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
