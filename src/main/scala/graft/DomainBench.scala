@@ -79,10 +79,26 @@ object DomainBench {
       case _ => df.localCheckpoint(true)
     }
     val certs = mat(synthCertificates(spark, sfDir))
-    val hh = mat(Proposals.hierarchyHashes(certs))
-    val cfg = mat(Proposals.routeGroups(
-      Proposals.flagNonConformant(Proposals.configHashes(hh)),
-      maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0))
+    // Fused one-shuffle hash build is the DEFAULT (bit-equal to the
+    // two-phase build — ProposalsSpec; measured 9.3-9.6 s vs 10.7-11.2 s
+    // flagship at sf0.1): per-split rows explode back out of the fused
+    // frame instead of paying a second aggregate's shuffle.
+    // SPARK_GRAFT_FUSED=0 restores the two-phase build for comparison.
+    val (hh, cfg) =
+      if (!sys.env.get("SPARK_GRAFT_FUSED").contains("0")) {
+        val fused = mat(Proposals.fusedHashes(certs))
+        (Proposals.fusedSplitRows(fused),
+          mat(Proposals.routeGroups(
+            Proposals.flagNonConformant(fused.select(col("cert_id"),
+              col("group_id"), col("config_hash"), col("total_split_pct"),
+              col("n_splits"))),
+            maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0)))
+      } else {
+        val h = mat(Proposals.hierarchyHashes(certs))
+        (h, mat(Proposals.routeGroups(
+          Proposals.flagNonConformant(Proposals.configHashes(h)),
+          maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0)))
+      }
     val props = mat(Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs)))
     // multi-version flow: splits reference the business slot (group x seq)
     // and the calc's as-of join resolves the slot's version island active
@@ -136,12 +152,15 @@ object DomainBench {
     val nCertRows = certs.count() // input scale, forces the synth
 
     val t1 = System.nanoTime()
-    val hh = Proposals.hierarchyHashes(certs).persist()
+    // fused one-shuffle hash build, same as glPipeline's default
+    val fused = Proposals.fusedHashes(certs).persist()
+    val hh = Proposals.fusedSplitRows(fused)
     // synthetic configs are near-unique per cert, so entropy routing is
     // relaxed here (it would route almost every group); the 2% split-sum
     // carve-out still exercises the non-conformance path
     val cfg = Proposals.routeGroups(
-      Proposals.flagNonConformant(Proposals.configHashes(hh)),
+      Proposals.flagNonConformant(fused.select(col("cert_id"), col("group_id"),
+        col("config_hash"), col("total_split_pct"), col("n_splits"))),
       maxUniqueRatio = 1.0, maxEntropy = 99.0, minDominantPct = 0.0).persist()
     val props = Proposals.normalizeDateRanges(Proposals.buildProposals(cfg, certs))
       .persist()
@@ -151,7 +170,7 @@ object DomainBench {
       val s = System.nanoTime(); val r = f
       System.err.println(f"[phase] $name: ${(System.nanoTime() - s) / 1e9}%.2f s"); r
     }
-    phase("cache hh")(hh.count())
+    phase("cache fused hashes")(fused.count())
     phase("cache cfg")(cfg.count())
     val nProposals = phase("proposals")(props.count())
 

@@ -52,6 +52,60 @@ object Proposals {
         sum(col("split_pct")).as("total_split_pct"),
         count(lit(1)).as("n_splits"))
 
+  /** [[hierarchyHashes]] + [[configHashes]] fused into ONE aggregate:
+    * certificate rows group once by (cert, group) and the per-split
+    * hierarchy hashes AND the cert's config hash are computed in-row
+    * over the collected tier items (HOF group-by-split). Bit-equal to
+    * the two-phase build — `ProposalsSpec` asserts it — but with one
+    * shuffle instead of two (the second phase's regroup of the per-split
+    * frame disappears; per-split rows come back via a shuffle-free
+    * explode of `splits`). The lambda bodies run interpreted (HOFs get
+    * no codegen), so this trades per-row CPU for a stage — measure per
+    * workload; the two-phase form stays the default. */
+  def fusedHashes(certificates: DataFrame): DataFrame = {
+    def f(x: Column, n: String) = x.getField(n)
+    certificates
+      .withColumn("__tier_item", concat_ws(":",
+        lpad(col("tier_level").cast("string"), 4, "0"),
+        col("broker_id"), col("schedule_code")))
+      .groupBy(col("cert_id"), col("group_id"))
+      .agg(collect_list(struct(col("split_seq"), col("split_pct"),
+        col("__tier_item"))).as("__items"))
+      .withColumn("__splits", array_distinct(transform(col("__items"),
+        x => struct(f(x, "split_seq").as("split_seq"),
+          f(x, "split_pct").as("split_pct")))))
+      .withColumn("splits", transform(col("__splits"), s =>
+        struct(
+          f(s, "split_seq").as("split_seq"),
+          f(s, "split_pct").as("split_pct"),
+          upper(sha2(concat_ws("!", col("group_id"),
+            f(s, "split_pct").cast("string"),
+            array_join(array_sort(transform(
+              filter(col("__items"), y =>
+                f(y, "split_seq") === f(s, "split_seq") &&
+                  f(y, "split_pct") === f(s, "split_pct")),
+              z => f(z, "__tier_item"))), "|")), 256)).as("hierarchy_hash"))))
+      .withColumn("config_hash", upper(sha2(array_join(array_sort(
+        transform(col("splits"), e => concat_ws(":",
+          f(e, "split_pct").cast("string"), f(e, "hierarchy_hash")))), "|"), 256)))
+      .withColumn("total_split_pct", aggregate(col("__splits"), lit(0.0),
+        (acc, s) => acc + f(s, "split_pct")))
+      .withColumn("n_splits", size(col("__splits")).cast("long"))
+      .select(col("cert_id"), col("group_id"), col("splits"),
+        col("config_hash"), col("total_split_pct"), col("n_splits"))
+  }
+
+  /** Per-(cert, split) rows from [[fusedHashes]] output — the same shape
+    * [[hierarchyHashes]] emits (minus tiers/tier_sig, which the
+    * versioned flow never reads): a shuffle-free explode. */
+  def fusedSplitRows(fused: DataFrame): DataFrame =
+    fused.select(col("cert_id"), col("group_id"),
+        explode(col("splits")).as("__s"))
+      .select(col("cert_id"), col("group_id"),
+        col("__s.split_seq").as("split_seq"),
+        col("__s.split_pct").as("split_pct"),
+        col("__s.hierarchy_hash").as("hierarchy_hash"))
+
   /** Non-conformance: total split percent != 100 routes the certificate
     * to the per-certificate PHA path (`proposal-builder.ts:740-779`). */
   def flagNonConformant(configs: DataFrame, tol: Double = 0.001): DataFrame =

@@ -31,6 +31,32 @@ class ProposalsSpec extends SparkSpec {
     assert(cfg(1L) != cfg(3L)) // split pct included
   }
 
+  test("fusedHashes is bit-equal to the two-phase hierarchy+config build") {
+    val base = certs(
+      (1L, "G1", 1, 60.0, 1, "B1", "S1", "B1", "A", "x", "2020-01-01"),
+      (1L, "G1", 1, 60.0, 2, "B9", "S2", "B1", "A", "x", "2020-01-01"), // 2nd tier
+      (1L, "G1", 2, 40.0, 1, "B2", "S1", "B9", "A", "x", "2020-01-01"),
+      (2L, "G1", 74, 60.0, 1, "B1", "S1", "B7", "A", "x", "2020-02-01"),
+      (2L, "G1", 75, 40.0, 1, "B2", "S1", "B2", "A", "x", "2020-02-01"),
+      (3L, "G2", 1, 101.0, 1, "B3", "S3", "B3", "B", "y", "2020-03-01"))
+    val twoPhase = Proposals.configHashes(Proposals.hierarchyHashes(base))
+      .select(col("cert_id"), col("group_id"), col("config_hash"),
+        col("total_split_pct"), col("n_splits"))
+      .as[(Long, String, String, Double, Long)].collect().toSet
+    val fused = Proposals.fusedHashes(base)
+      .select(col("cert_id"), col("group_id"), col("config_hash"),
+        col("total_split_pct"), col("n_splits"))
+      .as[(Long, String, String, Double, Long)].collect().toSet
+    assert(fused == twoPhase)
+    val hhTwo = Proposals.hierarchyHashes(base)
+      .select(col("cert_id"), col("group_id"), col("split_seq"),
+        col("split_pct"), col("hierarchy_hash"))
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    val hhFused = Proposals.fusedSplitRows(Proposals.fusedHashes(base))
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    assert(hhFused == hhTwo)
+  }
+
   test("multi-tier hierarchies hash by ordered tier array") {
     val base = certs(
       (1L, "G1", 1, 100.0, 1, "B1", "S1", "B1", "A", "x", "2020-01-01"),
