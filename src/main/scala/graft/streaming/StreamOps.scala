@@ -246,6 +246,96 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  case class AsOfSide(k: Long, side: String, ts: java.sql.Timestamp, v: Double)
+  case class AsOfJoined(k: Long, left_ts: java.sql.Timestamp, left_v: Double,
+      right_ts: java.sql.Timestamp, right_v: java.lang.Double)
+
+  /** STREAM-STREAM AS-OF JOIN — an operator Spark has no native form of
+    * (stream-stream joins support only range/equality predicates, not
+    * "latest right at or before the left's time"). Built on
+    * `transformWithState` with event-time timers:
+    *
+    *  - both sides are tagged and unioned under ONE watermark, grouped
+    *    by the join key;
+    *  - left rows buffer in a ListState and arm an event-time timer at
+    *    their own timestamp: when the WATERMARK passes a left row's
+    *    time, every right row at-or-before it has arrived (later ones
+    *    are upstream-dropped), so the match emitted then is exactly the
+    *    batch as-of answer — deterministic, no early/partial results;
+    *  - right rows older than the watermark are garbage-collected down
+    *    to the single LATEST one (any future left has ts >= watermark,
+    *    so older rights can never win again) — state stays bounded by
+    *    the watermark delay, the contract that lets it run forever.
+    *
+    * Same-timestamp right ties resolve to the highest value (a total
+    * order, engine-replayable); lefts with no right at-or-before emit a
+    * null right (left-outer as-of). `StreamOpsSpec` asserts equality
+    * with the batch as-of computed over the same rows. */
+  class StreamAsOfProcessor extends StatefulProcessor[Long, AsOfSide, AsOfJoined] {
+    @transient private var lefts: ListState[(Long, Double)] = _
+    @transient private var rights: ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      lefts = getHandle.getListState[(Long, Double)]("lefts", enc, TTLConfig.NONE)
+      rights = getHandle.getListState[(Long, Double)]("rights", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[AsOfSide],
+        timerValues: TimerValues): Iterator[AsOfJoined] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.foreach { r =>
+        val t = r.ts.getTime
+        if (r.side == "L") {
+          lefts.appendValue((t, r.v))
+          // fire once the watermark passes the left's own event time; a
+          // left already at/behind the watermark fires next tick
+          getHandle.registerTimer(math.max(t, wm + 1))
+        } else rights.appendValue((t, r.v))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfJoined] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (due, pending) = lefts.get().toArray.partition(_._1 <= wm)
+      if (due.isEmpty) return Iterator.empty
+      if (pending.isEmpty) lefts.clear() else lefts.put(pending)
+      val rs = rights.get().toArray
+      // GC: rights newer than the watermark stay; of the older ones only
+      // the latest (ts, v) can still win for any future left
+      val (fresh, old) = rs.partition(_._1 > wm)
+      val keep = if (old.isEmpty) fresh else fresh :+ old.max
+      if (keep.isEmpty) rights.clear() else rights.put(keep)
+      due.sorted.iterator.map { case (lt, lv) =>
+        val m = rs.filter(_._1 <= lt)
+        if (m.isEmpty) AsOfJoined(key, new java.sql.Timestamp(lt), lv, null, null)
+        else {
+          val (rt, rv) = m.max // latest ts, highest value on ties
+          AsOfJoined(key, new java.sql.Timestamp(lt), lv,
+            new java.sql.Timestamp(rt), rv)
+        }
+      }
+    }
+  }
+
+  /** Stream-stream as-of join; both inputs need columns (k, ts, v). The
+    * watermark `delay` bounds both lateness and right-buffer state. */
+  def streamAsOfJoin(
+      left: DataFrame, right: DataFrame, delay: String): Dataset[AsOfJoined] = {
+    import left.sparkSession.implicits._
+    val tagged = left.select(col("k"), lit("L").as("side"), col("ts"), col("v"))
+      .unionByName(right.select(col("k"), lit("R").as("side"), col("ts"), col("v")))
+      .withWatermark("ts", delay)
+      .as[AsOfSide]
+    tagged.groupByKey(_.k)
+      .transformWithState(new StreamAsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class RecentWindow(user_id: Long, n_kept: Int, event_ids: Seq[Long])
 
   /** Bounded last-N buffer per key on a `ListState` handle: each batch

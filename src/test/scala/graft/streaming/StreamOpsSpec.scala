@@ -300,6 +300,71 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+  test("stream-stream AS-OF join matches the batch as-of over the same rows") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamOps.RocksDbProvider)
+    try {
+      implicit val sc = spark.sqlContext
+      val lIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val joined = StreamOps.streamAsOfJoin(
+        lIn.toDF().toDF("k", "ts", "v"),
+        rIn.toDF().toDF("k", "ts", "v"), "0 seconds")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("asof_out").start()
+      // batch 1: quotes at 10/20, a tick at 15 and one BEFORE any quote
+      rIn.addData((1L, ts("2024-01-01 00:00:10"), 100.0),
+        (1L, ts("2024-01-01 00:00:20"), 200.0))
+      lIn.addData((1L, ts("2024-01-01 00:00:15"), 1.0),
+        (1L, ts("2024-01-01 00:00:05"), 2.0))
+      q.processAllAvailable()
+      // batch 2: later activity pushes the watermark past 15 -> both
+      // pending ticks resolve; tick at 30 stays pending
+      rIn.addData((1L, ts("2024-01-01 00:00:25"), 300.0))
+      lIn.addData((1L, ts("2024-01-01 00:00:30"), 3.0))
+      q.processAllAvailable()
+      // batch 3: far-future row drives the watermark past 30
+      rIn.addData((2L, ts("2024-01-01 00:02:00"), 999.0))
+      q.processAllAvailable()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("asof_out")
+        .select(col("k"), col("left_ts").cast("string"), col("left_v"),
+          col("right_ts").cast("string"), col("right_v"))
+        .as[(Long, String, Double, Option[String], Option[Double])]
+        .collect().toSet
+      assert(got == Set(
+        (1L, "2024-01-01 00:00:05", 2.0, None, None),
+        (1L, "2024-01-01 00:00:15", 1.0, Some("2024-01-01 00:00:10"), Some(100.0)),
+        (1L, "2024-01-01 00:00:30", 3.0, Some("2024-01-01 00:00:25"), Some(300.0))))
+      // batch twin: exact same answer from a plain batch as-of
+      val lB = Seq((1L, ts("2024-01-01 00:00:15"), 1.0),
+        (1L, ts("2024-01-01 00:00:05"), 2.0),
+        (1L, ts("2024-01-01 00:00:30"), 3.0)).toDF("k", "ts", "v")
+      val rB = Seq((1L, ts("2024-01-01 00:00:10"), 100.0),
+        (1L, ts("2024-01-01 00:00:20"), 200.0),
+        (1L, ts("2024-01-01 00:00:25"), 300.0),
+        (2L, ts("2024-01-01 00:02:00"), 999.0)).toDF("k", "ts", "v")
+      val batch = lB.as("l").join(rB.as("r"),
+          col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l.k"), col("l.ts"), col("l.v"))
+            .orderBy(col("r.ts").desc_nulls_last, col("r.v").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select(col("l.k"), col("l.ts").cast("string"), col("l.v"),
+          col("r.ts").cast("string"), col("r.v"))
+        .as[(Long, String, Double, Option[String], Option[Double])]
+        .collect().toSet
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("incrementalGlSink: streamed premiums converge to the one-shot batch GL") {
     implicit val sc = spark.sqlContext
     def d(s: String) = java.sql.Date.valueOf(s)
