@@ -627,6 +627,20 @@ object SparkEntry {
               GROUPING(l_returnflag, l_linestatus)::INT AS gid, count(*) AS n
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
+    Q("a21_cube", (s, d) =>
+      // full CUBE: every subtotal combination + grouping id, decimal money
+      li(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2)
+            .cast("double").as("total"),
+          grouping_id().cast("int").as("gid"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n"), col("total")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag, l_linestatus)::INT AS gid, count(*) AS n,
+              round(sum(l_extendedprice::DECIMAL(14,2)), 2)::DOUBLE AS total
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
     Q("f_array_agg", (s, d) =>
       // canonical scalar form (sorted, comma-joined): raw array columns
       // are unhashable in the driver's row comparator
