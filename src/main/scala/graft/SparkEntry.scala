@@ -1681,6 +1681,33 @@ object SparkEntry {
             SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
       }),
 
+    Q("d_simhash_pairs", (s, d) =>
+      // band-blocked Hamming near-dups over the simhash fingerprints:
+      // 4 bands x 8 bits, pairs within Hamming distance 3 (pigeonhole:
+      // any such pair agrees on >= 1 band, so blocking loses nothing)
+      Dedup.simHashPairs(doc(s, d), col("doc_id"), col("text"),
+        bits = 32, bands = 4, maxHamming = 3),
+      Some {
+        val sums = (0 until 32)
+          .map(b => s"sum(((h >> $b) & 1) * 2 - 1)::BIGINT AS s$b").mkString(", ")
+        val fp = (0 until 32)
+          .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" | ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+            sums AS (SELECT doc_id, $sums FROM h GROUP BY 1),
+            s AS (SELECT doc_id, ($fp)::BIGINT AS simhash FROM sums),
+            banded AS (SELECT doc_id, simhash, band,
+                         (simhash >> (band * 8)) & 255 AS bv
+                       FROM s, (SELECT unnest(generate_series(0, 3)) AS band)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+      }),
+
     Q("d_embedding_neardup", (s, d) =>
       // IVF-cell blocked (the 100 TB default): deterministic centroids,
       // exact cosine only inside cells — the oracle replicates the same

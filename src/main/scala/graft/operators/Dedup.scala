@@ -306,6 +306,36 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
+  /** SimHash near-dup pairs: band-blocked Hamming matching. Fingerprints
+    * split into `bands` contiguous bit-bands; docs sharing ANY band value
+    * are candidates (a pair within Hamming distance d < bands must agree
+    * on at least one band — the pigeonhole guarantee), then exact
+    * Hamming (`bit_count(xor)`) keeps pairs at or under `maxHamming`.
+    * Same scale shape as MinHash-LSH: the only shuffle is the equi join
+    * on (band, band-value); never all-pairs. */
+  def simHashPairs(
+      df: DataFrame, id: Column, text: Column,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val docs = simHashDocs(df, id, text, bits)
+    val banded = docs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
     * token md5 bits; the sign of each sum forms the fingerprint. Docs are
     * compared by Hamming distance on band-blocked candidates. */

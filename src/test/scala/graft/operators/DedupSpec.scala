@@ -72,6 +72,27 @@ class DedupSpec extends SparkSpec {
     assert(blocked.map(p => (p._1, p._2)) == Set((0L, 16L), (1L, 17L)))
   }
 
+  test("simHashPairs: banded blocking finds all pairs within the Hamming bound") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, words), (2L, near), (3L, far), (4L, words)).toDF("doc_id", "text")
+    // maxHamming (3) < bands (4): the pigeonhole guarantee applies, so
+    // the banded result must equal the brute-force pairs at the bound
+    val got = Dedup.simHashPairs(df, col("doc_id"), col("text"),
+        bits = 32, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) == 0) // identical docs
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L))) // far pair out
+    val fps = Dedup.simHashDocs(df, col("doc_id"), col("text"), 32)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got == brute)
+  }
+
   test("minhash est_jaccard approximates true jaccard for near-identical docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
