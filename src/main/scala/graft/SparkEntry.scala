@@ -1681,6 +1681,34 @@ object SparkEntry {
             SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
       }),
 
+    Q("d_containment", (s, d) =>
+      // asymmetric containment |A∩B|/|A| >= 0.8 — near-subset detection
+      // symmetric Jaccard dilutes away; df-capped like d_ngram_jaccard
+      Dedup.containmentPairs(doc(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, maxDf = Some(50)),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              sh0 AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              sh AS (SELECT * FROM sh0
+                     WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50)),
+              sizes AS (SELECT doc_id, count(*)::INT AS n_sh FROM sh GROUP BY 1),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+                        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              ws AS (SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+                     FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                                JOIN sizes sb ON sb.doc_id = id_b)
+              SELECT id_a AS id_small, id_b AS id_large,
+                     round(n_common / n_a, 6) AS containment
+              FROM ws WHERE round(n_common / n_a, 6) >= 0.8
+              UNION ALL
+              SELECT id_b AS id_small, id_a AS id_large,
+                     round(n_common / n_b, 6) AS containment
+              FROM ws WHERE round(n_common / n_b, 6) >= 0.8""")),
+
     Q("d_simhash_pairs", (s, d) =>
       // band-blocked Hamming near-dups over the simhash fingerprints:
       // 4 bands x 8 bits, pairs within Hamming distance 3 (pigeonhole:

@@ -162,6 +162,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment pairs: |A∩B| / |A| >= threshold, directed — the
+    * asymmetric overlap measure that catches a document CONTAINED in a
+    * larger one (boilerplate-wrapped copies, quote inflation), which
+    * symmetric Jaccard dilutes away: a 100-shingle doc fully embedded in
+    * a 1000-shingle doc has Jaccard 0.1 but containment 1.0. Emits both
+    * directions when both clear the threshold (id_small is the contained
+    * side). Blocking/scale shape identical to [[ngramJaccardPairs]]
+    * (shared-shingle equi join + df cap on hot shingles). */
+  def containmentPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val raw = explodedWordShingles(df, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = maxDf match {
+      case Some(cap) =>
+        val hot = raw.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("sh"))
+        raw.join(hot, Seq("sh"), "left_anti")
+      case None => raw
+    }
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_sh"))
+    val common = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val withSizes = common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    // one row per direction that clears the bar: contained -> container
+    val aInB = withSizes
+      .withColumn("containment", round(col("n_common").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("id_small"), col("id_b").as("id_large"), col("containment"))
+    val bInA = withSizes
+      .withColumn("containment", round(col("n_common").cast("double") / col("n_b"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_b").as("id_small"), col("id_a").as("id_large"), col("containment"))
+    aInB.unionByName(bInA)
+  }
+
   /** Stable 32-bit integer hash of a string: first 8 hex chars of md5.
     * Replicable in any engine (unlike Murmur3 `hash()`). */
   def md5Int(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")

@@ -72,6 +72,35 @@ class DedupSpec extends SparkSpec {
     assert(blocked.map(p => (p._1, p._2)) == Set((0L, 16L), (1L, 17L)))
   }
 
+  test("containmentPairs: embedded doc scores 1.0 one way, Jaccard-diluted the other") {
+    val small = (1 to 6).map(i => s"w$i").mkString(" ")          // 4 trigrams
+    val large = ((1 to 6) ++ (100 to 120)).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, small), (2L, large), (3L, "zz yy xx qq pp")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, col("doc_id"), col("text"), 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // small fully embedded in large: containment(small->large) = 1.0;
+    // the reverse direction (4/25) and doc 3 stay out
+    assert(got == Set((1L, 2L, 1.0)))
+    // the same pair under symmetric Jaccard at the same bar: invisible
+    assert(Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8).count() == 0)
+  }
+
+  test("kernels and pair operators absorb null/empty/whitespace docs") {
+    val df = Seq((1L, "regular words here spread around"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   "),
+      (5L, "regular words here spread around"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashLshPairs(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mh.map(p => (p._1, p._2)) == Set((1L, 5L))) // degenerate docs dropped
+    val sh = Dedup.simHashPairs(df, col("doc_id"), col("text"), maxHamming = 0)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    // empty-ish docs all hash the '' token -> they may pair with each
+    // other, but never with real content
+    assert(sh.contains((1L, 5L)))
+    assert(!sh.exists(p => Set(1L, 5L).contains(p._1) ^ Set(1L, 5L).contains(p._2)))
+  }
+
   test("simHashPairs: banded blocking finds all pairs within the Hamming bound") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
