@@ -2276,6 +2276,33 @@ object SparkEntry {
                      round(cnt / (sum(cnt) OVER (PARTITION BY w1)), 6) AS p_cond
               FROM c""")),
 
+    Q("x_ngram_novelty", (s, d) => {
+      // per-doc novelty: the fraction of a doc's distinct trigrams that
+      // appear in NO other document — high novelty = original content,
+      // near-zero = assembled from corpus-common phrases. One explode +
+      // two hash aggregates (df over shingles, then per-doc mean).
+      val sh = Dedup.wordShingles(doc(s, d), col("doc_id"), col("text"), 3)
+      val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      sh.join(dfq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique").cast("double") / col("n_shingles"), 6))
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              dfq AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+              SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                     sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+                     round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+                       AS novelty
+              FROM sh JOIN dfq USING (s) GROUP BY 1""")),
+
     Q("x_perplexity_filter", (s, d) =>
       // CCNet-shaped perplexity-band filter: mean bigram NLL under the
       // corpus's own LM (DECIMAL-exact sums), keep the low-perplexity band
@@ -3134,6 +3161,35 @@ object SparkEntry {
               SELECT key, gap_from, gap_to,
                      date_diff('day', gap_from::DATE, gap_to::DATE)::BIGINT AS gap_days
               FROM g WHERE gap_to IS NOT NULL""")),
+
+    Q("iv_overlap_join", (s, d) =>
+      // interval x interval overlap as an EQUI join on 32-day buckets +
+      // residual predicate — the oracle runs the plain range join, so a
+      // green hash proves the bucketed plan finds exactly the same pairs
+      Intervals.overlapJoin(
+        ord(s, d).filter(pmod(col("o_orderkey"), lit(500)) === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("o_end")),
+        li(s, d).filter(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(500)) === 0)
+          .select(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+              col("l_suppkey"), col("l_partkey")).as("li_id"),
+            col("l_shipdate"), (col("l_shipdate") + expr("INTERVAL 7 DAY")).as("l_end")),
+        col("o_orderkey"), col("o_orderdate"), col("o_end"),
+        col("li_id"), col("l_shipdate"), col("l_end")),
+      Some("""WITH a AS (SELECT o_orderkey AS a_id, o_orderdate::DATE AS a_from,
+                       (o_orderdate + INTERVAL 30 DAY)::DATE AS a_to
+                FROM orders WHERE o_orderkey % 500 = 0),
+              b AS (SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR
+                         || '-' || l_suppkey::VARCHAR || '-' || l_partkey::VARCHAR AS b_id,
+                       l_shipdate::DATE AS b_from,
+                       (l_shipdate + INTERVAL 7 DAY)::DATE AS b_to
+                    FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 500 = 0)
+              SELECT a_id, b_id,
+                     greatest(a_from, b_from) AS ov_from,
+                     least(a_to, b_to) AS ov_to,
+                     (date_diff('day', greatest(a_from, b_from), least(a_to, b_to))
+                      + 1)::BIGINT AS ov_days
+              FROM a JOIN b ON a_from <= b_to AND b_from <= a_to""")),
 
     Q("iv_merge_intervals", (s, d) =>
       Intervals.mergeIntervals(

@@ -35,6 +35,12 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - n),
           i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))).as("sh"))
 
+  /** Public surface for the exploded distinct word-shingle table
+    * (doc_id, sh) — the shared substrate of the shingle-blocked
+    * operators, also useful standalone (df stats, novelty scoring). */
+  def wordShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    explodedWordShingles(df, id, text, n)
+
   /** Exact dedup: keep the lowest-id representative per normalized-content
     * fingerprint. One shuffle on the fingerprint. */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {

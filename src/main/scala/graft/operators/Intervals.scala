@@ -72,6 +72,38 @@ object Intervals {
           .cast("long").as("gap_days"))
   }
 
+  /** Interval-overlap join WITHOUT a range join: both interval tables
+    * explode into the fixed-width time buckets they span and join EQUI
+    * on the bucket id; the true overlap predicate runs as a residual
+    * filter (a shared bucket does NOT imply overlap), and pairs spanning
+    * several buckets dedupe once. This is the standard trick for
+    * interval x interval matching at scale — the naive formulation is a
+    * range-predicate join Spark can only execute as a nested loop.
+    * `bucketDays` trades replication (long intervals span more buckets)
+    * against candidate precision; size it near the typical interval
+    * length. */
+  def overlapJoin(
+      a: DataFrame, b: DataFrame,
+      aId: Column, aFrom: Column, aTo: Column,
+      bId: Column, bFrom: Column, bTo: Column,
+      bucketDays: Int = 32): DataFrame = {
+    def bucket(c: Column) = floor(unix_date(c.cast("date")) / bucketDays)
+    val ab = a.select(aId.as("a_id"), aFrom.cast("date").as("a_from"),
+        aTo.cast("date").as("a_to"))
+      .withColumn("__bk", explode(sequence(bucket(col("a_from")), bucket(col("a_to")))))
+    val bb = b.select(bId.as("b_id"), bFrom.cast("date").as("b_from"),
+        bTo.cast("date").as("b_to"))
+      .withColumn("__bk", explode(sequence(bucket(col("b_from")), bucket(col("b_to")))))
+    ab.join(bb, Seq("__bk"))
+      .filter(col("a_from") <= col("b_to") && col("b_from") <= col("a_to"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        greatest(col("a_from"), col("b_from")).as("ov_from"),
+        least(col("a_to"), col("b_to")).as("ov_to"))
+      .withColumn("ov_days",
+        (datediff(col("ov_to"), col("ov_from")) + 1).cast("long"))
+  }
+
   /** Sessionize an event stream in batch: events for the same user that
     * are within `gapSeconds` of the previous event share a session.
     * Pure window-function formulation (gaps-and-islands) — no typed path

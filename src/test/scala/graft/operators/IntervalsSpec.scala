@@ -36,6 +36,31 @@ class IntervalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+  test("overlapJoin: equi-bucketed plan equals the naive range join") {
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq((1L, dt("2024-01-01"), dt("2024-01-10")),
+      (2L, dt("2024-02-25"), dt("2024-03-05")),  // spans a 32-day bucket edge
+      (3L, dt("2024-06-01"), dt("2024-06-02")))
+      .toDF("id", "f", "t")
+    val b = Seq(("x", dt("2024-01-08"), dt("2024-01-20")),  // overlaps 1
+      ("y", dt("2024-03-01"), dt("2024-03-02")),            // overlaps 2 cross-bucket
+      ("z", dt("2024-01-25"), dt("2024-01-30")))            // same bucket as 1, NO overlap
+      .toDF("id", "f", "t")
+    val got = Intervals.overlapJoin(a, b,
+        col("id"), col("f"), col("t"), col("id"), col("f"), col("t"))
+      .select(col("a_id"), col("b_id"), col("ov_days"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "x", 3L), (2L, "y", 2L)))
+    // naive range-join twin over the same frames
+    val naive = a.as("a").join(b.as("b"),
+        col("a.f") <= col("b.t") && col("b.f") <= col("a.t"))
+      .select(col("a.id"), col("b.id"),
+        (datediff(least(col("a.t"), col("b.t")),
+          greatest(col("a.f"), col("b.f"))) + 1).cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == naive)
+  }
+
   test("coverageGaps emits only true holes with day widths") {
     def t(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
     val df = Seq(
