@@ -3208,6 +3208,206 @@ object SparkEntry {
                     FROM x)
               SELECT key, min(f) AS range_from, max(t) AS range_to, count(*)::INT AS n_merged
               FROM y GROUP BY key, isl""")),
+
+    Q("iv_scd2_snapshot", (s, d) => {
+      // SCD2 as-of snapshot: the versioned-hierarchy table filtered to the
+      // rows effective at one date — a pure pushdown-able filter that on a
+      // date-partitioned dimension prunes to the straddling files
+      val obs = ord(s, d).select(
+        concat(lit("G"), col("o_custkey")).as("key"),
+        to_date(col("o_orderdate")).as("observed_at"),
+        col("o_orderpriority").as("signature"))
+      val v = graft.domain.HierarchyVersioning.versionsFromObservations(
+        obs, col("key"), col("observed_at"), col("signature"))
+      Intervals.snapshotAt(v, col("eff_from"), col("eff_to"),
+          lit("1995-06-01").cast("date"))
+        .select(col("key"), col("version_seq"), col("signature"),
+          col("eff_from").cast("date").as("eff_from"),
+          col("eff_to").cast("date").as("eff_to"))
+    },
+      Some("""WITH obs AS (
+                SELECT DISTINCT 'G' || o_custkey::VARCHAR AS key,
+                       o_orderdate::DATE AS observed_at,
+                       o_orderpriority AS signature
+                FROM orders),
+              f AS (
+                SELECT *, CASE WHEN lag(signature) OVER w IS NULL
+                                 OR lag(signature) OVER w <> signature
+                               THEN 1 ELSE 0 END AS chg
+                FROM obs
+                WINDOW w AS (PARTITION BY key ORDER BY observed_at, signature)),
+              v AS (
+                SELECT *, sum(chg) OVER (PARTITION BY key
+                            ORDER BY observed_at, signature
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+                FROM f),
+              g AS (SELECT key, version_seq, signature, min(observed_at) AS eff_from
+                    FROM v GROUP BY 1, 2, 3),
+              ver AS (
+                SELECT key, version_seq, signature, eff_from,
+                       coalesce(lead(eff_from) OVER (PARTITION BY key
+                                  ORDER BY eff_from, version_seq) - 1,
+                                DATE '2099-01-01') AS eff_to
+                FROM g)
+              SELECT * FROM ver
+              WHERE eff_from <= DATE '1995-06-01' AND eff_to >= DATE '1995-06-01'""")),
+
+    Q("x_chunk_dedup", (s, d) =>
+      // C4-style corpus chunk dedup: fixed 12-word chunks, keep only the
+      // globally-first occurrence of each distinct chunk (doc_id, position
+      // order), reassemble the surviving text. First-occurrence is ONE
+      // hash agg (min(struct)) with map-side partials — no windows
+      Dedup.chunkDedup(doc(s, d), col("doc_id"), col("text"), chunkWords = 12),
+      Some("""WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t FROM documents),
+              ch0 AS (SELECT doc_id, t,
+                        unnest(range((len(t) - 1) // 12 + 1)) AS cidx FROM toks),
+              ch AS (SELECT doc_id, cidx,
+                       array_to_string(list_slice(t, cidx*12 + 1, cidx*12 + 12),
+                                       ' ') AS chunk
+                     FROM ch0),
+              k AS (SELECT doc_id, cidx, chunk,
+                      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+                    FROM ch)
+              SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                     sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+                     coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1),
+                              '') AS dedup_text
+              FROM k GROUP BY doc_id""")),
+
+    Q("d_semdedup", (s, d) =>
+      // SemDeDup (Abbas et al. 2023): deterministic k-means cells (1 Lloyd
+      // iteration, RNG-free seeds) then an order-independent EXISTS flag —
+      // a doc is a semantic dup iff an earlier cluster-mate has rounded
+      // cosine >= 0.35. Pairwise work stays within cells (O(n^2/k))
+      Dedup.semDedup(emb(s, d), col("vec_id"), col("embedding"),
+        k = 8, iters = 1, threshold = 0.35),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              c0 AS (SELECT m.cell, e.v AS centroid
+                     FROM (SELECT vec_id % 8 AS cell, min(vec_id) AS mvid
+                           FROM e GROUP BY 1) m
+                     JOIN e ON e.vec_id = m.mvid),
+              a1 AS (SELECT vec_id, v, cell FROM (
+                       SELECT e.vec_id, e.v, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                         c.cell) AS rn
+                       FROM e CROSS JOIN c0 c) WHERE rn = 1),
+              m1 AS (SELECT cell, i, round(avg(v[i + 1]), 6) AS m
+                     FROM a1, range(64) r(i) GROUP BY 1, 2),
+              c1 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m1 GROUP BY 1),
+              fin AS (SELECT vec_id, v, cell AS cluster FROM (
+                        SELECT e.vec_id, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN c1 c) WHERE rn = 1),
+              dup AS (SELECT DISTINCT b.vec_id
+                      FROM fin a JOIN fin b
+                        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+              SELECT f.vec_id AS doc_id, f.cluster,
+                     (d.vec_id IS NOT NULL) AS is_semdup
+              FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id""")),
+
+    Q("a22_join_size_est", (s, d) => {
+      // count-min join-cardinality estimate (Cormode & Muthukrishnan §4.2):
+      // <fA,fB> per hash row, min over rows — an upper bound computed from
+      // two depth*width grids, never joining the base tables; the exact
+      // join size rides along for the error columns
+      val est = graft.operators.Sketches.joinSizeEstimate(
+        li(s, d), col("l_orderkey"), ord(s, d), col("o_orderkey"),
+        depth = 4, width = 1024)
+      val exact = li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(exact)
+        .select(col("est_join_rows"), col("exact_join_rows"),
+          round((col("est_join_rows") - col("exact_join_rows")).cast("double") /
+            col("exact_join_rows"), 6).as("rel_overcount"),
+          (col("est_join_rows") >= col("exact_join_rows")).as("no_undercount"))
+    },
+      Some("""WITH rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+              sa AS (SELECT r,
+                       ('0x' || substr(md5(r::VARCHAR || ':' || l_orderkey::VARCHAR), 1, 8))::BIGINT
+                         % 1024 AS c,
+                       count(*)::BIGINT AS cnt
+                     FROM lineitem CROSS JOIN rws GROUP BY 1, 2),
+              sb AS (SELECT r,
+                       ('0x' || substr(md5(r::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+                         % 1024 AS c,
+                       count(*)::BIGINT AS cnt
+                     FROM orders CROSS JOIN rws GROUP BY 1, 2),
+              rowest AS (SELECT sa.r, sum(sa.cnt * sb.cnt)::BIGINT AS row_est
+                         FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c GROUP BY 1),
+              est AS (SELECT min(row_est)::BIGINT AS est_join_rows FROM rowest),
+              ex AS (SELECT count(*)::BIGINT AS exact_join_rows
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+              SELECT est_join_rows, exact_join_rows,
+                     round((est_join_rows - exact_join_rows) / exact_join_rows::DOUBLE, 6)
+                       AS rel_overcount,
+                     est_join_rows >= exact_join_rows AS no_undercount
+              FROM est CROSS JOIN ex""")),
+
+    Q("x_url_canon", (s, d) => {
+      // crawl URL canonicalization: messy synthetic URLs (case-mixed
+      // hosts, www/subdomain prefixes, tracking params, unsorted query,
+      // trailing slash) -> canonical page + registered domain; per-domain
+      // crawl stats. All pure column expressions inside the scan
+      val o = ord(s, d)
+      val url = concat(
+        lit("https://"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit("WWW."))
+          .when(pmod(col("o_orderkey"), lit(4)) === 1, lit("www."))
+          .when(pmod(col("o_orderkey"), lit(4)) === 2, lit("img."))
+          .otherwise(lit("")),
+        lit("Shop"), pmod(col("o_custkey"), lit(20)).cast("string"), lit(".COM"),
+        lit("/catalog/item"), pmod(col("o_orderkey"), lit(1000)).cast("string"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), pmod(col("o_orderkey"), lit(100)).cast("string"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          lit("&utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("&b=2&a=1")).otherwise(lit("")))
+      o.select(TextFunctions.canonicalizeUrl(url).as("canon"),
+          TextFunctions.registeredDomain(url).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon")).as("n_pages"),
+          min(col("canon")).as("first_page"))
+    },
+      Some("""WITH u AS (SELECT 'https://' ||
+                CASE WHEN o_orderkey % 4 = 0 THEN 'WWW.'
+                     WHEN o_orderkey % 4 = 1 THEN 'www.'
+                     WHEN o_orderkey % 4 = 2 THEN 'img.' ELSE '' END ||
+                'Shop' || (o_custkey % 20)::VARCHAR || '.COM' ||
+                '/catalog/item' || (o_orderkey % 1000)::VARCHAR ||
+                CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END ||
+                '?id=' || (o_orderkey % 100)::VARCHAR ||
+                CASE WHEN o_orderkey % 3 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END ||
+                CASE WHEN o_orderkey % 5 = 0 THEN '&ref=home' ELSE '' END ||
+                CASE WHEN o_orderkey % 7 = 0 THEN '&b=2&a=1' ELSE '' END AS url
+              FROM orders),
+              p AS (SELECT
+                regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                               '^www\.', '') AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                               '/$', '') AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                  x -> len(x) > 0 AND NOT regexp_matches(x,
+                         '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS params
+              FROM u),
+              c AS (SELECT
+                'https://' || host || path ||
+                  CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon,
+                CASE WHEN len(string_split(host, '.')) >= 2
+                     THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                     ELSE host END AS domain
+              FROM p)
+              SELECT domain, count(*)::BIGINT AS n_urls,
+                     count(DISTINCT canon)::BIGINT AS n_pages,
+                     min(canon) AS first_page
+              FROM c GROUP BY domain""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,6 +27,43 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\[\\]{}-]", ""))
 
+  /** Tracking query params stripped by [[canonicalizeUrl]] (utm_*,
+    * click ids, referrer tags) — the CommonCrawl-pipeline cleanup set. */
+  private val trackingParamRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+  /** Canonical form of an http(s) URL for crawl-level dedup: lowercase
+    * scheme+host, strip a leading `www.`, drop the fragment, strip a
+    * single trailing `/` from the path, remove tracking params and sort
+    * the survivors. Pure `Column` expression (regexp + array HOFs) — runs
+    * inside the scan projection, no shuffle, no UDF. Non-URL strings
+    * yield an empty-host canonical (`scheme://`) the caller can filter. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => length(p) > 0 && !p.rlike(trackingParamRe))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+  }
+
+  /** Registered domain (last two host labels) of an http(s) URL — the
+    * crawl-pipeline grouping key for per-site stats and rate limits.
+    * Public-suffix awareness (co.uk) is a lookup-table join the caller
+    * can layer on; two labels is the deterministic engine-level default. */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+  }
+
   /** Occurrences of common English stopwords (word-boundary matched). */
   def stopwordCount(c: Column): Column =
     size(regexp_extract_all(

@@ -456,4 +456,77 @@ object Dedup {
       .withColumn("contamination",
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
+
+  /** C4-style chunk-level exact dedup (Raffel et al. 2020 dedup lines;
+    * generalized to fixed-width word chunks since this corpus has no
+    * newlines): split every document into `chunkWords`-word chunks, keep
+    * only the globally FIRST occurrence of each distinct chunk text
+    * (ordered by doc_id then position), reassemble the surviving text.
+    *
+    * Scale shape: first-occurrence is ONE hash aggregate on the chunk
+    * text (`min(struct(doc_id, cidx))` — partial aggregation collapses
+    * each partition to one candidate per chunk before the shuffle), then
+    * an equi join back on the chunk and one per-doc aggregate. No windows,
+    * no sorts; the reassembly order comes from an in-row `array_sort`.
+    * A corpus-hot chunk (boilerplate) fans its join-back rows through one
+    * reducer, but the fan-out is bounded by that chunk's corpus frequency
+    * — the same bound the dedup itself must materialize.
+    *
+    * Returns (doc_id, n_chunks, n_removed, dedup_text). */
+  def chunkDedup(df: DataFrame, id: Column, text: Column, chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    val toks = df.select(id.cast("long").as("doc_id"),
+      split(trim(text), "\\s+").as("toks"))
+    val chunks = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(chunkWords)).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * chunkWords + 1, lit(chunkWords)))))
+        .as(Seq("cidx", "chunk")))
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("cidx"))).as("first"))
+    chunks.join(first, Seq("chunk"))
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("cidx") === col("first.cidx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("cidx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("dedup_text"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings with deterministic k-means ([[Clustering.kMeansAssign]] —
+    * RNG-free seeds, rounded similarities), then inside each cluster flag
+    * every doc that has an EARLIER (lower-id) cluster-mate with rounded
+    * cosine >= `threshold`. The flag rule is a pure EXISTS — no greedy
+    * chain, so it is order-independent, engine-replayable, and one-pass.
+    *
+    * Scale shape: the only pairwise work is the within-cluster self-join
+    * (O(n^2/k) pairs); at corpus scale `k` grows with the corpus so the
+    * per-cluster population stays bounded — the cross-cluster recall loss
+    * is the standard SemDeDup trade. Returns one row per input doc:
+    * (doc_id, cluster, is_semdup). */
+  def semDedup(
+      df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cos = cosineCol(df) _
+    val pts = df.select(id.cast("long").as("doc_id"),
+      graft.functions.VectorFunctions.toDoubleArray(vec).as("v"))
+    val assigned = Clustering.kMeansAssign(df, id, vec, k, iters)
+      .select(col("point_id").as("doc_id"), col("cluster"))
+      .join(pts, Seq("doc_id"))
+    val dup = assigned.select(col("cluster"), col("doc_id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cluster"), col("doc_id").as("id_b"), col("v").as("vb")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        round(cos(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_semdup"))
+  }
 }

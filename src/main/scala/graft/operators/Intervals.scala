@@ -123,4 +123,14 @@ object Intervals {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")
   }
+
+  /** SCD2 as-of snapshot: the rows of a versioned dimension effective at
+    * `asOf` (`from <= asOf <= to`). With half-open or closed interval
+    * conventions the caller picks the bound columns accordingly; this is
+    * the closed-interval form the hierarchy-versioning family emits
+    * (2099-01-01 open end). A pure filter — predicate-pushdown reaches
+    * the scan, and on a dimension partitioned/z-ordered by `from` the
+    * scan prunes to the files straddling `asOf`. */
+  def snapshotAt(df: DataFrame, from: Column, to: Column, asOf: Column): DataFrame =
+    df.filter(from <= asOf && to >= asOf)
 }

@@ -45,4 +45,27 @@ object Sketches {
       .groupBy(keys.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
   }
+
+  /** Sketch-based equi-join cardinality estimate (Cormode & Muthukrishnan
+    * 2005 §4.2): |A ⋈ B| = <fA, fB>, the inner product of the two sides'
+    * key-frequency vectors, estimated per hash row as sum_c a[r][c]*b[r][c]
+    * and upper-bounded by taking the min over rows (collisions only ADD
+    * mass, so every row's estimate >= the true size).
+    *
+    * The planner use case at 100 TB: both sketches are depth*width-row
+    * aggregates (partial agg = sketch merge — each side is one pass, the
+    * shuffle carries at most depth*width cells per partition), the
+    * row-product join touches only grid cells, and NO join of the actual
+    * tables ever runs. Returns one row: (est_join_rows). */
+  def joinSizeEstimate(
+      a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      depth: Int, width: Int): DataFrame = {
+    val sa = countMinSketch(a, aKey, depth, width)
+    val sb = countMinSketch(b, bKey, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("__r", "__c")) // absent cells contribute 0 to the dot product
+      .groupBy(col("__r"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
+      .agg(min(col("row_est")).as("est_join_rows"))
+  }
 }

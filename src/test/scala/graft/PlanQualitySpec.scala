@@ -163,4 +163,33 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("j15_record_linkage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("chunk dedup: hash aggregates + equi join-back, no windows or sorts-for-windows") {
+    val p = plan("x_chunk_dedup")
+    assert(!p.contains("Window"), p)   // first-occurrence is min(struct), not row_number
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semdedup: pairwise work stays inside cluster cells (equi self-join)") {
+    val p = plan("d_semdedup")
+    // the only nested-loop is the k-row centroid broadcast of kMeansAssign
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("join-size estimate never joins the base tables: grid-cell join only") {
+    val est = graft.operators.Sketches.joinSizeEstimate(
+      graft.Tables.lineitem(spark, sf001), org.apache.spark.sql.functions.col("l_orderkey"),
+      graft.Tables.orders(spark, sf001), org.apache.spark.sql.functions.col("o_orderkey"),
+      depth = 4, width = 1024)
+    val p = est.queryExecution.executedPlan.toString
+    // both sides aggregate down to <= depth*width cells BEFORE the join
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("url canonicalization is a pure projection into one hash aggregate") {
+    val p = plan("x_url_canon")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
 }

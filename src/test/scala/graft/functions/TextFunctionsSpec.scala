@@ -148,4 +148,33 @@ class TextFunctionsSpec extends SparkSpec {
     val bCard = got("srcB")
     assert(bCard._2 == 1 && bCard._6 == 100.0 && bCard._7 == 0.0)
   }
+
+  test("canonicalizeUrl: case, www, tracking params, sort, slash, fragment") {
+    val urls = Seq(
+      "https://WWW.Shop3.COM/catalog/item5/?id=9&utm_source=feed&b=2&a=1#frag",
+      "https://shop3.com/catalog/item5?a=1&b=2&id=9",
+      "http://img.Shop3.com/x/?ref=home&fbclid=abc&gclid=1&msclkid=2",
+      "not a url at all")
+      .toDF("url")
+    val got = urls.select(TextFunctions.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(got(0) == "https://shop3.com/catalog/item5?a=1&b=2&id=9")
+    assert(got(1) == got(0)) // messy and clean forms canonicalize identically
+    assert(got(2) == "http://img.shop3.com/x") // subdomain kept, all params tracking
+    assert(got(3) == "://")  // non-URL -> empty-host sentinel the caller filters
+  }
+
+  test("canonicalizeUrl keeps utm-lookalike and bare params correctly") {
+    val got = Seq("https://a.com/p?utmost=1&ref=x&refresh=2&utm_x")
+      .toDF("url").select(TextFunctions.canonicalizeUrl(col("url"))).as[String].head()
+    // utmost/refresh are NOT tracking params; bare utm_x (no '=') is
+    assert(got == "https://a.com/p?refresh=2&utmost=1")
+  }
+
+  test("registeredDomain takes the last two host labels, stripping www") {
+    val got = Seq(
+      "https://www.shop3.com/x", "https://img.cdn.shop3.com/y",
+      "https://localhost/z")
+      .toDF("url").select(TextFunctions.registeredDomain(col("url"))).as[String].collect()
+    assert(got.toSeq == Seq("shop3.com", "shop3.com", "localhost"))
+  }
 }

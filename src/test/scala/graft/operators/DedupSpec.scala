@@ -191,4 +191,54 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) == ((4L, 2L))) // 8 toks -> 4 grams; probe shares 2 of them
     assert(m(2L) == ((2L, 0L)))
   }
+
+  test("chunkDedup keeps the globally-first occurrence and reassembles in order") {
+    // chunkWords=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d][a b]
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, col("doc_id"), col("text"), chunkWords = 2)
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"), col("dedup_text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 0L, "a b c d")))   // first owner of both chunks
+    assert(got(2L) == ((2L, 1L, "x y")))       // "a b" removed, order kept
+    assert(got(3L) == ((2L, 2L, "")))          // fully duplicated -> empty text
+  }
+
+  test("chunkDedup ragged tail chunk is its own unit") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, col("doc_id"), col("text"), chunkWords = 2)
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"), col("dedup_text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 = [a b][c]; doc 2's single chunk [c] collides with doc 1's tail
+    assert(got(1L) == ((2L, 0L, "a b c")))
+    assert(got(2L) == ((1L, 1L, "")))
+  }
+
+  test("semDedup flags later near-identical cluster-mates, keeps the earliest") {
+    // 4-dim vectors: 1 and 3 near-identical, 2 orthogonal, 4 close to 2
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.999, 0.01, 0.0, 0.0)),
+      (4L, Seq(0.01, 0.999, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        k = 2, iters = 1, threshold = 0.9)
+      .select(col("doc_id"), col("is_semdup")).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("semDedup is one row per input and order-independent (pure EXISTS)") {
+    val e = (1L to 20L).map(i => (i, Seq(i.toDouble, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+      k = 4, iters = 1, threshold = 0.999999)
+    assert(out.count() == 20)
+    // same input reversed -> identical flags (no greedy chain order effects)
+    val rev = Dedup.semDedup(e.orderBy(col("vec_id").desc), col("vec_id"),
+      col("embedding"), k = 4, iters = 1, threshold = 0.999999)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      rev.orderBy("doc_id").collect().toSeq)
+  }
 }

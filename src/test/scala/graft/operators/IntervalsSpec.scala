@@ -73,4 +73,22 @@ class IntervalsSpec extends SparkSpec {
       .select(col("key"), col("gap_days")).as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 20L)))
   }
+
+  test("snapshotAt returns exactly the versions straddling the as-of date") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val versions = Seq(
+      (1L, 1, d("2024-01-01"), d("2024-03-31")),
+      (1L, 2, d("2024-04-01"), d("2099-01-01")), // open end
+      (2L, 1, d("2024-05-01"), d("2024-06-01"))  // not yet effective at as-of
+    ).toDF("key", "ver", "f", "t")
+    val got = Intervals.snapshotAt(versions, col("f"), col("t"),
+        lit("2024-04-15").cast("date"))
+      .select(col("key"), col("ver")).as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 2)))
+    // boundary days are inclusive on both ends
+    val edge = Intervals.snapshotAt(versions, col("f"), col("t"),
+        lit("2024-03-31").cast("date"))
+      .select(col("key"), col("ver")).as[(Long, Int)].collect().toSet
+    assert(edge == Set((1L, 1)))
+  }
 }

@@ -46,4 +46,23 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(est.forall(_._2 >= 0L))
   }
+
+  test("joinSizeEstimate equals the exact join size when the grid is collision-free") {
+    // 10 distinct keys into a 4x1024 grid: collisions are (vanishingly)
+    // unlikely, so every row's inner product is exactly sum(fa*fb)
+    val a = (1 to 10).flatMap(k => Seq.fill(k)(s"k$k")).toDF("k")   // fa(k_i) = i
+    val b = (1 to 10).flatMap(k => Seq.fill(2)(s"k$k")).toDF("k")   // fb = 2
+    val est = Sketches.joinSizeEstimate(a, col("k"), b, col("k"), 4, 1024)
+      .as[Long].head()
+    assert(est == (1 to 10).map(_ * 2).sum) // = 110
+  }
+
+  test("joinSizeEstimate never undercounts (collisions only add mass)") {
+    val a = (1 to 500).map(i => s"a$i").toDF("k")
+    val b = (1 to 500).map(i => s"a${i % 50}").toDF("k")
+    val exact = a.join(b, Seq("k")).count()
+    val est = Sketches.joinSizeEstimate(a, col("k"), b, col("k"), 3, 32)
+      .as[Long].head()
+    assert(est >= exact)
+  }
 }
