@@ -3408,6 +3408,132 @@ object SparkEntry {
                      count(DISTINCT canon)::BIGINT AS n_pages,
                      min(canon) AS first_page
               FROM c GROUP BY domain""")),
+
+    Q("v_pq_adc", (s, d) =>
+      // product-quantization ANN (Jégou 2011): 8 subspaces x 16-entry
+      // deterministic codebooks (seed + 1 Lloyd step, euclidean, rounded
+      // trajectory), corpus encoded to 8 codes, query answered by ADC —
+      // a broadcast 8x16 distance table + one grouped sum. The oracle
+      // replays the whole trajectory: training, encoding and ADC
+      Similarity.pqAdcTopK(emb(s, d), "vec_id", "embedding",
+        queryId = 0L, m = 8, ksub = 16, k = 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS s
+                      FROM e CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              seed AS (SELECT m.j, m.cell, s.s AS cen
+                       FROM (SELECT j, vec_id % 16 AS cell, min(vec_id) AS mvid
+                             FROM sub GROUP BY 1, 2) m
+                       JOIN sub s ON s.vec_id = m.mvid AND s.j = m.j),
+              a1 AS (SELECT vec_id, j, s, cell FROM (
+                       SELECT sub.vec_id, sub.j, sub.s, seed.cell,
+                              row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                                ORDER BY round(pow(list_distance(sub.s, seed.cen), 2), 6) ASC,
+                                         seed.cell) AS rn
+                       FROM sub JOIN seed ON sub.j = seed.j) WHERE rn = 1),
+              m1 AS (SELECT j, cell, i, round(avg(s[i + 1]), 6) AS mc
+                     FROM a1, range(8) r(i) GROUP BY 1, 2, 3),
+              cb AS (SELECT j, cell, list(mc ORDER BY i) AS cen FROM m1 GROUP BY 1, 2),
+              code AS (SELECT vec_id, j, cell FROM (
+                       SELECT sub.vec_id, sub.j, cb.cell,
+                              row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                                ORDER BY round(pow(list_distance(sub.s, cb.cen), 2), 6) ASC,
+                                         cb.cell) AS rn
+                       FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+              q AS (SELECT j, s FROM sub WHERE vec_id = 0),
+              dt AS (SELECT cb.j, cb.cell,
+                            round(pow(list_distance(q.s, cb.cen), 2), 6) AS qd
+                     FROM cb JOIN q ON cb.j = q.j),
+              score AS (SELECT code.vec_id, round(sum(dt.qd), 6) AS adc_dist
+                        FROM code JOIN dt ON code.j = dt.j AND code.cell = dt.cell
+                        WHERE code.vec_id <> 0 GROUP BY 1)
+              SELECT vec_id AS neighbor_id, adc_dist,
+                     (row_number() OVER (ORDER BY adc_dist ASC, vec_id))::INT AS rank
+              FROM score QUALIFY rank <= 10""")),
+
+    Q("a23_trailing_window", (s, d) => {
+      // trailing 90-day revenue per customer: the RANGE-frame window
+      // family (frame bounds in event-time days, not rows) — the standard
+      // feature-engineering shape; same-day peer rows are excluded by the
+      // -1 upper bound on both engines
+      val o = ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      Windows.trailingRangeSum(o, Seq(col("o_custkey")), col("od"),
+          col("price"), days = 90, outName = "t90")
+        .select(col("o_custkey"), col("o_orderkey"), col("od"),
+          coalesce(col("t90"), lit(0)).cast("decimal(18,2)").as("trailing_90d"))
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate::DATE AS od,
+                     coalesce(sum(o_totalprice::DECIMAL(18,2)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate::DATE
+                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                                 AND INTERVAL 1 DAY PRECEDING), 0)::DECIMAL(18,2)
+                       AS trailing_90d
+              FROM orders""")),
+
+    Q("v_mrl_recall", (s, d) => {
+      // matryoshka-style truncation check: top-10 cosine neighbors of one
+      // query using only the first 16 dims vs the full 64 — rank-aligned
+      // comparison with an agreement flag (the truncation-quality readout)
+      val e = emb(s, d)
+      val full = Similarity.bruteForceCosineTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+        .select(col("rank"), col("neighbor_id").as("id_full"),
+          col("cos").as("cos_full"))
+      val trunc = Similarity.bruteForceCosineTopK(
+        e.filter(col("vec_id") === 0)
+          .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("rank"), col("neighbor_id").as("id_trunc"),
+          col("cos").as("cos_trunc"))
+      full.join(trunc, Seq("rank"))
+        .withColumn("agree", col("id_full") === col("id_trunc"))
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT v FROM e WHERE vec_id = 0),
+              fl AS (SELECT e.vec_id AS id_full,
+                            round(list_cosine_similarity(q.v, e.v), 6) AS cos_full,
+                            (row_number() OVER (ORDER BY
+                               round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                               e.vec_id))::INT AS rank
+                     FROM e CROSS JOIN q WHERE e.vec_id <> 0 QUALIFY rank <= 10),
+              tr AS (SELECT e.vec_id AS id_trunc,
+                            round(list_cosine_similarity(list_slice(q.v, 1, 16),
+                                                         list_slice(e.v, 1, 16)), 6) AS cos_trunc,
+                            (row_number() OVER (ORDER BY
+                               round(list_cosine_similarity(list_slice(q.v, 1, 16),
+                                                            list_slice(e.v, 1, 16)), 6) DESC,
+                               e.vec_id))::INT AS rank
+                     FROM e CROSS JOIN q WHERE e.vec_id <> 0 QUALIFY rank <= 10)
+              SELECT fl.rank, fl.id_full, fl.cos_full, tr.id_trunc, tr.cos_trunc,
+                     fl.id_full = tr.id_trunc AS agree
+              FROM fl JOIN tr ON fl.rank = tr.rank""")),
+
+    Q("v_hard_negatives", (s, d) => {
+      // contrastive-training hard-negative mining: for each anchor
+      // (vec_id % 100 = 0), the top-3 most-similar vectors with a
+      // DIFFERENT label (label = vec_id % 5) — high-similarity,
+      // wrong-class examples; anchors broadcast against the corpus
+      val e = emb(s, d)
+      val anchors = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.hardNegatives(anchors, e,
+        "vec_id", "embedding", pmod(col("vec_id"), lit(5)).cast("int"),
+        "vec_id", "embedding", pmod(col("vec_id"), lit(5)).cast("int"), k = 3)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0)
+              SELECT query_id, rank, neg_id, neg_label, cos FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+                       (e.vec_id % 5)::INT AS neg_label,
+                       round(list_cosine_similarity(q.v, e.v), 6) AS cos,
+                       (row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                                   e.vec_id))::INT AS rank
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+                WHERE (q.vec_id % 5) <> (e.vec_id % 5))
+              WHERE rank <= 3""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

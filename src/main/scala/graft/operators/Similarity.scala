@@ -183,4 +183,88 @@ object Similarity {
       .select(col("query_doc"), col("doc_id"),
         col("__score").cast("double").as("maxsim"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar corpus vectors whose label DIFFERS from the
+    * anchor's — high-similarity wrong-class examples. Anchors broadcast
+    * (small probe set); the label filter runs before ranking so all k
+    * slots are true negatives. */
+  def hardNegatives(
+      anchors: DataFrame, corpus: DataFrame,
+      aId: String, aVec: String, aLabel: Column,
+      cId: String, cVec: String, cLabel: Column, k: Int): DataFrame = {
+    val q = anchors.select(col(aId).as("query_id"), aLabel.as("__ql"),
+      VectorFunctions.toDoubleArray(col(aVec)).as("qv"))
+    val c = corpus.select(col(cId).as("neg_id"), cLabel.as("neg_label"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("__ql") =!= col("neg_label") && col("query_id") =!= col("neg_id"))
+      .withColumn("cos", round(cosineCol(corpus)(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"), col("neg_label"), col("cos"))
+  }
+
+  /** Squared euclidean distance as a fold — PQ quantizes absolute
+    * subvector positions, so euclidean (not cosine) is the metric. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Product-quantization ANN (Jégou et al. 2011): split every vector
+    * into `m` subvectors, train a deterministic per-subspace codebook
+    * (lowest-id seeds per id-residue class + one Lloyd step, euclidean,
+    * distances and means rounded at 6 with cell-id tiebreaks — any engine
+    * replays the exact trajectory), encode the corpus to m small codes,
+    * and answer a query by ADC: per-subspace distance table (m x ksub
+    * rows, broadcast) + one grouped sum over the code columns.
+    *
+    * Scale shape: ALL m subspaces train in one grouped-aggregate chain
+    * keyed by (subspace, cell) — no per-subspace loop; the corpus is
+    * touched in narrow passes only (explode to subvectors, assign against
+    * a broadcast codebook, hash-agg the ADC sum); the final top-k is
+    * TakeOrdered, never a global sort. At 100 TB the codes table is
+    * ~m bytes/vector — the point of PQ: the reranking working set drops
+    * two orders of magnitude below the raw embeddings. */
+  def pqAdcTopK(
+      corpus: DataFrame, cId: String, cVec: String,
+      queryId: Long, m: Int, ksub: Int, k: Int): DataFrame = {
+    require(m > 0 && ksub > 0 && k > 0, "m, ksub, k must be positive")
+    val e = corpus.select(col(cId).cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("v"))
+    val subLen = (size(col("v")) / lit(m)).cast("int")
+    val subs = e.select(col("vid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("v"), j * subLen + 1, subLen))).as(Seq("j", "s")))
+    val seeds = Joins.top1PerGroup(
+      subs.withColumn("cell", pmod(col("vid"), lit(ksub))),
+      Seq(col("j"), col("cell")), Seq(col("vid").asc))
+      .select(col("j"), col("cell"), col("s").as("cen"))
+    def assign(cb: DataFrame): DataFrame =
+      Joins.top1PerGroup(
+        subs.join(broadcast(cb), Seq("j"))
+          .withColumn("d", round(sqDist(col("s"), col("cen")), 6)),
+        Seq(col("vid"), col("j")), Seq(col("d").asc, col("cell").asc))
+    // one Lloyd step on the seed assignment -> the codebook
+    val cb = assign(seeds)
+      .select(col("j"), col("cell"), posexplode(col("s")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mc"))
+      .groupBy(col("j"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mc")))),
+        p => p.getField("mc")).as("cen"))
+    val codes = assign(cb).select(col("vid"), col("j"), col("cell"))
+    val qsubs = subs.filter(col("vid") === queryId).select(col("j"), col("s").as("qs"))
+    val dt = broadcast(cb.join(qsubs, Seq("j"))
+      .select(col("j"), col("cell"), round(sqDist(col("qs"), col("cen")), 6).as("qd")))
+    val scored = codes.filter(col("vid") =!= queryId)
+      .join(dt, Seq("j", "cell"))
+      .groupBy(col("vid")).agg(round(sum(col("qd")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vid").asc).limit(k) // TakeOrdered
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("adc_dist").asc, col("vid").asc)).cast("int"))
+      .select(col("vid").as("neighbor_id"), col("adc_dist"), col("rank"))
+  }
 }

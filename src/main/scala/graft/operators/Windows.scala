@@ -25,6 +25,20 @@ object Windows {
     grouped.withColumn(outName,
       round(col(cntCol) * 100.0 / sum(col(cntCol)).over(Window.partitionBy()), scale))
 
+  /** Trailing event-time aggregate: sum of `value` over the preceding
+    * `days`-day RANGE frame per key, excluding the current day (upper
+    * bound -1 day, so same-day peer rows never see each other) — the
+    * standard feature-engineering "trailing 90-day spend" shape. RANGE
+    * frames bound by event time, not row counts: gaps and same-day
+    * bursts are handled by the frame, not the data layout. */
+  def trailingRangeSum(
+      df: DataFrame, part: Seq[Column], dateCol: Column, value: Column,
+      days: Int, outName: String): DataFrame = {
+    val w = Window.partitionBy(part: _*)
+      .orderBy(unix_date(dateCol.cast("date"))).rangeBetween(-days, -1)
+    df.withColumn(outName, sum(value).over(w))
+  }
+
   /** Display-name sequencing (W6,
     * `scripts/transforms/consolidate-proposals.ts:427-445`):
     * `"{prefix} - {date} - {seq}"` per partition in a stable order. */

@@ -154,4 +154,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)).toSeq ==
       Seq((1L, 2.0), (3L, 1.414214), (2L, 1.0)))
   }
+
+  test("pqAdcTopK: same-cell vectors share the query's cell distance and rank first") {
+    // 8-dim vectors, m=2 subspaces of 4 dims, 2 codebook entries each.
+    // Vectors cluster tightly around two patterns; vec 5 = vec 0 exactly.
+    val base = Array(1.0, 2.0, 3.0, 4.0, -1.0, -2.0, -3.0, -4.0)
+    val far  = Array(9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0)
+    def jit(v: Array[Double], eps: Double) = v.map(_ + eps)
+    val vecs = Seq(
+      (0L, base), (1L, jit(base, 0.01)), (2L, far), (3L, jit(far, 0.01)),
+      (4L, jit(far, 0.02)), (5L, base))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+        queryId = 0L, m = 2, ksub = 2, k = 3)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // ADC distance is query-to-CENTROID of the neighbor's cell: vecs 1 and
+    // 5 share vec 0's codes, so they tie at the query's own-cell distance
+    // (small, nonzero — the centroid absorbed the jitter) and the id
+    // tiebreak orders them 1 then 5; the far-pattern vecs rank below
+    assert(got.map(_._1).take(2).toSeq == Seq(1L, 5L))
+    assert(got(0)._2 == got(1)._2)            // same codes -> same ADC distance
+    assert(got(0)._2 < 0.01)                  // near the base pattern's centroid
+    assert(got(2)._2 > 100)                   // other pattern is far away
+  }
+
+  test("pqAdcTopK is deterministic across input order (seeded, rounded, tiebroken)") {
+    val vecs = (0L to 30L).map(i =>
+      (i, Array.tabulate(8)(dd => math.sin(i * 1.7 + dd).abs * 10)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pqAdcTopK(vecs, "vec_id", "embedding", 0L, 2, 4, 5)
+      .collect().toSeq
+    val b = Similarity.pqAdcTopK(vecs.orderBy(col("vec_id").desc), "vec_id",
+      "embedding", 0L, 2, 4, 5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("hardNegatives returns only cross-label neighbors, ranked by similarity") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0, 0.0, 0.0)),   // anchor, label 0
+      (1L, 0, Array(0.99, 0.1, 0.0)),  // same label: excluded
+      (2L, 1, Array(0.98, 0.2, 0.0)),  // closest wrong-label
+      (3L, 1, Array(0.0, 1.0, 0.0)),   // orthogonal wrong-label
+      (4L, 2, Array(0.9, 0.4, 0.0)))   // second wrong-label
+      .toDF("vec_id", "label", "v")
+    val got = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "v", col("label"), "vec_id", "v", col("label"), k = 2)
+      .select(col("rank"), col("neg_id")).as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, 2L), (2, 4L))) // label-0 vec 1 never appears
+  }
 }
