@@ -29,11 +29,20 @@ object Dedup {
     */
   private[operators] def explodedWordShingles(
       df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.cast("long").as("doc_id"), split(trim(text), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))).as("sh"))
+    // native Generator when registered: tokenize + shingle + dedupe in one
+    // pass inside GenerateExec, no document-sized intermediate arrays in
+    // the projection; row-equal to the HOF fallback below.
+    // SPARK_GRAFT_SHINGLE_GEN=0 forces the fallback for A/B timing.
+    if (!sys.env.get("SPARK_GRAFT_SHINGLE_GEN").contains("0") &&
+        df.sparkSession.catalog.functionExists("shingle_explode"))
+      df.select(id.cast("long").as("doc_id"),
+        call_function("shingle_explode", text, lit(n)).as("sh"))
+    else
+      df.select(id.cast("long").as("doc_id"), split(trim(text), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))).as("sh"))
 
   /** Public surface for the exploded distinct word-shingle table
     * (doc_id, sh) — the shared substrate of the shingle-blocked

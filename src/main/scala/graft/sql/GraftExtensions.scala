@@ -107,6 +107,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashSig(coerce(children.head, StringType), coerce(children(1), IntegerType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "shingle_explode expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        def coerce(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            t: org.apache.spark.sql.types.DataType) =
+          if (e.dataType == t) e else Cast(e, t)
+        ShingleExplode(coerce(children.head, StringType),
+          coerce(children(1), IntegerType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

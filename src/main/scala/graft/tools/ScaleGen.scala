@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up replica generator for scaling experiments: writes `copies`
+  * disjoint key-shifted copies of orders + lineitem (the flagship's and
+  * the core join/agg queries' only inputs) so the SAME queries can be
+  * timed at N x the gate scale. Keys shift by copy * (max+1) so key
+  * cardinality scales with row count and per-key densities stay constant
+  * — a faithful N x workload, not a hot-key pileup. Dimension tables are
+  * copied through unchanged.
+  *
+  * Usage: ScaleGen <srcSfDir> <outDir> <copies>
+  * (run via the Bench classpath: java -cp target/...:/opt/spark/jars/\*)
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesStr) = args.take(3)
+    val copies = copiesStr.toInt
+    val spark = graft.GraftSession.getOrCreate("graft-scalegen")
+
+    val o = spark.read.parquet(s"$src/orders.parquet")
+    val l = spark.read.parquet(s"$src/lineitem.parquet")
+    val oShift = o.agg(max("o_orderkey")).head.getLong(0) + 1
+    val cShift = o.agg(max("o_custkey")).head.getLong(0) + 1
+
+    val cSeq = explode(sequence(lit(0L), lit(copies - 1L))).as("__c")
+    o.select(col("*"), cSeq)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__c") * oShift)
+      .withColumn("o_custkey", col("o_custkey") + col("__c") * cShift)
+      .drop("__c")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    l.select(col("*"), cSeq)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__c") * oShift)
+      .drop("__c")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    spark.stop()
+  }
+}
