@@ -36,7 +36,10 @@ object Bench {
       // judge compares round-over-round, and this VM's CPU-steal windows
       // are long enough that two samples can BOTH land in a slow window
       // (an 18s x_winnow reading in r5 was really 2.7s in isolation)
-      val n = if (first >= 2.0) repeat.max(3) else repeat
+      // explicit SPARK_GRAFT_REPEAT=1 means ONE sample even for heavy
+      // queries (long single-shot scale experiments); the default path
+      // still escalates heavy queries to 3 samples for steal-noise
+      val n = if (first >= 2.0 && repeat > 1) repeat.max(3) else repeat
       val secs =
         if (first < 1.0) first
         else (first +: (2 to n).map(_ => once())).min

@@ -3534,6 +3534,97 @@ object SparkEntry {
                 FROM q JOIN e ON q.vec_id <> e.vec_id
                 WHERE (q.vec_id % 5) <> (e.vec_id % 5))
               WHERE rank <= 3""")),
+
+    Q("a24_woe_binning", (s, d) => {
+      // feature binning + weight-of-evidence encoding: 10 deterministic
+      // equi-depth bins (ntile over a TOTAL order — same global-sort
+      // caveat as a17_equidepth; at corpus scale swap in approx edges),
+      // per-bin event rate and WOE = ln(event_share / nonevent_share)
+      val l = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("x"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val binned = l.withColumn("bin", ntile(10).over(
+        Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))))
+      val tot = binned.agg(sum(col("y")).as("tot_ev"), count(lit(1)).as("tot_n"))
+      binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_event"),
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_event"), col("lo"), col("hi"),
+          round(log(
+            (col("n_event").cast("double") / col("tot_ev").cast("double")) /
+            ((col("n") - col("n_event")).cast("double") /
+             (col("tot_n") - col("tot_ev")).cast("double"))), 6).as("woe"))
+    },
+      Some("""WITH l AS (SELECT l_orderkey, l_linenumber,
+                       l_extendedprice::DECIMAL(12,2) AS x,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem),
+              b AS (SELECT *, (ntile(10) OVER (ORDER BY x, l_orderkey, l_linenumber))::INT AS bin
+                    FROM l),
+              t AS (SELECT sum(y)::BIGINT AS tot_ev, count(*)::BIGINT AS tot_n FROM b),
+              g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_event,
+                           min(x) AS lo, max(x) AS hi FROM b GROUP BY 1)
+              SELECT bin, n, n_event, lo, hi,
+                     round(ln((n_event::DOUBLE / tot_ev::DOUBLE) /
+                              ((n - n_event)::DOUBLE / (tot_n - tot_ev)::DOUBLE)), 6) AS woe
+              FROM g CROSS JOIN t""")),
+
+    Q("a25_target_encoding", (s, d) => {
+      // leakage-safe target encoding: per-category out-of-fold target
+      // mean — the row's own fold is EXCLUDED from its encoding
+      // ((cat_total - fold_total) / (cat_n - fold_n)); folds are
+      // deterministic (orderkey % 5). Two hash aggs + one equi join
+      val l = li(s, d).select(
+        concat(col("l_linestatus"), lit("-"), pmod(col("l_partkey"), lit(8))).as("cat"),
+        pmod(col("l_orderkey"), lit(5)).as("fold"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val perFold = l.groupBy(col("cat"), col("fold"))
+        .agg(sum(col("y")).as("f_ev"), count(lit(1)).as("f_n"))
+      val perCat = perFold.groupBy(col("cat"))
+        .agg(sum(col("f_ev")).as("c_ev"), sum(col("f_n")).as("c_n"))
+      perFold.join(perCat, Seq("cat"))
+        .select(col("cat"), col("fold"),
+          round((col("c_ev") - col("f_ev")).cast("double") /
+                (col("c_n") - col("f_n")).cast("double"), 6).as("oof_target_mean"),
+          col("f_n").as("fold_rows"))
+    },
+      Some("""WITH l AS (SELECT l_linestatus || '-' || (l_partkey % 8)::VARCHAR AS cat,
+                       l_orderkey % 5 AS fold,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem),
+              pf AS (SELECT cat, fold, sum(y)::BIGINT AS f_ev, count(*)::BIGINT AS f_n
+                     FROM l GROUP BY 1, 2),
+              pc AS (SELECT cat, sum(f_ev)::BIGINT AS c_ev, sum(f_n)::BIGINT AS c_n
+                     FROM pf GROUP BY 1)
+              SELECT pf.cat, pf.fold,
+                     round((c_ev - f_ev)::DOUBLE / (c_n - f_n)::DOUBLE, 6) AS oof_target_mean,
+                     f_n AS fold_rows
+              FROM pf JOIN pc ON pf.cat = pc.cat""")),
+
+    Q("x_feature_hash", (s, d) =>
+      // hashing-trick featurization (Weinberger 2009): token -> md5
+      // bucket in [0,64), sign from the next hash bit; per-doc sparse
+      // feature entries (row count bounded by docs x 64). Exact integer
+      // hashing — RNG-free, any engine
+      // reproduces the features bit-for-bit
+      doc(s, d).select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .withColumn("h", Dedup.md5Int(col("w")))
+        .withColumn("idx", pmod(col("h"), lit(64)))
+        .withColumn("sgn", when(pmod(floor(col("h") / 64), lit(2)) === 0, 1)
+          .otherwise(-1))
+        .groupBy(col("doc_id"), col("idx"))
+        .agg(sum(col("sgn")).as("val"), count(lit(1)).as("n_toks")),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+              h AS (SELECT doc_id,
+                      ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
+              f AS (SELECT doc_id, h % 64 AS idx,
+                      CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+                    FROM h)
+              SELECT doc_id, idx, sum(sgn)::BIGINT AS val, count(*)::BIGINT AS n_toks
+              FROM f GROUP BY 1, 2""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -371,15 +371,31 @@ object Dedup {
     * on (band, band-value); never all-pairs. */
   def simHashPairs(
       df: DataFrame, id: Column, text: Column,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
     val mask = (1L << width) - 1
     val docs = simHashDocs(df, id, text, bits)
-    val banded = docs.select(col("doc_id"), col("simhash"),
+    val allBanded = docs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bv",
         expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
+    // Band buckets have only 2^width values, so bucket population — and
+    // the candidate-pair count, QUADRATICALLY — grows with corpus size
+    // (measured: 10x docs -> 20x wall at 4x8-bit bands). The scale dials:
+    // wider bands (bits grows with log n) and/or this hot-bucket cap,
+    // which drops (band, value) buckets holding more than `maxBucket`
+    // docs. Recall contract mirrors ngramJaccardPairs.maxDf: a pair is
+    // lost only if EVERY band it agrees on is dropped.
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val hot = allBanded.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select(col("band"), col("bv"))
+        allBanded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+      case None => allBanded
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

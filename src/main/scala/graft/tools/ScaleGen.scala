@@ -35,8 +35,34 @@ object ScaleGen {
       .drop("__c")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings"))
+    // documents scale as INDEPENDENT shards: every word gets a per-copy
+    // suffix, so cross-copy shingles/chunks never match and the corpus'
+    // duplicate structure is exactly `copies` disjoint images of the
+    // original — the honest linear-scaling baseline for dedup operators
+    // (replicating texts verbatim would grow pair counts quadratically)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dShift = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.select(col("*"), cSeq)
+      .withColumn("doc_id", col("doc_id") + col("__c") * dShift)
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("__c"))), " "))
+      .drop("__c")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings: circular dimension shift per copy — norms and within-copy
+    // similarity structure preserved, cross-copy cosines decorrelated
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val eShift = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.select(col("*"), cSeq)
+      .withColumn("vec_id", col("vec_id") + col("__c") * eShift)
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("__c").cast("int") + 1,
+          size(col("embedding")) - col("__c").cast("int")),
+        slice(col("embedding"), lit(1), col("__c").cast("int"))))
+      .drop("__c")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     spark.stop()

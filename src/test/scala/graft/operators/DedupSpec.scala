@@ -122,6 +122,23 @@ class DedupSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("simHashPairs maxBucket drops saturated band buckets, keeps cold ones") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    // 8 identical docs share every band value (hot buckets of size >= 8);
+    // the near pair (1, 2) still agrees on >= 1 band with population 2
+    val clones = (10L to 17L).map(i => (i, "clone " * 30))
+    val df = (Seq((1L, words), (2L, near)) ++ clones).toDF("doc_id", "text")
+    val uncapped = Dedup.simHashPairs(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect()
+    assert(uncapped.count(p => p._1 >= 10L) == 28) // all clone pairs found
+    val capped = Dedup.simHashPairs(df, col("doc_id"), col("text"),
+        maxBucket = Some(4))
+      .as[(Long, Long, Int)].collect()
+    assert(!capped.exists(p => p._1 >= 10L)) // hot clone buckets dropped
+    assert(capped.exists(p => (p._1, p._2) == ((1L, 2L)))) // cold pair kept
+  }
+
   test("minhash est_jaccard approximates true jaccard for near-identical docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
