@@ -3625,6 +3625,60 @@ object SparkEntry {
                     FROM h)
               SELECT doc_id, idx, sum(sgn)::BIGINT AS val, count(*)::BIGINT AS n_toks
               FROM f GROUP BY 1, 2""")),
+
+    Q("d_incremental_dedup", (s, d) => {
+      // incremental (daily-batch) dedup: docs with doc_id % 10 = 0 are
+      // the "new batch", the rest the standing corpus; each new doc is
+      // flagged exact (fingerprint in corpus) and near (df-capped
+      // trigram Jaccard >= 0.1 vs ANY corpus doc). Within-batch dups are
+      // deliberately not flagged — that is the batch-local exactDedup
+      val docs = doc(s, d)
+      val newB = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corp = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.incrementalDedup(newB, corp, col("doc_id"), col("text"),
+        n = 3, threshold = 0.1, maxDf = Some(50))
+    },
+      Some("""WITH newb AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              nfp AS (SELECT doc_id,
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM newb),
+              cfp AS (SELECT DISTINCT
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM corp),
+              ex AS (SELECT doc_id FROM nfp WHERE fp IN (SELECT fp FROM cfp)),
+              shn0 AS (SELECT doc_id,
+                        unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])) AS s
+                       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                             FROM newb) WHERE len(w) >= 3),
+              shc0 AS (SELECT doc_id AS c_id,
+                        unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])) AS s
+                       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                             FROM corp) WHERE len(w) >= 3),
+              hot AS (SELECT s FROM shc0 GROUP BY s HAVING count(*) > 50),
+              shn AS (SELECT * FROM shn0 WHERE s NOT IN (SELECT s FROM hot)),
+              shc AS (SELECT * FROM shc0 WHERE s NOT IN (SELECT s FROM hot)),
+              sn AS (SELECT doc_id, count(*)::BIGINT AS n_a FROM shn GROUP BY 1),
+              sc AS (SELECT c_id, count(*)::BIGINT AS n_b FROM shc GROUP BY 1),
+              pairs AS (SELECT shn.doc_id, shc.c_id, count(*)::BIGINT AS n_common
+                        FROM shn JOIN shc ON shn.s = shc.s
+                        GROUP BY 1, 2),
+              nr AS (SELECT DISTINCT p.doc_id
+                     FROM pairs p
+                     JOIN sn ON sn.doc_id = p.doc_id
+                     JOIN sc ON sc.c_id = p.c_id
+                     WHERE round(p.n_common::DOUBLE /
+                                 (sn.n_a + sc.n_b - p.n_common), 6) >= 0.1)
+              SELECT n.doc_id,
+                     (e.doc_id IS NOT NULL) AS is_exact_dup,
+                     (r.doc_id IS NOT NULL) AS is_near_dup,
+                     CASE WHEN e.doc_id IS NOT NULL OR r.doc_id IS NOT NULL
+                          THEN 'drop' ELSE 'keep' END AS verdict
+              FROM nfp n
+              LEFT JOIN ex e ON n.doc_id = e.doc_id
+              LEFT JOIN nr r ON n.doc_id = r.doc_id""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

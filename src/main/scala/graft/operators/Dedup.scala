@@ -522,6 +522,60 @@ object Dedup {
           s => s.getField("chunk")), " ").as("dedup_text"))
   }
 
+  /** Incremental dedup: flag each NEW-batch document against the
+    * existing corpus — exact (normalized fingerprint present in the
+    * corpus) and near (df-capped n-gram Jaccard vs a corpus doc >=
+    * threshold, shared-shingle blocked). The daily-increment shape: the
+    * corpus side contributes one fingerprint set + one shingle table
+    * (both reusable across batches as materialized indexes); the only
+    * pairwise work is new x corpus through the shingle equi join —
+    * within-batch duplicates are deliberately NOT flagged (run
+    * [[exactDedup]]/[[ngramJaccardPairs]] on the batch for that).
+    * `maxDf` caps CORPUS-side shingle document frequency, same skew
+    * contract as [[ngramJaccardPairs]].
+    *
+    * Returns one row per new doc: (doc_id, is_exact_dup, is_near_dup,
+    * verdict keep|drop). */
+  def incrementalDedup(
+      newDocs: DataFrame, corpus: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val newFp = newDocs.select(id.cast("long").as("doc_id"),
+      TextFunctions.fingerprint(text).as("fp"))
+    val corpFp = corpus.select(TextFunctions.fingerprint(text).as("fp")).distinct()
+    val exact = newFp.join(corpFp, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("__e", lit(true))
+    val rawN = explodedWordShingles(newDocs, id, text, n)
+    val rawC = explodedWordShingles(corpus, id, text, n)
+      .withColumnRenamed("doc_id", "c_id")
+    // the hot list comes from CORPUS df (the stable side an incremental
+    // pipeline can precompute) and caps BOTH sides, so the df-capped
+    // Jaccard is computed over one well-defined shingle universe
+    val (shN, shC) = maxDf match {
+      case Some(cap) =>
+        val hot = rawC.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("sh"))
+        (rawN.join(hot, Seq("sh"), "left_anti"),
+          rawC.join(hot, Seq("sh"), "left_anti"))
+      case None => (rawN, rawC)
+    }
+    val sizeN = shN.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val sizeC = shC.groupBy(col("c_id")).agg(count(lit(1)).as("n_b"))
+    val near = shN.join(shC, Seq("sh"))
+      .groupBy(col("doc_id"), col("c_id")).agg(count(lit(1)).as("n_common"))
+      .join(sizeN, Seq("doc_id")).join(sizeC, Seq("c_id"))
+      .filter(round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 6) >= threshold)
+      .select(col("doc_id")).distinct().withColumn("__n", lit(true))
+    newFp.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__e"), lit(false)).as("is_exact_dup"),
+        coalesce(col("__n"), lit(false)).as("is_near_dup"))
+      .withColumn("verdict",
+        when(col("is_exact_dup") || col("is_near_dup"), "drop").otherwise("keep"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embeddings with deterministic k-means ([[Clustering.kMeansAssign]] —
     * RNG-free seeds, rounded similarities), then inside each cluster flag

@@ -232,6 +232,43 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, "")))
   }
 
+  test("incrementalDedup flags new docs against the corpus only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val newB = Seq(
+      (10L, " Alpha  beta gamma DELTA epsilon "), // exact after normalization
+      (11L, "alpha beta gamma delta zeta"),        // near (shares 2 of 3+2-... trigrams)
+      (12L, "nothing in common with anything"),    // keep
+      (13L, "nothing in common with anything"))    // within-batch dup: NOT flagged
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(newB, corpus, col("doc_id"), col("text"),
+        n = 3, threshold = 0.2)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"), col("verdict"))
+      .as[(Long, Boolean, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // fingerprint is case-folded (exact hit) but shingles are
+    // case-sensitive, so the case-mangled twin is NOT a near-dup
+    assert(got(10L) == ((true, false, "drop")))
+    assert(got(11L) == ((false, true, "drop")))
+    assert(got(12L) == ((false, false, "keep")))
+    assert(got(13L) == ((false, false, "keep"))) // batch-internal dup survives
+  }
+
+  test("incrementalDedup maxDf caps the corpus-derived hot shingles on both sides") {
+    // the shared trigram lives in EVERY corpus doc -> hot at cap 2
+    val corpus = (1L to 5L).map(i => (i, s"of the and unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val newB = Seq((100L, "of the and something else entirely")).toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalDedup(newB, corpus, col("doc_id"), col("text"),
+      n = 3, threshold = 0.1)
+    assert(uncapped.filter(col("is_near_dup")).count() == 1)
+    val capped = Dedup.incrementalDedup(newB, corpus, col("doc_id"), col("text"),
+      n = 3, threshold = 0.1, maxDf = Some(2))
+    assert(capped.filter(col("is_near_dup")).count() == 0)
+  }
+
   test("semDedup flags later near-identical cluster-mates, keeps the earliest") {
     // 4-dim vectors: 1 and 3 near-identical, 2 orthogonal, 4 close to 2
     val e = Seq(
