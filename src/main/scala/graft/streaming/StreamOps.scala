@@ -435,4 +435,43 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming corpus ingestion with incremental dedup: each micro-batch
+    * of documents is flagged against the STANDING corpus store
+    * ([[graft.operators.Dedup.incrementalDedup]] — exact fingerprint +
+    * df-capped near-dup), survivors append to the store keyed by doc id.
+    * Replay-convergent on two axes: a replayed batch's survivors are
+    * anti-joined away by the id upsert, and a replayed duplicate can
+    * never re-enter because its fingerprint is already in the store.
+    * Batch-internal exact dups are collapsed (lowest id wins) before the
+    * corpus check, so one batch cannot seed the store with two copies.
+    * This is the streaming twin of the daily-increment dedup pipeline —
+    * the store IS the reusable corpus index. */
+  def dedupIngestSink(
+      docStream: DataFrame, targetDir: String, checkpointDir: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        val batchDocs = Dedup.exactDedup(batch, col("doc_id"), col("text"))
+          .filter(!col("is_duplicate"))
+          .select(col("doc_id"), col("text"))
+        val path = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(path)) {
+            val corpus = spark.read.parquet(targetDir)
+            val verdicts = Dedup.incrementalDedup(
+              batchDocs, corpus, col("doc_id"), col("text"), n, threshold, maxDf)
+            val keep = batchDocs.join(
+              verdicts.filter(col("verdict") === "keep").select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            graft.domain.Export.upsertCandidates(keep, corpus, Seq("doc_id"))
+          } else batchDocs
+        fresh.write.mode("append").parquet(targetDir)
+      }
+      .start()
 }

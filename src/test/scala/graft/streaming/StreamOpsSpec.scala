@@ -445,4 +445,37 @@ class StreamOpsSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("dedupIngestSink: streaming corpus store admits each content once") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ingest").toString
+    val target = s"$dir/corpus"; val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), target, ckpt, n = 3, threshold = 0.5)
+    // batch 1 seeds the store; 11 is a batch-internal exact dup of 10
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha  beta gamma delta epsilon "),
+      (12L, "one two three four five six"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(target).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq == Seq(10L, 12L))
+    // batch 2: exact dup of stored content, a near dup, and a novel doc
+    input.addData(
+      (20L, "alpha beta gamma delta epsilon"),      // exact vs store
+      (21L, "one two three four five seven"),       // near vs store (J=5/7)
+      (22L, "totally novel content appears here now"))
+    q.processAllAvailable(); q.stop()
+    val store = spark.read.parquet(target).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq
+    assert(store == Seq(10L, 12L, 22L))
+    // restart with a replayed batch: the store is unchanged (convergent)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.dedupIngestSink(
+      input2.toDF().toDF("doc_id", "text"), target, s"$dir/ckpt2", n = 3, threshold = 0.5)
+    input2.addData((22L, "totally novel content appears here now"))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(target).count() == 3)
+  }
 }
