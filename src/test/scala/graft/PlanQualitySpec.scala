@@ -192,4 +192,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("x_url_canon")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
+
+  test("PQ ADC: codebooks broadcast, top-k is TakeOrdered (no global sort)") {
+    val p = plan("v_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)   // codes join the m x ksub table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup: all joins equi/semi, hot list broadcast anti") {
+    val p = plan("d_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
