@@ -763,6 +763,66 @@ object SparkEntry {
                      min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
               FROM z GROUP BY 1""")),
 
+    Q("s10_bucket_join", (s, d) => {
+      // Bucketed-layout co-location (the Spark answer to the reference's
+      // nonclustered indexes, sql/01-raw-tables.sql:49,114-118): both
+      // facts are written bucketBy+sortBy on the join key ONCE, so the
+      // join AND the same-key aggregation that follows plan with ZERO
+      // shuffle exchanges (asserted by BucketingSpec + PlanQualitySpec).
+      // At 100 TB this is the difference between re-shuffling both facts
+      // on every query and a local zip of co-located buckets.
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(
+        li(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        "s10_li", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+      Bucketing.writeBucketed(
+        ord(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "s10_ord", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      s.table("s10_li").join(s.table("s10_ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("line_total"),
+          max(col("o_totalprice")).as("order_total"))
+    },
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+              round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS line_total,
+              max(o_totalprice) AS order_total
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1""")),
+
+    Q("s11_gen_source", (s, d) => {
+      // Custom DataSource V2 (graft.sources.GenSource): a computed corpus
+      // table whose scan NARROWS ITS GENERATION RANGE from pushed doc_id
+      // predicates (pushdown into the generator, not a post-filter) and
+      // computes only the pruned columns. The score predicate is not
+      // pushable and stays a Spark-side residual. The oracle replays the
+      // md5 row derivation in SQL over the same pushed id range.
+      s.read.format("graft.sources.GenSource")
+        .option("n", 20000).option("slices", 8).load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 9000 &&
+          col("score") < 0.75)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+    },
+      Some("""WITH g AS (SELECT md5('gen-' || i::VARCHAR) AS h
+                FROM generate_series(1000, 8999) t(i)),
+              d AS (SELECT ('0x' || substr(h, 1, 8))::BIGINT AS a,
+                           ('0x' || substr(h, 9, 8))::BIGINT AS b,
+                           ('0x' || substr(h, 17, 8))::BIGINT AS c FROM g),
+              e AS (SELECT ['web','books','code','wiki'][(a % 4)::INT + 1] AS source,
+                           ['en','de','fr','es','pt'][(b % 5)::INT + 1] AS lang,
+                           50 + (c % 951) AS tokens,
+                           a / 4294967296.0 AS score FROM d)
+              SELECT source, lang, count(*) AS n_docs,
+                     sum(tokens)::BIGINT AS sum_tokens,
+                     min(score) AS min_score, max(score) AS max_score
+              FROM e WHERE score < 0.75 GROUP BY 1, 2""")),
+
     Q("s6_topk", (s, d) =>
       prt(s, d).orderBy(col("p_retailprice").desc, col("p_partkey").asc)
         .limit(10).select(col("p_partkey"), col("p_name"), col("p_retailprice")),

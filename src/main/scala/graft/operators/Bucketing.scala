@@ -14,10 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and optionally sorted) table. */
+  /** Write `df` as a bucketed (and optionally sorted) table. Idempotent
+    * across sessions: a stale warehouse directory from a previous JVM
+    * (no catalog entry, location on disk) is cleared first — otherwise
+    * saveAsTable fails with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")

@@ -204,4 +204,23 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("d_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bucketed join + same-key agg plans with ZERO shuffle exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("s10_bucket_join")
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS s10_li")
+      spark.sql("DROP TABLE IF EXISTS s10_ord")
+    }
+  }
+
+  test("gen-source query pushes the id range into the DSv2 scan") {
+    val p = plan("s11_gen_source")
+    assert(p.contains("range=[1000,9000)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
