@@ -3662,6 +3662,52 @@ object SparkEntry {
                      f_n AS fold_rows
               FROM pf JOIN pc ON pf.cat = pc.cat""")),
 
+    Q("a26_expectations", (s, d) => {
+      // declarative data-quality suite (the reference's scattered audit
+      // queries as ONE compiled check set): 4 row-level predicates fold
+      // into a SINGLE aggregate scan (sum(when) each, map-side partials),
+      // plus one groupBy for uniqueness and one anti join for referential
+      // integrity. Violation = predicate false OR null.
+      import graft.operators.Expectations._
+      run(li(s, d), Seq(
+        notNull("li_orderkey_not_null", "l_orderkey"),
+        inRange("li_discount_in_range", "l_discount", 0.0, 0.08),
+        inSet("li_returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+        matches("li_linestatus_format", "l_linestatus", "^[OF]$"),
+        Unique("li_line_unique", Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("li_orders_fk", Seq("l_orderkey"), ord(s, d), Seq("o_orderkey"))))
+    },
+      Some("""SELECT 'li_orderkey_not_null' AS check_name, 'not_null' AS kind,
+                     count(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT AS violations,
+                     count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS pass
+              FROM lineitem
+              UNION ALL
+              SELECT 'li_discount_in_range', 'range',
+                     count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.08, false))::BIGINT,
+                     count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.08, false)) = 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'li_returnflag_domain', 'set',
+                     count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), false))::BIGINT,
+                     count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), false)) = 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'li_linestatus_format', 'regex',
+                     count(*) FILTER (WHERE NOT coalesce(regexp_matches(l_linestatus, '^[OF]$'), false))::BIGINT,
+                     count(*) FILTER (WHERE NOT coalesce(regexp_matches(l_linestatus, '^[OF]$'), false)) = 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'li_line_unique', 'unique',
+                     coalesce(sum(cnt - 1), 0)::BIGINT,
+                     coalesce(sum(cnt - 1), 0) = 0
+              FROM (SELECT count(*) AS cnt FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'li_orders_fk', 'ref', count(*)::BIGINT, count(*) = 0
+              FROM lineitem l
+              WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""")),
+
     Q("x_feature_hash", (s, d) =>
       // hashing-trick featurization (Weinberger 2009): token -> md5
       // bucket in [0,64), sign from the next hash bit; per-doc sparse
