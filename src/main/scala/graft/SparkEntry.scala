@@ -3662,6 +3662,34 @@ object SparkEntry {
                      f_n AS fold_rows
               FROM pf JOIN pc ON pf.cat = pc.cat""")),
 
+    Q("s12_format_roundtrip", (s, d) => {
+      // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
+      // with an explicit schema -> write ORC -> read -> aggregate. The
+      // oracle computes the same aggregate from the ORIGINAL parquet, so
+      // any value lost or mangled by either format round-trip (timestamp
+      // precision, double round-trip, null handling) breaks the hash.
+      // No JSON/ORC parsing in the oracle engine — fidelity is proven by
+      // value equality, not by a second parser agreeing.
+      val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_fmt_$tag"
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      o.write.mode("overwrite").json(s"$base/json")
+      val fromJson = s.read.schema(o.schema).json(s"$base/json")
+      fromJson.write.mode("overwrite").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("total"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total,
+              min(o_orderdate) AS first_date, max(o_orderkey) AS max_key
+              FROM orders GROUP BY 1""")),
+
     Q("a26_expectations", (s, d) => {
       // declarative data-quality suite (the reference's scattered audit
       // queries as ONE compiled check set): 4 row-level predicates fold
