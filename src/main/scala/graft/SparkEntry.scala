@@ -3251,6 +3251,44 @@ object SparkEntry {
                       + 1)::BIGINT AS ov_days
               FROM a JOIN b ON a_from <= b_to AND b_from <= a_to""")),
 
+    Q("iv_allen", (s, d) =>
+      // Allen interval-algebra relations over co-occurring pairs — the
+      // same bucketed equi join as iv_overlap_join, plus the 11-way
+      // relation classification (before/after excluded by design: they'd
+      // force an all-pairs join). Oracle = plain range join + the same
+      // CASE chain
+      Intervals.allenJoin(
+        ord(s, d).filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("o_end")),
+        li(s, d).filter(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(100)) === 0)
+          .select(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+              col("l_suppkey"), col("l_partkey")).as("li_id"),
+            col("l_shipdate"), (col("l_shipdate") + expr("INTERVAL 7 DAY")).as("l_end")),
+        col("o_orderkey"), col("o_orderdate"), col("o_end"),
+        col("li_id"), col("l_shipdate"), col("l_end")),
+      Some("""WITH a AS (SELECT o_orderkey AS a_id, o_orderdate::DATE AS a_from,
+                       (o_orderdate + INTERVAL 30 DAY)::DATE AS a_to
+                FROM orders WHERE o_orderkey % 100 = 0),
+              b AS (SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR
+                         || '-' || l_suppkey::VARCHAR || '-' || l_partkey::VARCHAR AS b_id,
+                       l_shipdate::DATE AS b_from,
+                       (l_shipdate + INTERVAL 7 DAY)::DATE AS b_to
+                    FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 100 = 0)
+              SELECT a_id, b_id,
+                     CASE WHEN a_from = b_from AND a_to = b_to THEN 'equals'
+                          WHEN a_from = b_from AND a_to < b_to THEN 'starts'
+                          WHEN a_from = b_from THEN 'started_by'
+                          WHEN a_to = b_to AND a_from > b_from THEN 'finishes'
+                          WHEN a_to = b_to THEN 'finished_by'
+                          WHEN a_from > b_from AND a_to < b_to THEN 'during'
+                          WHEN a_from < b_from AND a_to > b_to THEN 'contains'
+                          WHEN a_to = b_from THEN 'meets'
+                          WHEN b_to = a_from THEN 'met_by'
+                          WHEN a_from < b_from THEN 'overlaps'
+                          ELSE 'overlapped_by' END AS relation
+              FROM a JOIN b ON a_from <= b_to AND b_from <= a_to""")),
+
     Q("iv_merge_intervals", (s, d) =>
       Intervals.mergeIntervals(
         ord(s, d).select(col("o_custkey"), col("o_orderdate"),

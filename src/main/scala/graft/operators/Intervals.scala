@@ -104,6 +104,52 @@ object Intervals {
         (datediff(col("ov_to"), col("ov_from")) + 1).cast("long"))
   }
 
+  /** Allen interval-algebra classification over co-occurring pairs: the
+    * 11 relations an intersecting-or-touching pair can hold (equals,
+    * starts/started_by, finishes/finished_by, during/contains,
+    * meets/met_by, overlaps/overlapped_by). `before`/`after` are omitted
+    * by design — they hold for almost every pair and would force an
+    * all-pairs join; the co-occurrence restriction keeps this the same
+    * bucketed equi join as [[overlapJoin]]. Closed [from, to] date
+    * intervals; `meets` = a ends exactly where b starts.
+    *
+    * The case chain tests the equality-constrained relations first
+    * (equals/starts/finishes), then containment, then the touching and
+    * plain-overlap forms — each row matches exactly one relation.
+    */
+  def allenJoin(
+      a: DataFrame, b: DataFrame,
+      aId: Column, aFrom: Column, aTo: Column,
+      bId: Column, bFrom: Column, bTo: Column,
+      bucketDays: Int = 32): DataFrame = {
+    val ab = a.select(aId.as("a_id"), aFrom.cast("date").as("a_from"),
+        aTo.cast("date").as("a_to"))
+      .withColumn("__bk", explode(sequence(
+        floor(unix_date(col("a_from")) / bucketDays),
+        floor(unix_date(col("a_to")) / bucketDays))))
+    val bb = b.select(bId.as("b_id"), bFrom.cast("date").as("b_from"),
+        bTo.cast("date").as("b_to"))
+      .withColumn("__bk", explode(sequence(
+        floor(unix_date(col("b_from")) / bucketDays),
+        floor(unix_date(col("b_to")) / bucketDays))))
+    ab.join(bb, Seq("__bk"))
+      .filter(col("a_from") <= col("b_to") && col("b_from") <= col("a_to"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("relation",
+        when(col("a_from") === col("b_from") && col("a_to") === col("b_to"), "equals")
+          .when(col("a_from") === col("b_from") && col("a_to") < col("b_to"), "starts")
+          .when(col("a_from") === col("b_from"), "started_by")
+          .when(col("a_to") === col("b_to") && col("a_from") > col("b_from"), "finishes")
+          .when(col("a_to") === col("b_to"), "finished_by")
+          .when(col("a_from") > col("b_from") && col("a_to") < col("b_to"), "during")
+          .when(col("a_from") < col("b_from") && col("a_to") > col("b_to"), "contains")
+          .when(col("a_to") === col("b_from"), "meets")
+          .when(col("b_to") === col("a_from"), "met_by")
+          .when(col("a_from") < col("b_from"), "overlaps")
+          .otherwise("overlapped_by"))
+      .select(col("a_id"), col("b_id"), col("relation"))
+  }
+
   /** Sessionize an event stream in batch: events for the same user that
     * are within `gapSeconds` of the previous event share a session.
     * Pure window-function formulation (gaps-and-islands) — no typed path

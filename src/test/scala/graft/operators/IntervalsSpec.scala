@@ -91,4 +91,40 @@ class IntervalsSpec extends SparkSpec {
       .select(col("key"), col("ver")).as[(Long, Int)].collect().toSet
     assert(edge == Set((1L, 1)))
   }
+
+  test("allenJoin labels every co-occurrence relation exactly once") {
+    // one a-interval [2024-01-10, 2024-01-20] against b-intervals that
+    // realize each of the 11 co-occurring Allen relations
+    val a = Seq(("A", "2024-01-10", "2024-01-20")).toDF("id", "f", "t")
+      .select(col("id"), col("f").cast("date"), col("t").cast("date"))
+    val b = Seq(
+      ("equals", "2024-01-10", "2024-01-20"),
+      ("started_by", "2024-01-10", "2024-01-15"), // b starts a => a started_by b
+      ("starts", "2024-01-10", "2024-01-25"),     // a starts b
+      ("finished_by", "2024-01-15", "2024-01-20"),
+      ("finishes", "2024-01-05", "2024-01-20"),
+      ("contains", "2024-01-12", "2024-01-18"),
+      ("during", "2024-01-05", "2024-01-25"),
+      ("meets", "2024-01-20", "2024-01-30"),      // a_to = b_from
+      ("met_by", "2024-01-01", "2024-01-10"),     // b_to = a_from
+      ("overlaps", "2024-01-15", "2024-01-30"),
+      ("overlapped_by", "2024-01-05", "2024-01-15")
+    ).toDF("id", "f", "t")
+      .select(col("id"), col("f").cast("date"), col("t").cast("date"))
+    val got = Intervals.allenJoin(a, b,
+        col("id"), col("f"), col("t"), col("id"), col("f"), col("t"),
+        bucketDays = 7) // small buckets: pairs must still dedupe to one row
+      .as[(String, String, String)].collect()
+    assert(got.length == 11)
+    got.foreach { case (_, bId, rel) => assert(bId == rel, s"$bId classified $rel") }
+  }
+
+  test("allenJoin excludes disjoint pairs") {
+    val a = Seq(("A", "2024-01-10", "2024-01-12")).toDF("id", "f", "t")
+      .select(col("id"), col("f").cast("date"), col("t").cast("date"))
+    val b = Seq(("B", "2024-03-01", "2024-03-05")).toDF("id", "f", "t")
+      .select(col("id"), col("f").cast("date"), col("t").cast("date"))
+    assert(Intervals.allenJoin(a, b, col("id"), col("f"), col("t"),
+      col("id"), col("f"), col("t")).count() == 0)
+  }
 }
