@@ -3541,8 +3541,72 @@ object SparkEntry {
               dt AS (SELECT cb.j, cb.cell,
                             round(pow(list_distance(q.s, cb.cen), 2), 6) AS qd
                      FROM cb JOIN q ON cb.j = q.j),
-              score AS (SELECT code.vec_id, round(sum(dt.qd), 6) AS adc_dist
+              score AS (SELECT code.vec_id,
+                               sum(dt.qd::DECIMAL(18,6))::DOUBLE AS adc_dist
                         FROM code JOIN dt ON code.j = dt.j AND code.cell = dt.cell
+                        WHERE code.vec_id <> 0 GROUP BY 1)
+              SELECT vec_id AS neighbor_id, adc_dist,
+                     (row_number() OVER (ORDER BY adc_dist ASC, vec_id))::INT AS rank
+              FROM score QUALIFY rank <= 10""")),
+
+    Q("v_ivf_pq", (s, d) =>
+      // IVF-PQ (FAISS IVFADC): coarse inverted file (8 cells, probe 2)
+      // + product quantization of RESIDUALS (8 subspaces x 16 codes) +
+      // ADC scoring inside the probed cells only. The oracle replays the
+      // ENTIRE pipeline: coarse assignment, residualization, PQ training
+      // (seed + one Lloyd step), encoding, per-probe distance tables and
+      // the grouped ADC sum
+      Similarity.ivfPqTopK(emb(s, d), "vec_id", "embedding",
+        queryId = 0L, nlist = 8, nprobe = 2, m = 8, ksub = 16, k = 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS cen
+                       FROM (SELECT vec_id % 8 AS cell, min(vec_id) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vec_id = m.mvid),
+              casg AS (SELECT vec_id, v, cell, cen FROM (
+                         SELECT e.vec_id, e.v, c.cell, c.cen,
+                                row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(pow(list_distance(e.v, c.cen), 2), 6) ASC,
+                                           c.cell) AS rn
+                         FROM e CROSS JOIN cent c) WHERE rn = 1),
+              res AS (SELECT vec_id, cell AS ccell,
+                             list_transform(range(64), i -> round(v[i + 1] - cen[i + 1], 6)) AS r
+                      FROM casg),
+              sub AS (SELECT vec_id, ccell, j, list_slice(r, j*8 + 1, j*8 + 8) AS s
+                      FROM res CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              seed AS (SELECT m.j, m.cell, s.s AS pcen
+                       FROM (SELECT j, vec_id % 16 AS cell, min(vec_id) AS mvid
+                             FROM sub GROUP BY 1, 2) m
+                       JOIN sub s ON s.vec_id = m.mvid AND s.j = m.j),
+              a1 AS (SELECT vec_id, j, s, cell FROM (
+                       SELECT sub.vec_id, sub.j, sub.s, seed.cell,
+                              row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                                ORDER BY round(pow(list_distance(sub.s, seed.pcen), 2), 6) ASC,
+                                         seed.cell) AS rn
+                       FROM sub JOIN seed ON sub.j = seed.j) WHERE rn = 1),
+              m1 AS (SELECT j, cell, i, round(avg(s[i + 1]), 6) AS mc
+                     FROM a1, range(8) r(i) GROUP BY 1, 2, 3),
+              cb AS (SELECT j, cell, list(mc ORDER BY i) AS pcen FROM m1 GROUP BY 1, 2),
+              code AS (SELECT vec_id, ccell, j, cell FROM (
+                         SELECT sub.vec_id, sub.ccell, sub.j, cb.cell,
+                                row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                                  ORDER BY round(pow(list_distance(sub.s, cb.pcen), 2), 6) ASC,
+                                           cb.cell) AS rn
+                         FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+              probes AS (SELECT c.cell AS pcell,
+                                list_transform(range(64), i -> round(q.v[i + 1] - c.cen[i + 1], 6)) AS qr
+                         FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+                         QUALIFY row_number() OVER (
+                           ORDER BY round(pow(list_distance(q.v, c.cen), 2), 6) ASC, c.cell) <= 2),
+              qsub AS (SELECT pcell, j, list_slice(qr, j*8 + 1, j*8 + 8) AS qs
+                       FROM probes CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              dt AS (SELECT q.pcell, cb.j, cb.cell,
+                            round(pow(list_distance(q.qs, cb.pcen), 2), 6) AS qd
+                     FROM cb JOIN qsub q ON cb.j = q.j),
+              score AS (SELECT code.vec_id,
+                               sum(dt.qd::DECIMAL(18,6))::DOUBLE AS adc_dist
+                        FROM code JOIN dt ON code.ccell = dt.pcell
+                             AND code.j = dt.j AND code.cell = dt.cell
                         WHERE code.vec_id <> 0 GROUP BY 1)
               SELECT vec_id AS neighbor_id, adc_dist,
                      (row_number() OVER (ORDER BY adc_dist ASC, vec_id))::INT AS rank

@@ -228,6 +228,95 @@ object Similarity {
     * TakeOrdered, never a global sort. At 100 TB the codes table is
     * ~m bytes/vector — the point of PQ: the reranking working set drops
     * two orders of magnitude below the raw embeddings. */
+  /** IVF-PQ (the FAISS IVFADC architecture, Jégou et al. 2011 §IV): a
+    * coarse inverted file restricts the search to `nprobe` cells, and a
+    * product quantizer over RESIDUALS (vector minus its coarse centroid)
+    * approximates in-cell distances via ADC.
+    *
+    * This is the composition the 100 TB ANN deployment actually uses:
+    * the IVF prunes the corpus scan to cells totalling ~nprobe/nlist of
+    * the data, the PQ shrinks the candidate payload to m bytes/vector,
+    * and the ADC scoring is one broadcast distance table + a grouped
+    * sum. Everything deterministic (id-residue seeds, one Lloyd step,
+    * rounded trajectories, cell-asc tiebreaks) so the DuckDB oracle
+    * replays coarse assignment, residuals, PQ training, encoding and
+    * scoring bit-for-bit.
+    *
+    * Distances are euclidean (PQ quantizes absolute positions). Output:
+    * (neighbor_id, adc_dist, rank) over the probed cells only.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, cId: String, cVec: String, queryId: Long,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && m > 0 && ksub > 0 && k > 0,
+      "nlist, nprobe, m, ksub, k must be positive")
+    val e = corpus.select(col(cId).cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("v"))
+    // coarse quantizer: lowest-id seed per id-residue class (RNG-free)
+    val coarse = e.withColumn("cell", pmod(col("vid"), lit(nlist)))
+      .groupBy(col("cell")).agg(min(col("vid")).as("mvid"))
+      .join(e, col("mvid") === col("vid"))
+      .select(col("cell"), col("v").as("cen"))
+    val casg = Joins.top1PerGroup(
+      e.crossJoin(broadcast(coarse))
+        .withColumn("cd", round(sqDist(col("v"), col("cen")), 6)),
+      Seq(col("vid")), Seq(col("cd").asc, col("cell").asc))
+    // residuals (rounded so the trajectory replays in any engine)
+    val resid = casg.select(col("vid"), col("cell").as("ccell"),
+      zip_with(col("v"), col("cen"), (x, c) => round(x - c, 6)).as("r"))
+    val subLen = (size(col("r")) / lit(m)).cast("int")
+    val subs = resid.select(col("vid"), col("ccell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("r"), j * subLen + 1, subLen))).as(Seq("j", "s")))
+    val seeds = Joins.top1PerGroup(
+      subs.withColumn("cell", pmod(col("vid"), lit(ksub))),
+      Seq(col("j"), col("cell")), Seq(col("vid").asc))
+      .select(col("j"), col("cell"), col("s").as("pcen"))
+    def assign(cb: DataFrame): DataFrame =
+      Joins.top1PerGroup(
+        subs.join(broadcast(cb), Seq("j"))
+          .withColumn("d", round(sqDist(col("s"), col("pcen")), 6)),
+        Seq(col("vid"), col("j")), Seq(col("d").asc, col("cell").asc))
+    // one Lloyd step over residual subvectors -> the PQ codebook
+    val cb = assign(seeds)
+      .select(col("j"), col("cell"), posexplode(col("s")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mc"))
+      .groupBy(col("j"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mc")))),
+        p => p.getField("mc")).as("pcen"))
+    val codes = assign(cb).select(col("vid"), col("ccell"), col("j"), col("cell"))
+    // query: probe the nprobe nearest coarse cells, residualize per probe
+    val qv = e.filter(col("vid") === queryId)
+    val probes = qv.crossJoin(broadcast(coarse))
+      .withColumn("cd", round(sqDist(col("v"), col("cen")), 6))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cd").asc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("cell").as("pcell"),
+        zip_with(col("v"), col("cen"), (x, c) => round(x - c, 6)).as("qr"))
+    val qsubLen = (size(col("qr")) / lit(m)).cast("int")
+    val qsubs = probes.select(col("pcell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("qr"), j * qsubLen + 1, qsubLen))).as(Seq("j", "qs")))
+    // per-probe ADC table: nprobe x m x ksub rows — always broadcastable
+    val dt = broadcast(cb.join(qsubs, Seq("j"))
+      .select(col("pcell"), col("j"), col("cell"),
+        round(sqDist(col("qs"), col("pcen")), 6).as("qd")))
+    // DECIMAL-exact ADC sum: qd values are 6-decimal, so the decimal sum
+    // is exact and addition-order-independent (a double sum can flip the
+    // 6th decimal at rounding boundaries between engines)
+    val scored = codes.filter(col("vid") =!= queryId)
+      .join(dt, codes("ccell") === dt("pcell") &&
+        codes("j") === dt("j") && codes("cell") === dt("cell"))
+      .groupBy(col("vid"))
+      .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vid").asc).limit(k) // TakeOrdered
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("adc_dist").asc, col("vid").asc)).cast("int"))
+      .select(col("vid").as("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   def pqAdcTopK(
       corpus: DataFrame, cId: String, cVec: String,
       queryId: Long, m: Int, ksub: Int, k: Int): DataFrame = {
@@ -259,9 +348,11 @@ object Similarity {
     val qsubs = subs.filter(col("vid") === queryId).select(col("j"), col("s").as("qs"))
     val dt = broadcast(cb.join(qsubs, Seq("j"))
       .select(col("j"), col("cell"), round(sqDist(col("qs"), col("cen")), 6).as("qd")))
+    // DECIMAL-exact ADC sum (see ivfPqTopK: order-independent across engines)
     val scored = codes.filter(col("vid") =!= queryId)
       .join(dt, Seq("j", "cell"))
-      .groupBy(col("vid")).agg(round(sum(col("qd")), 6).as("adc_dist"))
+      .groupBy(col("vid"))
+      .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vid").asc).limit(k) // TakeOrdered
     scored.withColumn("rank", row_number().over(
         Window.orderBy(col("adc_dist").asc, col("vid").asc)).cast("int"))

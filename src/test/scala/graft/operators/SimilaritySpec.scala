@@ -189,6 +189,37 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ivfPqTopK searches only probed cells and finds the near cluster") {
+    // two tight clusters; query in cluster A. With nlist=2 the coarse
+    // quantizer separates them, nprobe=1 restricts search to A's cell.
+    val a = Array(1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0)
+    val b = Array(50.0, 60.0, 70.0, 80.0, 50.0, 60.0, 70.0, 80.0)
+    def jit(v: Array[Double], e: Double) = v.map(_ + e)
+    val vecs = Seq(
+      (0L, a), (2L, jit(a, 0.01)), (4L, jit(a, 0.02)),
+      (1L, b), (3L, jit(b, 0.01)), (5L, jit(b, 0.02)))
+      .toDF("vec_id", "embedding")
+    // ids chosen so vid % 2 puts A-vectors (even) in cell 0, B in cell 1
+    val got = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        queryId = 0L, nlist = 2, nprobe = 1, m = 2, ksub = 2, k = 5)
+      .as[(Long, Double, Int)].collect()
+    // only the probed (A) cell's OTHER members can appear
+    assert(got.map(_._1).toSet == Set(2L, 4L), got.toSeq)
+    assert(got.forall(_._2 < 1.0), got.toSeq) // residual-ADC distances small
+  }
+
+  test("ivfPqTopK with full probing is deterministic across input order") {
+    val vecs = (0L to 40L).map(i =>
+      (i, Array.tabulate(8)(dd => math.sin(i * 2.3 + dd).abs * 10)))
+      .toDF("vec_id", "embedding")
+    val x = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", 0L,
+      nlist = 4, nprobe = 4, m = 2, ksub = 4, k = 6).collect().toSeq
+    val y = Similarity.ivfPqTopK(vecs.orderBy(col("vec_id").desc),
+      "vec_id", "embedding", 0L,
+      nlist = 4, nprobe = 4, m = 2, ksub = 4, k = 6).collect().toSeq
+    assert(x == y)
+  }
+
   test("hardNegatives returns only cross-label neighbors, ranked by similarity") {
     val vecs = Seq(
       (0L, 0, Array(1.0, 0.0, 0.0)),   // anchor, label 0
