@@ -1885,6 +1885,77 @@ object SparkEntry {
                      node = min(rch) AS is_canonical
               FROM reach GROUP BY node""")),
 
+    Q("d_cluster_canonical", (s, d) => {
+      // the END-TO-END near-dup dedup decision: MinHash-LSH candidate
+      // pairs -> connected components -> keep the BEST-QUALITY member per
+      // cluster (quality desc, id asc tiebreak) instead of the arbitrary
+      // min-id — the curation policy an LLM corpus pipeline actually
+      // ships. Only clustered docs appear (singletons keep themselves)
+      val pairs = Dedup.minHashLshPairs(doc(s, d), col("doc_id"), col("text"),
+        shingleWords = 3, numHashes = 16, bands = 4)
+      val comp = graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      val q = doc(s, d).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val members = comp.join(q, comp("node") === q("doc_id"))
+      val keep = Joins.top1PerGroup(members, Seq(col("component")),
+          Seq(col("quality").desc, col("doc_id").asc))
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("quality").as("keep_quality"))
+      members.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .join(keep, Seq("component"))
+    },
+      Some("""WITH RECURSIVE
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              h AS (SELECT doc_id, i,
+                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i) + (11 * i + 7))
+                          % 4294967311) AS m
+                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+                    GROUP BY 1, 2),
+              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
+              banded AS (SELECT doc_id,
+                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
+                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b
+                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                        UNION SELECT id_b, id_a FROM cand),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION
+                        SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src),
+              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY node),
+              b0 AS (SELECT doc_id, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop
+              FROM documents),
+              qual AS (SELECT doc_id,
+                round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality
+              FROM b0),
+              mem AS (SELECT c.component, c.node, q.quality
+                      FROM comp c JOIN qual q ON q.doc_id = c.node),
+              keep AS (SELECT component, node AS keep_id, quality AS keep_quality FROM (
+                         SELECT component, node, quality,
+                                row_number() OVER (PARTITION BY component
+                                  ORDER BY quality DESC, node ASC) AS rn
+                         FROM mem) WHERE rn = 1)
+              SELECT m.component, count(*) AS n_members, k.keep_id, k.keep_quality
+              FROM mem m JOIN keep k USING (component)
+              GROUP BY 1, 3, 4""")),
+
     Q("d_stratified_sample", (s, d) => {
       // deterministic hash-stratified sampling for training-mix
       // construction: the kept set is a pure function of doc_id, so the
