@@ -3863,6 +3863,38 @@ object SparkEntry {
               min(o_orderdate) AS first_date, max(o_orderkey) AS max_key
               FROM orders GROUP BY 1""")),
 
+    Q("s13_cdc_apply", (s, d) => {
+      // MERGE INTO without a table format: a synthetic changelog off
+      // orders (key = custkey, seq = orderkey, every 13th change a
+      // tombstone, payload = new balance) applied to the customer base.
+      // Latest change per key wins; D drops the key; untouched base rows
+      // pass through. The window runs over the LOG (change volume), the
+      // base is touched by ONE anti join — the 100 TB snapshot-maintenance
+      // shape
+      val log = ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice"))
+      graft.operators.Cdc.applyChangelog(
+        cst(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        log, "c_custkey",
+        col("o_custkey"), col("o_orderkey"), col("op"),
+        Seq("c_acctbal" -> col("o_totalprice")))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    },
+      Some("""WITH log AS (SELECT o_custkey AS k, o_orderkey AS seq,
+                       CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                       o_totalprice AS val FROM orders),
+              latest AS (SELECT k, op, val FROM (
+                           SELECT k, op, val,
+                                  row_number() OVER (PARTITION BY k
+                                    ORDER BY seq DESC) AS rn
+                           FROM log) WHERE rn = 1)
+              SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = c.c_custkey)
+              UNION ALL
+              SELECT k AS c_custkey, NULL::INT AS c_nationkey, val AS c_acctbal
+              FROM latest WHERE op <> 'D'""")),
+
     Q("a26_expectations", (s, d) => {
       // declarative data-quality suite (the reference's scattered audit
       // queries as ONE compiled check set): 4 row-level predicates fold
