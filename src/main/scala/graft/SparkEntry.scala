@@ -3863,6 +3863,29 @@ object SparkEntry {
               min(o_orderdate) AS first_date, max(o_orderkey) AS max_key
               FROM orders GROUP BY 1""")),
 
+    Q("s14_schema_merge", (s, d) => {
+      // schema-evolution read: two parquet batches written with DIFFERENT
+      // schemas (a column added mid-stream), read back as one frame via
+      // mergeSchema — rows from the old batch surface the new column as
+      // null. Oracle is engine-free: the same frame derived from the
+      // original table, no parquet re-parse in the oracle engine
+      val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_sm_$tag"
+      val o = ord(s, d)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$base/b1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+      Some("""SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders""")),
+
     Q("s13_cdc_apply", (s, d) => {
       // MERGE INTO without a table format: a synthetic changelog off
       // orders (key = custkey, seq = orderkey, every 13th change a
@@ -3940,6 +3963,41 @@ object SparkEntry {
               FROM lineitem l
               WHERE l_orderkey IS NOT NULL AND NOT EXISTS
                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""")),
+
+    Q("x_sentence_split", (s, d) =>
+      // sentence segmentation WITHOUT lookbehind (RE2-safe, so any engine
+      // tokenizes identically): chunks of non-terminators plus their
+      // trailing [.!?] run, whitespace-only chunks dropped. Entirely
+      // row-local — no explode, no shuffle; per-doc stats fold inside
+      // the row (the chunking pass a sentence-level dedup or packing
+      // stage would reuse)
+      doc(s, d)
+        .withColumn("sents", filter(
+          regexp_extract_all(col("text"), lit("[^.!?]+[.!?]*"), lit(0)),
+          x => length(trim(x)) > 0))
+        .filter(size(col("sents")) > 0)
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sent"),
+          aggregate(transform(col("sents"),
+            x => size(split(trim(x), "\\s+"))), lit(0), (a, x) => a + x)
+            .as("total_words"),
+          array_max(transform(col("sents"), x => length(trim(x))))
+            .as("max_sent_chars"))
+        .withColumn("avg_words",
+          round(col("total_words").cast("double") / col("n_sent"), 6)),
+      Some("""WITH s0 AS (SELECT doc_id,
+                list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                            x -> length(trim(x)) > 0) AS sents
+              FROM documents),
+              s1 AS (SELECT doc_id, len(sents)::INT AS n_sent,
+                       list_sum(list_transform(sents,
+                         x -> len(string_split_regex(trim(x), '\s+'))))::INT AS total_words,
+                       list_max(list_transform(sents, x -> length(trim(x))))::INT
+                         AS max_sent_chars
+                     FROM s0 WHERE len(sents) > 0)
+              SELECT doc_id, n_sent, total_words, max_sent_chars,
+                     round(total_words::DOUBLE / n_sent, 6) AS avg_words
+              FROM s1""")),
 
     Q("x_feature_hash", (s, d) =>
       // hashing-trick featurization (Weinberger 2009): token -> md5

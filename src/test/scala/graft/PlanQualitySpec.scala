@@ -223,4 +223,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("range=[1000,9000)"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("IVF-PQ: ADC tables broadcast, top-k is TakeOrdered, no global sort") {
+    val p = plan("v_ivf_pq")
+    assert(p.contains("BroadcastHashJoin"), p)     // codes join the ADC table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cluster canonicalization: every join is equi, no all-pairs scan") {
+    val p = plan("d_cluster_canonical")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("CDC apply: window runs over the log only; base joined once, anti") {
+    val p = plan("s13_cdc_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one window (latest-per-key over the changelog)
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) == 1, p)
+  }
 }
