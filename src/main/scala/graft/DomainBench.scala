@@ -70,14 +70,7 @@ object DomainBench {
     * storage, while an eagerly-counted persist(MEMORY_AND_DISK) survives
     * recompute from lineage. */
   def glPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    def mat(df: DataFrame): DataFrame = sys.env.get("SPARK_GRAFT_MAT") match {
-      case Some("persist") =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count() // eager: a lazy persist consumed by two branches of one
-        p         // action computes twice before the cache fills
-      case Some("none") => df // rely on ReuseExchange for identical subplans
-      case _ => df.localCheckpoint(true)
-    }
+    def mat(df: DataFrame): DataFrame = graft.Mat(df)
     val certs = mat(synthCertificates(spark, sfDir))
     // Fused one-shuffle hash build is the DEFAULT (bit-equal to the
     // two-phase build — ProposalsSpec; measured 9.3-9.6 s vs 10.7-11.2 s

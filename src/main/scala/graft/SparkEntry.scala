@@ -2703,20 +2703,27 @@ object SparkEntry {
               GROUP BY 1""")),
 
     Q("a17_equidepth", (s, d) =>
-      // equi-DEPTH histogram (complement of a14's equi-width): ntile over
-      // a TOTAL order (value, unique id) so bucket edges are deterministic
-      ev(s, d).select(col("event_id"), col("value"))
-        .withColumn("bucket", ntile(8).over(
-          Window.partitionBy().orderBy(col("value"), col("event_id"))))
+      // equi-DEPTH histogram (complement of a14's equi-width): ntile-
+      // equivalent bins over a TOTAL order (value, unique id), computed
+      // via the scalable two-pass global rank (range-partition + offset
+      // merge) — NO single-partition Window.orderBy sort. The oracle
+      // replays the same contract with row_number + the closed-form
+      // bin(r) = (r-1)*k/N + 1 (exactly ntile's remainder-first split)
+      Windows.equiDepthBin(
+        ev(s, d).select(col("event_id"), col("value")),
+        8, "value", Seq(col("event_id")), "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 6).as("vmin"),
           round(max(col("value")), 6).as("vmax")),
       Some("""WITH b AS (SELECT value,
-                ntile(8) OVER (ORDER BY value, event_id) AS bucket FROM events)
-              SELECT bucket::INT AS bucket, count(*)::BIGINT AS n,
+                row_number() OVER (ORDER BY value, event_id) AS rn FROM events),
+              c AS (SELECT value,
+                (((rn - 1) * 8) // (SELECT count(*) FROM events) + 1)::INT AS bucket
+                FROM b)
+              SELECT bucket, count(*)::BIGINT AS n,
                      round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
-              FROM b GROUP BY 1""")),
+              FROM c GROUP BY 1""")),
 
     Q("a18_corr_panel", (s, d) =>
       // Pearson correlation panel in one aggregate pass
@@ -3596,21 +3603,21 @@ object SparkEntry {
               a1 AS (SELECT vec_id, j, s, cell FROM (
                        SELECT sub.vec_id, sub.j, sub.s, seed.cell,
                               row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                                ORDER BY round(pow(list_distance(sub.s, seed.cen), 2), 6) ASC,
+                                ORDER BY round(list_reduce(list_transform(range(8), fi -> (sub.s[fi+1]-seed.cen[fi+1])*(sub.s[fi+1]-seed.cen[fi+1])), (facc,fx) -> facc+fx), 6) ASC,
                                          seed.cell) AS rn
                        FROM sub JOIN seed ON sub.j = seed.j) WHERE rn = 1),
-              m1 AS (SELECT j, cell, i, round(avg(s[i + 1]), 6) AS mc
+              m1 AS (SELECT j, cell, i, round((sum(s[i + 1]::DECIMAL(27,6)))::DOUBLE / count(*), 6) AS mc
                      FROM a1, range(8) r(i) GROUP BY 1, 2, 3),
               cb AS (SELECT j, cell, list(mc ORDER BY i) AS cen FROM m1 GROUP BY 1, 2),
               code AS (SELECT vec_id, j, cell FROM (
                        SELECT sub.vec_id, sub.j, cb.cell,
                               row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                                ORDER BY round(pow(list_distance(sub.s, cb.cen), 2), 6) ASC,
+                                ORDER BY round(list_reduce(list_transform(range(8), fi -> (sub.s[fi+1]-cb.cen[fi+1])*(sub.s[fi+1]-cb.cen[fi+1])), (facc,fx) -> facc+fx), 6) ASC,
                                          cb.cell) AS rn
                        FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
               q AS (SELECT j, s FROM sub WHERE vec_id = 0),
               dt AS (SELECT cb.j, cb.cell,
-                            round(pow(list_distance(q.s, cb.cen), 2), 6) AS qd
+                            round(list_reduce(list_transform(range(8), fi -> (q.s[fi+1]-cb.cen[fi+1])*(q.s[fi+1]-cb.cen[fi+1])), (facc,fx) -> facc+fx), 6) AS qd
                      FROM cb JOIN q ON cb.j = q.j),
               score AS (SELECT code.vec_id,
                                sum(dt.qd::DECIMAL(18,6))::DOUBLE AS adc_dist
@@ -3637,7 +3644,7 @@ object SparkEntry {
               casg AS (SELECT vec_id, v, cell, cen FROM (
                          SELECT e.vec_id, e.v, c.cell, c.cen,
                                 row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round(pow(list_distance(e.v, c.cen), 2), 6) ASC,
+                                  ORDER BY round(list_reduce(list_transform(range(64), fi -> (e.v[fi+1]-c.cen[fi+1])*(e.v[fi+1]-c.cen[fi+1])), (facc,fx) -> facc+fx), 6) ASC,
                                            c.cell) AS rn
                          FROM e CROSS JOIN cent c) WHERE rn = 1),
               res AS (SELECT vec_id, cell AS ccell,
@@ -3652,27 +3659,27 @@ object SparkEntry {
               a1 AS (SELECT vec_id, j, s, cell FROM (
                        SELECT sub.vec_id, sub.j, sub.s, seed.cell,
                               row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                                ORDER BY round(pow(list_distance(sub.s, seed.pcen), 2), 6) ASC,
+                                ORDER BY round(list_reduce(list_transform(range(8), fi -> (sub.s[fi+1]-seed.pcen[fi+1])*(sub.s[fi+1]-seed.pcen[fi+1])), (facc,fx) -> facc+fx), 6) ASC,
                                          seed.cell) AS rn
                        FROM sub JOIN seed ON sub.j = seed.j) WHERE rn = 1),
-              m1 AS (SELECT j, cell, i, round(avg(s[i + 1]), 6) AS mc
+              m1 AS (SELECT j, cell, i, round((sum(s[i + 1]::DECIMAL(27,6)))::DOUBLE / count(*), 6) AS mc
                      FROM a1, range(8) r(i) GROUP BY 1, 2, 3),
               cb AS (SELECT j, cell, list(mc ORDER BY i) AS pcen FROM m1 GROUP BY 1, 2),
               code AS (SELECT vec_id, ccell, j, cell FROM (
                          SELECT sub.vec_id, sub.ccell, sub.j, cb.cell,
                                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                                  ORDER BY round(pow(list_distance(sub.s, cb.pcen), 2), 6) ASC,
+                                  ORDER BY round(list_reduce(list_transform(range(8), fi -> (sub.s[fi+1]-cb.pcen[fi+1])*(sub.s[fi+1]-cb.pcen[fi+1])), (facc,fx) -> facc+fx), 6) ASC,
                                            cb.cell) AS rn
                          FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
               probes AS (SELECT c.cell AS pcell,
                                 list_transform(range(64), i -> round(q.v[i + 1] - c.cen[i + 1], 6)) AS qr
                          FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
                          QUALIFY row_number() OVER (
-                           ORDER BY round(pow(list_distance(q.v, c.cen), 2), 6) ASC, c.cell) <= 2),
+                           ORDER BY round(list_reduce(list_transform(range(64), fi -> (q.v[fi+1]-c.cen[fi+1])*(q.v[fi+1]-c.cen[fi+1])), (facc,fx) -> facc+fx), 6) ASC, c.cell) <= 2),
               qsub AS (SELECT pcell, j, list_slice(qr, j*8 + 1, j*8 + 8) AS qs
                        FROM probes CROSS JOIN (SELECT unnest(range(8)) AS j)),
               dt AS (SELECT q.pcell, cb.j, cb.cell,
-                            round(pow(list_distance(q.qs, cb.pcen), 2), 6) AS qd
+                            round(list_reduce(list_transform(range(8), fi -> (q.qs[fi+1]-cb.pcen[fi+1])*(q.qs[fi+1]-cb.pcen[fi+1])), (facc,fx) -> facc+fx), 6) AS qd
                      FROM cb JOIN qsub q ON cb.j = q.j),
               score AS (SELECT code.vec_id,
                                sum(dt.qd::DECIMAL(18,6))::DOUBLE AS adc_dist
@@ -3696,13 +3703,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("od"),
           coalesce(col("t90"), lit(0)).cast("decimal(18,2)").as("trailing_90d"))
     },
-      Some("""SELECT o_custkey, o_orderkey, o_orderdate::DATE AS od,
-                     coalesce(sum(o_totalprice::DECIMAL(18,2)) OVER (
-                       PARTITION BY o_custkey ORDER BY o_orderdate::DATE
-                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING
-                                 AND INTERVAL 1 DAY PRECEDING), 0)::DECIMAL(18,2)
-                       AS trailing_90d
-              FROM orders""")),
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate::DATE AS od,
+                       o_totalprice::DECIMAL(18,2) AS price FROM orders)
+              SELECT a.o_custkey, a.o_orderkey, a.od,
+                     coalesce(sum(b.price), 0)::DECIMAL(18,2) AS trailing_90d
+              FROM o a LEFT JOIN o b
+                ON a.o_custkey = b.o_custkey
+               AND b.od >= a.od - 90 AND b.od <= a.od - 1
+              GROUP BY 1, 2, 3""")),
 
     Q("v_mrl_recall", (s, d) => {
       // matryoshka-style truncation check: top-10 cosine neighbors of one
@@ -3770,14 +3778,14 @@ object SparkEntry {
 
     Q("a24_woe_binning", (s, d) => {
       // feature binning + weight-of-evidence encoding: 10 deterministic
-      // equi-depth bins (ntile over a TOTAL order — same global-sort
-      // caveat as a17_equidepth; at corpus scale swap in approx edges),
+      // equi-depth bins over a TOTAL order via the scalable two-pass
+      // global rank (see a17_equidepth — no single-partition sort),
       // per-bin event rate and WOE = ln(event_share / nonevent_share)
       val l = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(12,2)").as("x"),
         (col("l_returnflag") === "R").cast("long").as("y"))
-      val binned = l.withColumn("bin", ntile(10).over(
-        Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))))
+      val binned = Windows.equiDepthBin(l, 10,
+        "x", Seq(col("l_orderkey"), col("l_linenumber")), "bin")
       val tot = binned.agg(sum(col("y")).as("tot_ev"), count(lit(1)).as("tot_n"))
       binned.groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("n_event"),
@@ -3793,8 +3801,12 @@ object SparkEntry {
                        l_extendedprice::DECIMAL(12,2) AS x,
                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
                 FROM lineitem),
-              b AS (SELECT *, (ntile(10) OVER (ORDER BY x, l_orderkey, l_linenumber))::INT AS bin
+              r AS (SELECT x, y,
+                      row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn
                     FROM l),
+              b AS (SELECT x, y,
+                      (((rn - 1) * 10) // (SELECT count(*) FROM l) + 1)::INT AS bin
+                    FROM r),
               t AS (SELECT sum(y)::BIGINT AS tot_ev, count(*)::BIGINT AS tot_n FROM b),
               g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_event,
                            min(x) AS lo, max(x) AS hi FROM b GROUP BY 1)

@@ -49,7 +49,10 @@ object Cdc {
         case None    => lit(null).cast(base.schema(c).dataType).as(c)
       }
     }: _*)
-    val untouched = base.join(latest.select(col("__k")),
+    // anti side needs only the SET of logged keys — a distinct, not the
+    // windowed top-1 (whose subplan would otherwise compute twice: once
+    // per union branch; window sort > hash distinct on the log besides)
+    val untouched = base.join(l.select(col("__k")).distinct(),
       base(keyCol) === col("__k"), "left_anti")
     untouched.select(baseCols.map(col): _*).unionByName(upserts)
   }

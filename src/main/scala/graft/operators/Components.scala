@@ -61,7 +61,13 @@ object Components {
     * edges). Returns (node, component) where component = the smallest node
     * id in the cluster — so `node === component` marks the canonical
     * representative. Nodes not present in any pair are absent (singleton
-    * clusters are the identity mapping; callers left-join and coalesce). */
+    * clusters are the identity mapping; callers left-join and coalesce).
+    *
+    * Per-round label frames route through [[graft.Mat]]: the single-JVM
+    * default is localCheckpoint, but on a real cluster set
+    * `SPARK_GRAFT_MAT=persist` — a localCheckpoint block lost with its
+    * executor cannot be recomputed (it IS the lineage root), so one
+    * executor failure mid-convergence would kill the whole run. */
   def connectedComponents(
       pairs: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
@@ -69,24 +75,24 @@ object Components {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = graft.Mat(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val prev = labels
+      val next = graft.Mat(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (col("nbr") < col("label")).as("__chg"))
-        .localCheckpoint(true)
+          (col("nbr") < col("label")).as("__chg")))
       converged = {
         val r = next.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
         r.isNullAt(0) || r.getLong(0) == 0L // null sum = empty graph
       }
+      prev.unpersist(false) // next is materialized; drop the old round's blocks
       labels = next.drop("__chg")
       i += 1
     }

@@ -281,7 +281,11 @@ object Similarity {
     val cb = assign(seeds)
       .select(col("j"), col("cell"), posexplode(col("s")).as(Seq("pos", "x")))
       .groupBy(col("j"), col("cell"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("mc"))
+      // decimal-exact sum then ONE double division: avg over doubles is
+      // partial-sum-order-dependent, and an ulp shift at a .5e-6 rounding
+      // boundary would fork the codebook trajectory between engines
+      .agg(round(sum(col("x").cast("decimal(27,6)")).cast("double")
+        / count(lit(1)), 6).as("mc"))
       .groupBy(col("j"), col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mc")))),
         p => p.getField("mc")).as("pcen"))
@@ -340,7 +344,11 @@ object Similarity {
     val cb = assign(seeds)
       .select(col("j"), col("cell"), posexplode(col("s")).as(Seq("pos", "x")))
       .groupBy(col("j"), col("cell"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("mc"))
+      // decimal-exact sum then ONE double division: avg over doubles is
+      // partial-sum-order-dependent, and an ulp shift at a .5e-6 rounding
+      // boundary would fork the codebook trajectory between engines
+      .agg(round(sum(col("x").cast("decimal(27,6)")).cast("double")
+        / count(lit(1)), 6).as("mc"))
       .groupBy(col("j"), col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mc")))),
         p => p.getField("mc")).as("cen"))

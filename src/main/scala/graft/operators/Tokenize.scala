@@ -97,7 +97,7 @@ object Tokenize {
           "replace(concat(' ', seg, ' '), concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")))
         .drop("a", "b")
       if (matEvery > 0 && step % matEvery == 0 && step < nMerges)
-        words = words.localCheckpoint(true)
+        words = graft.Mat(words) // cluster-durable via SPARK_GRAFT_MAT=persist
     }
     words.withColumn("seg", regexp_replace(col("seg"), " {2}", " "))
   }

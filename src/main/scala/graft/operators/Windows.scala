@@ -39,6 +39,80 @@ object Windows {
     df.withColumn(outName, sum(value).over(w))
   }
 
+  /** Exact global row number over a total order WITHOUT the
+    * single-partition sort `Window.orderBy` (no partition spec) would
+    * run — the shape that funnels the whole table through ONE task and
+    * dies at cluster scale.
+    *
+    * Method: (1) compute ~numShufflePartitions split points of the
+    * LEADING sort column once, driver-side, via approxQuantile —
+    * approximate is fine, the edges only need to be order-compatible
+    * and FIXED (every later pass is a pure function of data + these
+    * literals, so the count pass and the rank pass always agree; a
+    * range-exchange formulation would NOT have this property, because
+    * its reservoir sampling reseeds per job). (2) assign each row its
+    * bucket by a pure projection (count of edges below the key).
+    * (3) count rows per bucket — a metadata-sized driver read, the
+    * same per-partition count `RDD.zipWithIndex` makes. (4) rank =
+    * per-bucket row_number (one hash shuffle on the bucket id) + the
+    * bucket's cumulative offset. Every data-bearing stage is linear.
+    *
+    * `leadKey` must be numeric and the first sort key; `tiebreaks`
+    * must make the order total (rows equal on the full key would get
+    * nondeterministic ranks). A single hot `leadKey` value degrades to
+    * one big bucket (its sort is still distributed by the window's
+    * hash partition on bucket — but lopsided); that's inherent to
+    * exact ranking of a skewed key. */
+  def globalRowNumber(
+      df: DataFrame, leadKey: String, tiebreaks: Seq[Column],
+      outName: String): DataFrame =
+    withGlobalRank(df, leadKey, tiebreaks)((b, rank, _) => b.withColumn(outName, rank))
+
+  /** ntile(k)-equivalent equi-depth binning over a total order, computed
+    * scalably via [[globalRowNumber]]'s machinery: bin(r) = (r-1)*k / N
+    * + 1 (integral division) reproduces ntile's remainder-first
+    * distribution exactly — bucket sizes differ by at most one, larger
+    * buckets first — without ntile's single-partition global window.
+    * Output column is INT like ntile's. */
+  def equiDepthBin(
+      df: DataFrame, k: Int, leadKey: String, tiebreaks: Seq[Column],
+      outName: String): DataFrame =
+    withGlobalRank(df, leadKey, tiebreaks) { (b, rank, total) =>
+      // integral `div`, not `/`: Spark's `/` is double division, whose
+      // rounding could cross an integer boundary for huge rank*k products
+      b.withColumn("__gr_rn", rank)
+        .withColumn(outName,
+          expr(s"CAST(((__gr_rn - 1L) * ${k}L) div ${total}L AS INT) + 1"))
+        .drop("__gr_rn")
+    }
+
+  private def withGlobalRank(df: DataFrame, leadKey: String, tiebreaks: Seq[Column])(
+      build: (DataFrame, Column, Long) => DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until n).map(_.toDouble / n).toArray
+    val edges =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
+    // bucket = #edges strictly below the key: ties on an edge value all
+    // land in the same bucket, null keys land in bucket 0 (nulls-first)
+    val bucketCol =
+      if (edges.isEmpty) lit(0)
+      else size(filter(typedLit(edges), e => e < col(leadKey).cast("double")))
+    val bucketed = df.withColumn("__gr_b", bucketCol)
+    // metadata-sized driver read: one (bucket, count) row per edge gap
+    val counts = bucketed.groupBy(col("__gr_b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("__gr_b"))
+    val sortCols = col(leadKey) +: tiebreaks
+    val w = Window.partitionBy(col("__gr_b")).orderBy(sortCols: _*)
+    build(bucketed, row_number().over(w).cast("long") + offCol, math.max(acc, 1L))
+      .drop("__gr_b")
+  }
+
   /** Display-name sequencing (W6,
     * `scripts/transforms/consolidate-proposals.ts:427-445`):
     * `"{prefix} - {date} - {seq}"` per partition in a stable order. */

@@ -239,7 +239,31 @@ class PlanQualitySpec extends SparkSpec {
   test("CDC apply: window runs over the log only; base joined once, anti") {
     val p = plan("s13_cdc_apply")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // exactly one window (latest-per-key over the changelog)
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) == 1, p)
+    // exactly one Window node (latest-per-key over the changelog, not the
+    // base). Plan lines carry tree-art prefixes (`+- Window`, `:- Window`),
+    // so match the node name itself, anchored to the start of a node label
+    // (a space before it) to avoid matching window FUNCTION names inside
+    // expression lists.
+    val windowNodes = p.linesIterator.count(l => """(^|[-+: ])Window \[""".r.findFirstIn(l).isDefined)
+    assert(windowNodes == 1, s"expected 1 Window node, found $windowNodes:\n$p")
+  }
+
+  test("equi-depth binning (a17/a24): no single-partition global sort") {
+    // the distributed-rank rewrite must never reintroduce ntile over a
+    // global Window.orderBy — the plan funnel that dies at 100x scale.
+    // (An `Exchange SinglePartition` may legitimately remain: the scalar
+    // totals aggregate exchanges one partial row per partition.)
+    for (q <- Seq("a17_equidepth", "a24_woe_binning")) {
+      val p = plan(q)
+      assert(!p.contains("ntile"), s"$q:\n$p")
+      val wlines = p.linesIterator
+        .filter(l => """(^|[-+: ])Window \[""".r.findFirstIn(l).isDefined).toList
+      // a Window line prints `Window [funcs], [partSpec], [orderSpec]`;
+      // a GLOBAL window has no partition group — exactly the funnel
+      wlines.foreach { l =>
+        assert("""\], \[""".r.findAllIn(l).length >= 2,
+          s"$q has a global (unpartitioned) Window:\n$l")
+      }
+    }
   }
 }
