@@ -19,15 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to microseconds (the data has
-    * no sub-microsecond components). Integer `div` — a double division
-    * would lose precision at 1e18 nanos. */
+  /** The events fixture has shipped `ts` as both TIMESTAMP(NANOS) (reads
+    * back as INT64 with `nanosAsLong`) and timestamp[us] (reads back as
+    * TIMESTAMP_NTZ under the default NTZ inference) across driver
+    * regenerations, so branch on the dtype actually read rather than
+    * assuming either:
+    *  - LongType → nanos; truncate to micros with integer `div` (a double
+    *    division would lose precision at 1e18 nanos);
+    *  - TIMESTAMP_NTZ → cast to session-TZ timestamp (session is pinned to
+    *    UTC in GraftSession, so the wall-clock instant is preserved and
+    *    matches what DuckDB reads from the same file);
+    *  - already TimestampType → pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
