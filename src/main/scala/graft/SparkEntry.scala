@@ -1479,7 +1479,12 @@ object SparkEntry {
       val pr = o.select(vid, col("o_orderstatus").as("product_code")).distinct()
       val pa = o.select(vid,
         concat(lit("B"), pmod(col("o_orderkey"), lit(7))).as("broker_id")).distinct()
+      // domain stays DECIMAL(5,2) (reference semantics); the QUERY contract
+      // emits DOUBLE — decimal final columns are a driver-gate hash hazard
+      // (this query was green only because no value had a trailing zero;
+      // a 4-participant split -> 25.00 would flip it; see a23)
       graft.domain.Pha.stateRuleCascade(v, st, pr, pa)
+        .withColumn("distribution_pct", col("distribution_pct").cast("double"))
     },
       Some("""WITH base AS (
                 SELECT 'V' || (o_custkey % 10)::VARCHAR AS version_id,
@@ -1499,7 +1504,7 @@ object SparkEntry {
                               JOIN pa b USING (version_id))
               SELECT version_id, state, rule_id, product_code, split_id, broker_id,
                      count(*) OVER (PARTITION BY split_id) AS n_participants,
-                     round(100.0 / count(*) OVER (PARTITION BY split_id), 2)::DECIMAL(5,2)
+                     round(100.0 / count(*) OVER (PARTITION BY split_id), 2)::DECIMAL(5,2)::DOUBLE
                        AS distribution_pct
               FROM x""")),
 
@@ -3698,15 +3703,22 @@ object SparkEntry {
       val o = ord(s, d).select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("od"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
+      // the SUM is decimal-exact; the FINAL column is DOUBLE on both
+      // engines. Decimal final columns are a driver-gate hash hazard
+      // (Decimal('0.00') vs float 0.0 canonicalize differently in the
+      // gate's two readers — the r8 v_ivf_pq fix was exactly this move);
+      // decimal(18,2)->double is correctly rounded and bit-identical in
+      // both JVM BigDecimal and DuckDB for unscaled values < 2^53
       Windows.trailingRangeSum(o, Seq(col("o_custkey")), col("od"),
           col("price"), days = 90, outName = "t90")
         .select(col("o_custkey"), col("o_orderkey"), col("od"),
-          coalesce(col("t90"), lit(0)).cast("decimal(18,2)").as("trailing_90d"))
+          coalesce(col("t90"), lit(0)).cast("decimal(18,2)")
+            .cast("double").as("trailing_90d"))
     },
       Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate::DATE AS od,
                        o_totalprice::DECIMAL(18,2) AS price FROM orders)
               SELECT a.o_custkey, a.o_orderkey, a.od,
-                     coalesce(sum(b.price), 0)::DECIMAL(18,2) AS trailing_90d
+                     coalesce(sum(b.price), 0)::DECIMAL(18,2)::DOUBLE AS trailing_90d
               FROM o a LEFT JOIN o b
                 ON a.o_custkey = b.o_custkey
                AND b.od >= a.od - 90 AND b.od <= a.od - 1
@@ -3787,9 +3799,12 @@ object SparkEntry {
       val binned = Windows.equiDepthBin(l, 10,
         "x", Seq(col("l_orderkey"), col("l_linenumber")), "bin")
       val tot = binned.agg(sum(col("y")).as("tot_ev"), count(lit(1)).as("tot_n"))
+      // lo/hi: decimal-exact min/max, DOUBLE in the final projection
+      // (decimal final columns are a driver-gate hash hazard; see a23)
       binned.groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("n_event"),
-          min(col("x")).as("lo"), max(col("x")).as("hi"))
+          min(col("x")).cast("double").as("lo"),
+          max(col("x")).cast("double").as("hi"))
         .crossJoin(broadcast(tot))
         .select(col("bin"), col("n"), col("n_event"), col("lo"), col("hi"),
           round(log(
@@ -3809,7 +3824,7 @@ object SparkEntry {
                     FROM r),
               t AS (SELECT sum(y)::BIGINT AS tot_ev, count(*)::BIGINT AS tot_n FROM b),
               g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_event,
-                           min(x) AS lo, max(x) AS hi FROM b GROUP BY 1)
+                           min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM b GROUP BY 1)
               SELECT bin, n, n_event, lo, hi,
                      round(ln((n_event::DOUBLE / tot_ev::DOUBLE) /
                               ((n - n_event)::DOUBLE / (tot_n - tot_ev)::DOUBLE)), 6) AS woe
