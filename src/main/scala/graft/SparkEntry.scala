@@ -125,6 +125,35 @@ object SparkEntry {
     },
       Some(s"SELECT * FROM read_parquet('$repoRoot/fixtures/s1_cert_typed.parquet')")),
 
+    Q("s2_header_gate", (s, d) => {
+      // S2 archive-ingest gate (`scripts/ingest-raw-data.ts:1-676`): route
+      // committed fixture CSVs by filename prefix, validate headers
+      // case-insensitively against the expected-column map, and emit the
+      // dry-run plan — which file loads where, what's missing/extra, and
+      // why a file quarantines. Header reads are per-file metadata (one
+      // line via the Hadoop FS API), exactly like the reference's
+      // driver-side readCsvHeaders; only actual loads are distributed.
+      // The oracle is a VALUES literal of the expected plan — the
+      // fixtures are committed, so the result is a constant.
+      import s.implicits._
+      val files = Seq("CertificateInfo_drift.csv", "CertificateInfo_ok.csv",
+        "Premiums_2024.csv", "Readme.csv").map(f => s"$repoRoot/fixtures/s2/$f")
+      graft.domain.Ingest.ingestPlan(s, files)
+        .map(a => (a.file, a.table.orNull, a.nColumns,
+          if (a.missing.isEmpty) null else a.missing.mkString(","),
+          if (a.extra.isEmpty) null else a.extra.mkString(","),
+          a.reason.orNull))
+        .toDF("file", "target_table", "n_columns", "missing", "extra", "reason")
+    },
+      Some("""SELECT * FROM (VALUES
+              ('CertificateInfo_drift.csv', 'raw_certificate_info', 13,
+               'Product,PlanCode', NULL::VARCHAR, 'missing columns: Product, PlanCode'),
+              ('CertificateInfo_ok.csv', 'raw_certificate_info', 16,
+               NULL, 'Bonus', NULL),
+              ('Premiums_2024.csv', 'raw_premiums', 3, NULL, NULL, NULL),
+              ('Readme.csv', NULL, 0, NULL, NULL, 'no routing prefix matches'))
+              t(file, target_table, n_columns, missing, extra, reason)""")),
+
     Q("s4_typed_cast", (s, d) =>
       li(s, d).select(
         col("l_orderkey"), col("l_linenumber"),

@@ -89,4 +89,131 @@ object Ingest {
     * (`sql/02-input-tables.sql:266-267`; `proposal-builder.ts:2145-2147`). */
   def activeOnly(typedCerts: DataFrame): DataFrame =
     typedCerts.filter(col("rec_status") === "A" && col("cert_status") === "A")
+
+  // ===== S2: archive ingest with header validation / preview / dry-run =====
+  // (`scripts/ingest-raw-data.ts:1-676`). Header work is per-FILE metadata
+  // (one line each), so it runs on the driver through the Hadoop FS API —
+  // no Spark job; only the actual loads are distributed scans.
+
+  /** Header sanitization (`ingest-raw-data.ts:296-303`): strip BOM, trim,
+    * non-[A-Za-z0-9_] -> '_', digit-leading -> "Col_" prefix, empty ->
+    * positional "Column<i>". */
+  def sanitizeHeader(raw: String, idx: Int): String = {
+    var c = raw.stripPrefix("﻿").trim.replaceAll("[^a-zA-Z0-9_]", "_")
+    if (c.nonEmpty && c.head.isDigit) c = "Col_" + c
+    if (c.isEmpty) s"Column$idx" else c
+  }
+
+  /** Case-insensitive header check (`ingest-raw-data.ts:313-327`):
+    * `missing` = expected absent from the file (blocks the load);
+    * `extra` = file columns beyond the spec (warn-only, like the ref). */
+  final case class HeaderValidation(missing: Seq[String], extra: Seq[String]) {
+    def valid: Boolean = missing.isEmpty
+  }
+  def validateHeaders(actual: Seq[String], expected: Seq[String]): HeaderValidation = {
+    val actualSet = actual.map(_.toLowerCase).toSet
+    val expectedSet = expected.map(_.toLowerCase).toSet
+    HeaderValidation(
+      missing = expected.filterNot(c => actualSet(c.toLowerCase)),
+      extra = actual.filterNot(c => expectedSet(c.toLowerCase)))
+  }
+
+  /** Expected raw headers per routed table. Only tables with a typed spec
+    * validate; an empty list skips validation (`ingest-raw-data.ts:603-631`). */
+  val expectedColumns: Map[String, Seq[String]] = Map(
+    "raw_certificate_info" -> certificateSpec.map(_._1)
+  ).withDefaultValue(Seq.empty)
+
+  /** Minimal RFC-4180 header-line field split (quotes + embedded commas). */
+  private[domain] def splitCsvLine(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQ) {
+        if (ch == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (ch == '"') inQ = false
+        else cur += ch
+      } else ch match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case c   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** First line of a file through whatever FileSystem serves the path
+    * (local, HDFS, object store) — metadata-sized driver read, mirroring
+    * `readCsvHeaders` (`ingest-raw-data.ts:287-310`). */
+  def readCsvHeaders(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val line = Option(rd.readLine()).getOrElse("")
+      splitCsvLine(line).zipWithIndex.map { case (h, i) => sanitizeHeader(h, i) }
+    } finally in.close()
+  }
+
+  /** One row of the ingest plan: where a file routes and whether its
+    * headers conform. `reason` is null for loadable files. */
+  final case class IngestAction(
+      file: String, table: Option[String], nColumns: Int,
+      missing: Seq[String], extra: Seq[String], reason: Option[String]) {
+    def loadable: Boolean = reason.isEmpty
+  }
+
+  /** Dry-run plan (`--dry-run`): route each file by prefix, validate its
+    * headers, decide load vs quarantine. Pure metadata — no data scan. */
+  def ingestPlan(spark: SparkSession, files: Seq[String],
+                 skipValidation: Boolean = false): Seq[IngestAction] =
+    files.map { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      routeFile(base) match {
+        case None =>
+          IngestAction(base, None, 0, Nil, Nil, Some("no routing prefix matches"))
+        case Some(table) =>
+          val headers = readCsvHeaders(spark, f)
+          val expected = expectedColumns(table)
+          if (skipValidation || expected.isEmpty)
+            IngestAction(base, Some(table), headers.size, Nil, Nil, None)
+          else {
+            val v = validateHeaders(headers, expected)
+            val reason =
+              if (v.valid) None
+              else Some(s"missing columns: ${v.missing.mkString(", ")}")
+            IngestAction(base, Some(table), headers.size, v.missing, v.extra, reason)
+          }
+      }
+    }
+
+  /** Execute an ingest plan: all-string CSV reads per loadable file
+    * (unioned per target table), preview mode caps each table at
+    * `previewRows` (`--preview`, `ingest-raw-data.ts:576`). Returns the
+    * loaded frames plus the quarantine report (file, table, reason) as a
+    * DataFrame so DQ failures land in a queryable sink, not a log. */
+  def ingestFiles(spark: SparkSession, files: Seq[String],
+                  preview: Boolean = false, previewRows: Int = 10,
+                  skipValidation: Boolean = false)
+      : (Map[String, DataFrame], DataFrame) = {
+    val plan = ingestPlan(spark, files, skipValidation)
+    val byTable = plan.filter(_.loadable).groupBy(_.table.get)
+    val dirOf = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val loaded = byTable.map { case (table, actions) =>
+      val df = actions.map(a => readRawCsv(spark, dirOf(a.file)))
+        .reduce(_ unionByName (_, allowMissingColumns = true))
+      table -> (if (preview) df.limit(previewRows) else df)
+    }
+    import spark.implicits._
+    val quarantine = plan.filterNot(_.loadable)
+      .map(a => (a.file, a.table.orNull, a.reason.get))
+      .toDF("file", "table", "reason")
+    (loaded, quarantine)
+  }
 }

@@ -38,6 +38,72 @@ class IngestSpec extends SparkSpec {
     assert(badPremium) // try_cast: 'bogus' -> null, not an error
   }
 
+  test("S2 header sanitization mirrors the reference rules") {
+    assert(Ingest.sanitizeHeader("﻿ CertificateId ", 0) == "CertificateId")
+    assert(Ingest.sanitizeHeader("Cert Premium ($)", 1) == "Cert_Premium____")
+    assert(Ingest.sanitizeHeader("2024Amount", 2) == "Col_2024Amount")
+    assert(Ingest.sanitizeHeader("  ", 3) == "Column3")
+  }
+
+  test("S2 header validation: case-insensitive missing/extra") {
+    val v = Ingest.validateHeaders(
+      actual = Seq("certificateid", "GROUPID", "Bonus"),
+      expected = Seq("CertificateId", "GroupId", "Product"))
+    assert(!v.valid)
+    assert(v.missing == Seq("Product"))
+    assert(v.extra == Seq("Bonus"))
+    assert(Ingest.validateHeaders(Seq("A", "b"), Seq("B", "a")).valid)
+  }
+
+  test("S2 quoted header line splits on RFC-4180 rules") {
+    assert(Ingest.splitCsvLine("""a,"b,c","d""e",f""") == Seq("a", "b,c", "d\"e", "f"))
+  }
+
+  test("S2 ingest plan + quarantine + preview over a mixed directory") {
+    val dir = Files.createTempDirectory("graft_s2").toFile
+    val goodHeader = Ingest.certificateSpec.map(_._1).mkString(",")
+    def row(id: Int) =
+      s"$id,G1,PRODA,PL1,2020-01-15,TX,A,A,10.00,1,100.00,1,P1,P1,SCHED1"
+    // valid cert file (20 rows), cert file missing a required column,
+    // a file no prefix routes, and a routed table with no expected-column
+    // spec (validation skipped, loads as-is)
+    Files.writeString(new java.io.File(dir, "CertificateInfo_a.csv").toPath,
+      (goodHeader +: (1 to 20).map(row)).mkString("\n"))
+    Files.writeString(new java.io.File(dir, "CertificateInfo_b.csv").toPath,
+      "CertificateId,GroupId\n9001,G9")
+    Files.writeString(new java.io.File(dir, "Mystery.csv").toPath, "x,y\n1,2")
+    Files.writeString(new java.io.File(dir, "Fees_2024.csv").toPath,
+      "FeeId,Amount\nF1,10")
+    val files = dir.listFiles.map(_.getAbsolutePath).toSeq.sorted
+
+    val plan = Ingest.ingestPlan(spark, files)
+    val byFile = plan.map(a => a.file -> a).toMap
+    assert(byFile("CertificateInfo_a.csv").loadable)
+    assert(byFile("CertificateInfo_a.csv").nColumns == 15)
+    val bad = byFile("CertificateInfo_b.csv")
+    assert(!bad.loadable && bad.missing.contains("Product")
+      && bad.reason.get.startsWith("missing columns"))
+    assert(!byFile("Mystery.csv").loadable
+      && byFile("Mystery.csv").reason.contains("no routing prefix matches"))
+    assert(byFile("Fees_2024.csv").loadable) // empty spec -> skip validation
+
+    val (loaded, quarantine) = Ingest.ingestFiles(spark, files)
+    assert(loaded.keySet == Set("raw_certificate_info", "raw_fees"))
+    assert(loaded("raw_certificate_info").count() == 20)
+    val q = quarantine.orderBy(col("file")).as[(String, String, String)].collect()
+    assert(q.map(_._1).toSeq == Seq("CertificateInfo_b.csv", "Mystery.csv"))
+    assert(q.head._2 == "raw_certificate_info" && q(1)._2 == null)
+
+    // preview mode caps each table at 10 rows, like --preview
+    val (previewed, _) = Ingest.ingestFiles(spark, files, preview = true)
+    assert(previewed("raw_certificate_info").count() == 10)
+
+    // skipValidation loads the header-mismatched file too (--skip-validation)
+    val (all, q2) = Ingest.ingestFiles(spark, files, skipValidation = true)
+    assert(all("raw_certificate_info").count() == 21)
+    assert(q2.count() == 1) // only the unroutable file remains quarantined
+  }
+
   test("committed s1 fixture: CSV tokenization matches the raw parquet twin") {
     // The s1_csv_ingest oracle reads fixtures/s1_cert_raw.parquet (a
     // committed python-csv+pyarrow tokenization of fixtures/s1_cert.csv,
