@@ -75,10 +75,17 @@ object Joins {
   def bloomSemiJoin(
       fact: DataFrame, keys: DataFrame, factKey: String, keysKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // distributed build (stat.bloomFilter is a treeAggregate over the key
+    // side), then serialize the filter into a BINARY literal for Spark's
+    // native BloomFilterMightContain (registered as `bloom_might_contain`
+    // by GraftExtensions) — the predicate stays inside whole-stage codegen,
+    // unlike a per-row Scala UDF. Embedding the filter as a plan literal is
+    // exactly what the runtime bloom-join rule does with its scalar
+    // subquery result; the bytes are MB-scale config data, not row data.
     val bf = keys.stat.bloomFilter(keysKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((x: java.lang.Long) => x != null && bc.value.mightContainLong(x))
-    fact.filter(might(col(factKey)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    fact.filter(call_function("bloom_might_contain", lit(bos.toByteArray), col(factKey)))
       .join(keys.select(col(keysKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
   }
 

@@ -120,6 +120,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           coerce(children(1), IntegerType))
       }))
     ext.injectFunction((
+      // Spark's native bloom-membership predicate is optimizer-internal
+      // (not in the public registry); expose it so Joins.bloomSemiJoin can
+      // stay whole-stage-codegen instead of a per-row Scala UDF. The bloom
+      // binary must be foldable (a literal) — the build side serializes the
+      // distributed-aggregate filter into one.
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bloom_might_contain expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast}
+        import org.apache.spark.sql.types.LongType
+        val v = if (children(1).dataType == LongType) children(1)
+          else Cast(children(1), LongType)
+        BloomFilterMightContain(children.head, v)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

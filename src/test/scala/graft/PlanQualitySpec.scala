@@ -82,6 +82,10 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("j14_bloom_semi")
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the bloom prefilter is the native BloomFilterMightContain expression
+    // inside codegen — not a per-row Scala/Python UDF stage
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF("), p.take(2000))
   }
 
   test("tf-idf: the only nested loop is the 1-row scalar broadcast of N") {
