@@ -1537,6 +1537,226 @@ object SparkEntry {
                        AS distribution_pct
               FROM x""")),
 
+    Q("g_readiness_report", (s, d) => {
+      // named production-readiness verification (sql/verify/
+      // verify-production-readiness.sql + verify-pha-cleanup.sql:115-216 +
+      // verify-commission-requirements.sql:134-178): every named check as
+      // a severity-graded count over deterministic synthetic entities
+      // derived from orders/customer, plus the final READY/NOT_READY
+      // assessment row. Each check is an independent anti-join/filter +
+      // 1-row agg — parallel scan+aggs, nothing row-sized on the driver.
+      import graft.domain.{ProductionReadiness => PR}
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = cst(s, d).select(col("c_custkey"), col("c_name"))
+      val groups = c.select(concat(lit("G"), col("c_custkey")).as("group_id"),
+        when(pmod(col("c_custkey"), lit(37)) === 0,
+          concat(lit("Group G"), col("c_custkey")))
+          .otherwise(concat(lit("Grp "), col("c_name"))).as("name"))
+      val props = o.filter(pmod(col("o_orderkey"), lit(3)) === 0).select(
+        concat(lit("P"), col("o_orderkey")).as("proposal_id"),
+        when(pmod(col("o_orderkey"), lit(97)) === 0,
+          concat(lit("GX"), col("o_orderkey")))
+          .otherwise(concat(lit("G"), col("o_custkey"))).as("group_id"),
+        when(pmod(col("o_orderkey"), lit(41)) === 0, 1).otherwise(2).as("status"),
+        when(pmod(col("o_orderkey"), lit(53)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("B"), pmod(col("o_orderkey"), lit(100))))
+          .as("broker_party_id"),
+        col("o_orderkey"), col("o_custkey"))
+      val sv = props.filter(pmod(col("o_orderkey"), lit(11)) =!= 0).select(
+        concat(lit("SV"), col("o_orderkey")).as("split_id"), col("proposal_id"),
+        when(pmod(col("o_orderkey"), lit(43)) === 0, 0).otherwise(1).as("status"),
+        col("o_orderkey"), col("o_custkey"))
+      val sp = sv.filter(pmod(col("o_orderkey"), lit(7)) === 0).select(
+        col("split_id"),
+        when(pmod(col("o_orderkey"), lit(89)) === 0,
+          concat(lit("HX"), col("o_orderkey")))
+          .otherwise(concat(lit("H"), pmod(col("o_custkey"), lit(75)) * 2 + 2))
+          .as("hierarchy_id"))
+      val hier = c.filter(pmod(col("c_custkey"), lit(2)) === 0).select(
+        concat(lit("H"), col("c_custkey")).as("hierarchy_id"),
+        when(pmod(col("c_custkey"), lit(58)) === 0, 0).otherwise(1).as("status"),
+        col("c_custkey"))
+      val hv = hier.filter(pmod(col("c_custkey"), lit(13)) =!= 0).select(
+        concat(lit("HV"), col("c_custkey")).as("version_id"), col("hierarchy_id"),
+        when(pmod(col("c_custkey"), lit(31)) === 0, 2).otherwise(1).as("status"),
+        col("c_custkey"))
+      val hp = hv.filter(pmod(col("c_custkey"), lit(17)) =!= 0).select(
+        col("version_id"),
+        when(pmod(col("c_custkey"), lit(19)) === 0,
+          concat(lit("BX"), col("c_custkey")))
+          .otherwise(concat(lit("B"), pmod(col("c_custkey"), lit(100))))
+          .as("entity_id"))
+      val brokers = c.filter(col("c_custkey") <= 100)
+        .select(concat(lit("B"), col("c_custkey") - 1).as("broker_id"))
+      val pol = o.select(concat(lit("PL"), col("o_orderkey")).as("policy_id"),
+        when(pmod(col("o_orderkey"), lit(23)) === 0, lit("G00000"))
+          .otherwise(concat(lit("G"), col("o_custkey"))).as("group_id"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), col("o_orderkey"))).as("proposal_id"),
+        col("o_orderkey"))
+      val pha = pol
+        .filter(col("group_id") === "G00000" || col("proposal_id").isNull)
+        .select(col("policy_id"),
+          when(pmod(col("o_orderkey"), lit(101)) === 0, lit("H2"))
+            .otherwise(lit(null).cast("string")).as("hierarchy_id"))
+        .unionByName(pol
+          .filter(pmod(col("o_orderkey"), lit(499)) === 0 &&
+            col("proposal_id").isNotNull && col("group_id") =!= "G00000")
+          .select(col("policy_id"), lit(null).cast("string").as("hierarchy_id")))
+      val checks = PR.statusChecks(hier, props, sv, hv) ++
+        PR.fkChecks(sp, hier, hp, brokers, props, groups) ++
+        PR.completenessChecks(props, sv, hier, hv, hp) ++
+        PR.qualityChecks(groups, props) ++
+        PR.phaChecks(pol, pha) ++
+        PR.presenceChecks(Seq("brokers" -> brokers, "groups" -> groups,
+          "proposals" -> props, "hierarchies" -> hier, "split_versions" -> sv,
+          "hierarchy_versions" -> hv, "policies" -> pol))
+      val rep = PR.report(checks)
+      rep.unionByName(PR.assessment(rep))
+    },
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer),
+              o AS (SELECT o_orderkey, o_custkey FROM orders),
+              grp AS (SELECT 'G' || c_custkey::VARCHAR AS group_id,
+                        CASE WHEN c_custkey % 37 = 0 THEN 'Group G' || c_custkey::VARCHAR
+                             ELSE 'Grp ' || c_name END AS name FROM c),
+              props AS (SELECT 'P' || o_orderkey::VARCHAR AS proposal_id,
+                          CASE WHEN o_orderkey % 97 = 0 THEN 'GX' || o_orderkey::VARCHAR
+                               ELSE 'G' || o_custkey::VARCHAR END AS group_id,
+                          CASE WHEN o_orderkey % 41 = 0 THEN 1 ELSE 2 END AS status,
+                          CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                               ELSE 'B' || (o_orderkey % 100)::VARCHAR END AS broker_party_id,
+                          o_orderkey, o_custkey
+                        FROM o WHERE o_orderkey % 3 = 0),
+              sv AS (SELECT 'SV' || o_orderkey::VARCHAR AS split_id, proposal_id,
+                       CASE WHEN o_orderkey % 43 = 0 THEN 0 ELSE 1 END AS status,
+                       o_orderkey, o_custkey
+                     FROM props WHERE o_orderkey % 11 <> 0),
+              sp AS (SELECT split_id,
+                       CASE WHEN o_orderkey % 89 = 0 THEN 'HX' || o_orderkey::VARCHAR
+                            ELSE 'H' || ((o_custkey % 75) * 2 + 2)::VARCHAR END AS hierarchy_id
+                     FROM sv WHERE o_orderkey % 7 = 0),
+              hier AS (SELECT 'H' || c_custkey::VARCHAR AS hierarchy_id,
+                         CASE WHEN c_custkey % 58 = 0 THEN 0 ELSE 1 END AS status, c_custkey
+                       FROM c WHERE c_custkey % 2 = 0),
+              hv AS (SELECT 'HV' || c_custkey::VARCHAR AS version_id, hierarchy_id,
+                       CASE WHEN c_custkey % 31 = 0 THEN 2 ELSE 1 END AS status, c_custkey
+                     FROM hier WHERE c_custkey % 13 <> 0),
+              hp AS (SELECT version_id,
+                       CASE WHEN c_custkey % 19 = 0 THEN 'BX' || c_custkey::VARCHAR
+                            ELSE 'B' || (c_custkey % 100)::VARCHAR END AS entity_id
+                     FROM hv WHERE c_custkey % 17 <> 0),
+              brokers AS (SELECT 'B' || (c_custkey - 1)::VARCHAR AS broker_id
+                          FROM c WHERE c_custkey <= 100),
+              pol AS (SELECT 'PL' || o_orderkey::VARCHAR AS policy_id,
+                        CASE WHEN o_orderkey % 23 = 0 THEN 'G00000'
+                             ELSE 'G' || o_custkey::VARCHAR END AS group_id,
+                        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                             ELSE 'P' || o_orderkey::VARCHAR END AS proposal_id,
+                        o_orderkey FROM o),
+              pha AS (SELECT policy_id,
+                        CASE WHEN o_orderkey % 101 = 0 THEN 'H2' ELSE NULL END AS hierarchy_id
+                      FROM pol WHERE group_id = 'G00000' OR proposal_id IS NULL
+                      UNION ALL
+                      SELECT policy_id, NULL FROM pol
+                      WHERE o_orderkey % 499 = 0 AND proposal_id IS NOT NULL
+                        AND group_id <> 'G00000'),
+              n AS (SELECT
+                (SELECT count(*) FROM hier WHERE status <> 1) AS hier_na,
+                (SELECT count(*) FROM props WHERE status <> 2) AS prop_na,
+                (SELECT count(*) FROM sv WHERE status <> 1) AS sv_na,
+                (SELECT count(*) FROM hv WHERE status <> 1) AS hv_na,
+                (SELECT count(*) FROM sp WHERE hierarchy_id IS NOT NULL AND hierarchy_id <> ''
+                   AND NOT EXISTS (SELECT 1 FROM hier h WHERE h.hierarchy_id = sp.hierarchy_id)) AS fk_sp,
+                (SELECT count(*) FROM hp WHERE NOT EXISTS
+                   (SELECT 1 FROM brokers b WHERE b.broker_id = hp.entity_id)) AS fk_hp,
+                (SELECT count(*) FROM props WHERE group_id IS NOT NULL AND group_id <> ''
+                   AND NOT EXISTS (SELECT 1 FROM grp g WHERE g.group_id = props.group_id)) AS fk_pg,
+                (SELECT count(*) FROM props WHERE NOT EXISTS
+                   (SELECT 1 FROM sv WHERE sv.proposal_id = props.proposal_id)) AS comp_ps,
+                (SELECT count(*) FROM hier WHERE NOT EXISTS
+                   (SELECT 1 FROM hv WHERE hv.hierarchy_id = hier.hierarchy_id)) AS comp_hv,
+                (SELECT count(*) FROM hier WHERE NOT EXISTS
+                   (SELECT 1 FROM hv JOIN hp USING (version_id)
+                    WHERE hv.hierarchy_id = hier.hierarchy_id)) AS comp_hp,
+                (SELECT count(*) FROM grp WHERE (name LIKE 'Group G%'
+                   OR regexp_matches(name, '^Group [0-9]')) AND group_id <> 'G00000') AS q_gn,
+                (SELECT count(*) FROM props
+                   WHERE broker_party_id IS NULL OR broker_party_id = '') AS q_nb,
+                (SELECT count(*) FROM (SELECT DISTINCT policy_id FROM pha) dp
+                   WHERE EXISTS (SELECT 1 FROM pol WHERE pol.policy_id = dp.policy_id
+                     AND proposal_id IS NOT NULL AND group_id <> 'G00000')) AS pha_v,
+                abs((SELECT count(*) FROM pol WHERE group_id = 'G00000' OR proposal_id IS NULL)
+                  - (SELECT count(DISTINCT policy_id) FROM pha)) AS pha_sz,
+                (SELECT count(*) FROM pha WHERE hierarchy_id IS NOT NULL) AS pha_h,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM brokers) AS e_br,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM grp) AS e_gr,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM props) AS e_pr,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM hier) AS e_hi,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM sv) AS e_sv,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM hv) AS e_hv,
+                (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM pol) AS e_po)
+              SELECT suite, "check", n_failing::BIGINT AS n_failing, severity FROM (
+                SELECT 'status' AS suite, 'hierarchies_not_active' AS "check", hier_na AS n_failing,
+                       CASE WHEN hier_na > 0 THEN 'FAIL' ELSE 'PASS' END AS severity FROM n
+                UNION ALL SELECT 'status', 'proposals_not_approved', prop_na,
+                       CASE WHEN prop_na > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'status', 'split_versions_not_active', sv_na,
+                       CASE WHEN sv_na > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'status', 'hierarchy_versions_not_active', hv_na,
+                       CASE WHEN hv_na > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'fk', 'split_participants_invalid_hierarchy', fk_sp,
+                       CASE WHEN fk_sp > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'fk', 'hierarchy_participants_invalid_broker', fk_hp,
+                       CASE WHEN fk_hp > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'fk', 'proposals_invalid_group', fk_pg,
+                       CASE WHEN fk_pg > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'completeness', 'proposals_without_splits', comp_ps,
+                       CASE WHEN comp_ps > 0 THEN 'WARNING' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'completeness', 'hierarchies_without_versions', comp_hv,
+                       CASE WHEN comp_hv > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'completeness', 'hierarchies_without_participants', comp_hp,
+                       CASE WHEN comp_hp > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'quality', 'groups_generic_names', q_gn,
+                       CASE WHEN q_gn > 100 THEN 'WARNING'
+                            WHEN q_gn > 0 THEN 'INFO' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'quality', 'proposals_null_broker_party', q_nb,
+                       CASE WHEN q_nb > 1000 THEN 'WARNING'
+                            WHEN q_nb > 0 THEN 'INFO' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'pha', 'pha_nondtc_with_proposal', pha_v,
+                       CASE WHEN pha_v > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'pha', 'pha_size_mismatch', pha_sz,
+                       CASE WHEN pha_sz > 0 THEN 'WARNING' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'pha', 'pha_with_hierarchy', pha_h,
+                       CASE WHEN pha_h > 0 THEN 'INFO' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'brokers_empty', e_br,
+                       CASE WHEN e_br > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'groups_empty', e_gr,
+                       CASE WHEN e_gr > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'proposals_empty', e_pr,
+                       CASE WHEN e_pr > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'hierarchies_empty', e_hi,
+                       CASE WHEN e_hi > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'split_versions_empty', e_sv,
+                       CASE WHEN e_sv > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'hierarchy_versions_empty', e_hv,
+                       CASE WHEN e_hv > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'presence', 'policies_empty', e_po,
+                       CASE WHEN e_po > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'assessment', 'critical_issues',
+                       (CASE WHEN hier_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN prop_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN sv_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_ps > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_hv > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_hp > 0 THEN 1 ELSE 0 END),
+                       CASE WHEN (CASE WHEN hier_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN prop_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN sv_na > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_ps > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_hv > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN comp_hp > 0 THEN 1 ELSE 0 END) = 0
+                       THEN 'READY' ELSE 'NOT_READY' END FROM n) r""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
