@@ -1757,6 +1757,132 @@ object SparkEntry {
                         + CASE WHEN comp_hp > 0 THEN 1 ELSE 0 END) = 0
                        THEN 'READY' ELSE 'NOT_READY' END FROM n) r""")),
 
+    Q("g_chain_health", (s, d) => {
+      // chain-health verification (sql/utils/verify-chain-health.sql):
+      // table-count floors, broken links along the policy→PHA→hierarchy→
+      // version→participant→schedule→rate chain, and exhaustive
+      // commission-calculation readiness (the reference spot-checks 5
+      // random chain rows; the count of rate-less chain rows is the
+      // deterministic, stronger form). Synthetic entities from
+      // orders/customer, same style as g_readiness_report.
+      import graft.domain.{ProductionReadiness => PR}
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val c = cst(s, d).select(col("c_custkey"))
+      val pol = o.select(concat(lit("PL"), col("o_orderkey")).as("policy_id"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), col("o_orderkey"))).as("proposal_id"),
+        col("o_orderstatus").as("product_code"),
+        col("o_totalprice").cast("double").as("premium"),
+        col("o_orderkey"), col("o_custkey"))
+      val pha = pol.filter(pmod(col("o_orderkey"), lit(5)) === 0 ||
+          pmod(col("o_orderkey"), lit(23)) === 0)
+        .select(col("policy_id"),
+          when(pmod(col("o_orderkey"), lit(97)) === 0,
+            concat(lit("HX"), col("o_orderkey")))
+            .otherwise(concat(lit("H"), pmod(col("o_custkey"), lit(75)) * 2 + 2))
+            .as("hierarchy_id"))
+      val hier = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(concat(lit("H"), col("c_custkey")).as("hierarchy_id"), col("c_custkey"))
+      val hv = hier.filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+        .select(concat(lit("HV"), col("c_custkey")).as("version_id"),
+          col("hierarchy_id"), col("c_custkey"))
+      val hp = hv.filter(pmod(col("c_custkey"), lit(17)) =!= 0)
+        .select(col("version_id"),
+          concat(lit("S"), pmod(col("c_custkey"), lit(40)) + 1).as("schedule_id"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit(2.5))
+            .otherwise(lit(null).cast("double")).as("commission_rate"),
+          col("c_custkey"))
+      val sched = c.filter(col("c_custkey") <= 40)
+        .select(concat(lit("S"), col("c_custkey")).as("schedule_id"), col("c_custkey"))
+      val schedV = sched.filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+        .select(concat(lit("SCV"), col("c_custkey")).as("sched_version_id"),
+          col("schedule_id"), col("c_custkey"))
+      val rates = schedV.select(col("sched_version_id"), lit("O").as("product_code"),
+          lit(5.0).as("rate"), col("c_custkey"))
+        .unionByName(schedV.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+          .select(col("sched_version_id"), lit("F").as("product_code"),
+            lit(4.0).as("rate"), col("c_custkey")))
+      PR.report(
+        PR.countThresholdChecks(Seq(("policies", pol, 10L), ("pha", pha, 10L),
+          ("hierarchies", hier, 10L), ("hierarchy_participants", hp, 10L),
+          ("schedule_rates", rates, 10L))) ++
+        PR.chainIntegrityChecks(pha, hier, hv, hp, sched, schedV, rates) :+
+        PR.rateReadinessCheck(pol, pha, hier, hv, hp, schedV, rates))
+    },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+              c AS (SELECT c_custkey FROM customer),
+              pol AS (SELECT 'PL' || o_orderkey::VARCHAR AS policy_id,
+                        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                             ELSE 'P' || o_orderkey::VARCHAR END AS proposal_id,
+                        o_orderstatus AS product_code, o_totalprice::DOUBLE AS premium,
+                        o_orderkey, o_custkey FROM o),
+              pha AS (SELECT policy_id,
+                        CASE WHEN o_orderkey % 97 = 0 THEN 'HX' || o_orderkey::VARCHAR
+                             ELSE 'H' || ((o_custkey % 75) * 2 + 2)::VARCHAR END AS hierarchy_id
+                      FROM pol WHERE o_orderkey % 5 = 0 OR o_orderkey % 23 = 0),
+              hier AS (SELECT 'H' || c_custkey::VARCHAR AS hierarchy_id, c_custkey
+                       FROM c WHERE c_custkey % 2 = 0),
+              hv AS (SELECT 'HV' || c_custkey::VARCHAR AS version_id, hierarchy_id, c_custkey
+                     FROM hier WHERE c_custkey % 13 <> 0),
+              hp AS (SELECT version_id, 'S' || ((c_custkey % 40) + 1)::VARCHAR AS schedule_id,
+                       CASE WHEN c_custkey % 3 = 0 THEN 2.5 ELSE NULL END AS commission_rate,
+                       c_custkey FROM hv WHERE c_custkey % 17 <> 0),
+              sched AS (SELECT 'S' || c_custkey::VARCHAR AS schedule_id, c_custkey
+                        FROM c WHERE c_custkey <= 40),
+              schedv AS (SELECT 'SCV' || c_custkey::VARCHAR AS sched_version_id, schedule_id,
+                           c_custkey FROM sched WHERE c_custkey % 9 <> 0),
+              rates AS (SELECT sched_version_id, 'O' AS product_code, 5.0 AS rate, c_custkey
+                        FROM schedv
+                        UNION ALL
+                        SELECT sched_version_id, 'F', 4.0, c_custkey
+                        FROM schedv WHERE c_custkey % 5 <> 0),
+              chain AS (SELECT p.product_code, hp.commission_rate, hp.schedule_id
+                        FROM pol p
+                        JOIN pha ON pha.policy_id = p.policy_id AND pha.hierarchy_id IS NOT NULL
+                        JOIN hier h ON h.hierarchy_id = pha.hierarchy_id
+                        JOIN hv ON hv.hierarchy_id = h.hierarchy_id
+                        JOIN hp ON hp.version_id = hv.version_id
+                        WHERE p.proposal_id IS NOT NULL AND p.premium > 0),
+              n AS (SELECT
+                (SELECT CASE WHEN count(*) > 10 THEN 0 ELSE 1 END FROM pol) AS t_pol,
+                (SELECT CASE WHEN count(*) > 10 THEN 0 ELSE 1 END FROM pha) AS t_pha,
+                (SELECT CASE WHEN count(*) > 10 THEN 0 ELSE 1 END FROM hier) AS t_hier,
+                (SELECT CASE WHEN count(*) > 10 THEN 0 ELSE 1 END FROM hp) AS t_hp,
+                (SELECT CASE WHEN count(*) > 10 THEN 0 ELSE 1 END FROM rates) AS t_rates,
+                (SELECT count(*) FROM pha WHERE hierarchy_id IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM hier WHERE hier.hierarchy_id = pha.hierarchy_id)) AS bl_h,
+                (SELECT count(*) FROM hv WHERE NOT EXISTS
+                   (SELECT 1 FROM hp WHERE hp.version_id = hv.version_id)) AS bl_p,
+                (SELECT count(*) FROM (SELECT DISTINCT schedule_id FROM hp) rs
+                   WHERE EXISTS (SELECT 1 FROM sched WHERE sched.schedule_id = rs.schedule_id)
+                     AND NOT EXISTS (SELECT 1 FROM schedv JOIN rates USING (sched_version_id)
+                       WHERE schedv.schedule_id = rs.schedule_id)) AS bl_r,
+                (SELECT count(*) FROM chain
+                   LEFT JOIN schedv ON schedv.schedule_id = chain.schedule_id
+                   LEFT JOIN rates ON rates.sched_version_id = schedv.sched_version_id
+                     AND rates.product_code = chain.product_code
+                   WHERE rates.rate IS NULL AND chain.commission_rate IS NULL) AS nr)
+              SELECT suite, "check", n_failing::BIGINT AS n_failing, severity FROM (
+                SELECT 'chain' AS suite, 'policies_below_min' AS "check", t_pol AS n_failing,
+                       CASE WHEN t_pol > 0 THEN 'FAIL' ELSE 'PASS' END AS severity FROM n
+                UNION ALL SELECT 'chain', 'pha_below_min', t_pha,
+                       CASE WHEN t_pha > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'hierarchies_below_min', t_hier,
+                       CASE WHEN t_hier > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'hierarchy_participants_below_min', t_hp,
+                       CASE WHEN t_hp > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'schedule_rates_below_min', t_rates,
+                       CASE WHEN t_rates > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'pha_broken_hierarchy', bl_h,
+                       CASE WHEN bl_h > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'versions_without_participants', bl_p,
+                       CASE WHEN bl_p > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'referenced_schedules_without_rates', bl_r,
+                       CASE WHEN bl_r > 0 THEN 'FAIL' ELSE 'PASS' END FROM n
+                UNION ALL SELECT 'chain', 'chain_rows_without_rate', nr,
+                       CASE WHEN nr > 0 THEN 'FAIL' ELSE 'PASS' END FROM n) r""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>

@@ -158,4 +158,61 @@ object ProductionReadiness {
         df.agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("n_failing")),
         FailOver0)
     }
+
+  // ===== chain health (`sql/utils/verify-chain-health.sql`) =====
+
+  /** Test 1 (`verify-chain-health.sql:14-39`): key tables must exceed
+    * their expected-magnitude floors. */
+  def countThresholdChecks(tables: Seq[(String, DataFrame, Long)]): Seq[Check] =
+    tables.map { case (name, df, min) =>
+      Check.stat("chain", s"${name}_below_min",
+        df.agg(when(count(lit(1)) > min, 0L).otherwise(1L).as("n_failing")),
+        FailOver0)
+    }
+
+  /** Test 2 (`verify-chain-health.sql:41-81`): broken links along the
+    * assignment chain. The hierarchy→version and proposal-side links are
+    * covered by [[completenessChecks]]; these are the remaining three. */
+  def chainIntegrityChecks(pha: DataFrame, hierarchies: DataFrame,
+                           hierarchyVersions: DataFrame, participants: DataFrame,
+                           schedules: DataFrame, scheduleVersions: DataFrame,
+                           scheduleRates: DataFrame): Seq[Check] = Seq(
+    Check.rows("chain", "pha_broken_hierarchy",
+      pha.filter(col("hierarchy_id").isNotNull)
+        .join(hierarchies.select(col("hierarchy_id")), Seq("hierarchy_id"), "left_anti")),
+    Check.rows("chain", "versions_without_participants",
+      hierarchyVersions.join(participants.select(col("version_id")), Seq("version_id"), "left_anti")),
+    // only schedules actually referenced by participants need rates
+    Check.rows("chain", "referenced_schedules_without_rates",
+      participants.select(col("schedule_id")).distinct()
+        .join(schedules.select(col("schedule_id")), Seq("schedule_id"), "left_semi")
+        .join(scheduleVersions
+          .join(scheduleRates.select(col("sched_version_id")), Seq("sched_version_id"))
+          .select(col("schedule_id")).distinct(),
+          Seq("schedule_id"), "left_anti")))
+
+  /** Test 3 (`verify-chain-health.sql:84-117`): commission-calculation
+    * readiness — every resolvable policy must reach a rate through
+    * schedule rates (product-matched) or a participant-level commission
+    * rate. The reference spot-checks 5 random chain rows; here the check
+    * is exhaustive (count of chain rows with NO resolvable rate), which
+    * is both stronger and deterministic. */
+  def rateReadinessCheck(policies: DataFrame, pha: DataFrame, hierarchies: DataFrame,
+                         hierarchyVersions: DataFrame, participants: DataFrame,
+                         scheduleVersions: DataFrame, scheduleRates: DataFrame): Check = {
+    val chain = policies
+      .filter(col("proposal_id").isNotNull && col("premium") > 0)
+      .join(pha.filter(col("hierarchy_id").isNotNull), Seq("policy_id"))
+      .join(hierarchies.select(col("hierarchy_id")), Seq("hierarchy_id"))
+      .join(hierarchyVersions.select(col("version_id"), col("hierarchy_id")), Seq("hierarchy_id"))
+      .join(participants, Seq("version_id"))
+    val rated = chain
+      .join(scheduleVersions.select(col("schedule_id"), col("sched_version_id")),
+        Seq("schedule_id"), "left")
+      .join(scheduleRates.select(col("sched_version_id"),
+        col("product_code"), col("rate").as("sched_rate")),
+        Seq("sched_version_id", "product_code"), "left")
+    Check.rows("chain", "chain_rows_without_rate",
+      rated.filter(col("sched_rate").isNull && col("commission_rate").isNull))
+  }
 }

@@ -74,6 +74,39 @@ class ProductionReadinessSpec extends SparkSpec {
     assert(m("pha_with_hierarchy") == ((1L, "INFO")))
   }
 
+  test("chain health: thresholds, broken links, rate readiness") {
+    val policies = Seq(
+      ("PL1", "P1", "PRA", 100.0), // full chain, schedule rate for PRA
+      ("PL2", "P2", "PRZ", 100.0), // no schedule rate for PRZ, participant rate
+      ("PL3", "P3", "PRZ", 100.0), // no rate anywhere -> NOT ready
+      ("PL4", null, "PRA", 100.0)  // unresolved -> out of scope
+    ).toDF("policy_id", "proposal_id", "product_code", "premium")
+    val pha = Seq(("PL1", "H1"), ("PL2", "H2"), ("PL3", "H3"), ("PL4", "H1"),
+      ("PLX", "HX")).toDF("policy_id", "hierarchy_id")
+    val hier = Seq("H1", "H2", "H3").toDF("hierarchy_id")
+    val hv = Seq(("HV1", "H1"), ("HV2", "H2"), ("HV3", "H3"), ("HV9", "H1"))
+      .toDF("version_id", "hierarchy_id")
+    val hp = Seq(
+      ("HV1", "S1", null.asInstanceOf[java.lang.Double]),
+      ("HV2", "S9", java.lang.Double.valueOf(2.5)), // S9 has no rates
+      ("HV3", "S9", null.asInstanceOf[java.lang.Double])
+    ).toDF("version_id", "schedule_id", "commission_rate")
+    val sched = Seq("S1", "S9").toDF("schedule_id")
+    val schedV = Seq(("SCV1", "S1")).toDF("sched_version_id", "schedule_id")
+    val rates = Seq(("SCV1", "PRA", 5.0)).toDF("sched_version_id", "product_code", "rate")
+
+    val m = rep(
+      countThresholdChecks(Seq(("policies", policies, 2L), ("pha", pha, 100L))) ++
+        chainIntegrityChecks(pha, hier, hv, hp, sched, schedV, rates) :+
+        rateReadinessCheck(policies, pha, hier, hv, hp, schedV, rates))
+    assert(m("policies_below_min") == ((0L, "PASS")))
+    assert(m("pha_below_min") == ((1L, "FAIL")))
+    assert(m("pha_broken_hierarchy") == ((1L, "FAIL")))       // HX
+    assert(m("versions_without_participants") == ((1L, "FAIL"))) // HV9
+    assert(m("referenced_schedules_without_rates") == ((1L, "FAIL"))) // S9
+    assert(m("chain_rows_without_rate") == ((1L, "FAIL")))    // PL3 only
+  }
+
   test("presence checks fail only on empty tables; assessment gates READY") {
     val full = Seq(1).toDF("x")
     val empty = full.filter(lit(false))
