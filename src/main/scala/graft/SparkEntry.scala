@@ -1883,6 +1883,302 @@ object SparkEntry {
                 UNION ALL SELECT 'chain', 'chain_rows_without_rate', nr,
                        CASE WHEN nr > 0 THEN 'FAIL' ELSE 'PASS' END FROM n) r""")),
 
+    Q("g_post_premium_tx", (s, d) => {
+      // 10-premium-transactions with the certificate-premium fallback
+      // (sql/transforms/10-premium-transactions.sql:56-88): certs with no
+      // premium rows get a synthetic transaction one month after the
+      // effective date; natural-key txn ids, union + anti-join. Final
+      // amount is DOUBLE (decimal final columns are a gate hazard).
+      val certs = ord(s, d).select(col("o_orderkey").as("cert_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(100))).as("group_id"),
+        col("o_totalprice").cast("decimal(18,2)").as("premium"),
+        to_date(col("o_orderdate")).as("eff_date"))
+      val prem = li(s, d)
+        .filter(col("l_linenumber") <= 2 && pmod(col("l_orderkey"), lit(3)) =!= 0)
+        .select(col("l_orderkey").as("cert_id"),
+          col("l_linenumber").cast("string").as("premium_id"),
+          concat(lit("G"), pmod(col("l_orderkey"), lit(100))).as("group_id"),
+          col("l_extendedprice").cast("decimal(18,2)").as("amount"),
+          to_date(col("l_shipdate")).as("txn_date"))
+      graft.domain.PostTransforms.premiumTransactions(prem, certs)
+        .withColumn("amount", col("amount").cast("double"))
+    },
+      Some("""WITH certs AS (SELECT o_orderkey AS cert_id,
+                       'G' || (o_custkey % 100)::VARCHAR AS group_id,
+                       o_totalprice::DECIMAL(18,2) AS premium, o_orderdate::DATE AS eff_date
+                FROM orders),
+              prem AS (SELECT l_orderkey AS cert_id, l_linenumber::VARCHAR AS premium_id,
+                       'G' || (l_orderkey % 100)::VARCHAR AS group_id,
+                       l_extendedprice::DECIMAL(18,2) AS amount, l_shipdate::DATE AS txn_date
+                FROM lineitem WHERE l_linenumber <= 2 AND l_orderkey % 3 <> 0)
+              SELECT 'PT-' || cert_id::VARCHAR || '-' || premium_id AS txn_id, cert_id,
+                     group_id, amount::DOUBLE AS amount, txn_date, 'PREMIUM' AS source
+              FROM prem
+              UNION ALL
+              SELECT 'PT-' || cert_id::VARCHAR || '-CERT', cert_id, group_id,
+                     premium::DOUBLE, (eff_date + INTERVAL 1 MONTH)::DATE, 'CERT_FALLBACK'
+              FROM certs WHERE premium IS NOT NULL AND premium > 0
+                AND NOT EXISTS (SELECT 1 FROM prem WHERE prem.cert_id = certs.cert_id)""")),
+
+    Q("g_post_latest_assign", (s, d) => {
+      // 12-commission-assignments (sql/transforms/12-commission-assignments
+      // .sql:50-53): latest assignment per broker (W2 rn=1 with a total
+      // tiebreak) + recipient-existence semi join (J8)
+      val assigns = ord(s, d).select(
+        concat(lit("A"), col("o_orderkey")).as("assignment_id"),
+        concat(lit("B"), pmod(col("o_custkey"), lit(200))).as("broker_id"),
+        concat(lit("R"), pmod(col("o_orderkey"), lit(150))).as("recipient_id"),
+        to_date(col("o_orderdate")).as("eff_from"))
+      val brokers = cst(s, d).filter(col("c_custkey") <= 100)
+        .select(concat(lit("R"), col("c_custkey")).as("broker_ext_id"))
+      graft.domain.PostTransforms.latestAssignments(assigns, brokers)
+    },
+      Some("""WITH a AS (SELECT 'A' || o_orderkey::VARCHAR AS assignment_id,
+                       'B' || (o_custkey % 200)::VARCHAR AS broker_id,
+                       'R' || (o_orderkey % 150)::VARCHAR AS recipient_id,
+                       o_orderdate::DATE AS eff_from FROM orders),
+              top1 AS (SELECT * FROM a
+                       QUALIFY row_number() OVER (PARTITION BY broker_id
+                         ORDER BY eff_from DESC, assignment_id DESC) = 1)
+              SELECT recipient_id, assignment_id, broker_id, eff_from FROM top1
+              WHERE EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey <= 100
+                              AND 'R' || c_custkey::VARCHAR = top1.recipient_id)""")),
+
+    Q("g_conformance_report", (s, d) => {
+      // 08-analyze-conformance (sql/transforms/08-analyze-conformance.sql):
+      // per-group cert counts, conformant percentage (conditional aggs,
+      // :138-141), sanitized plan codes (:37-43 null-ish -> '*'), sorted
+      // distinct matched-plan debug string (:83, A3). pct emitted DOUBLE.
+      val configs = ord(s, d).select(
+        concat(lit("G"), pmod(col("o_custkey"), lit(50))).as("group_id"),
+        (pmod(col("o_orderkey"), lit(7)) === 0).as("nonconformant"))
+      val certs = ord(s, d).select(
+        concat(lit("G"), pmod(col("o_custkey"), lit(50))).as("group_id"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(" N/A "))
+          .when(pmod(col("o_orderkey"), lit(13)) === 0, lit(""))
+          .otherwise(concat(lit("PL"), pmod(col("o_orderkey"), lit(5))))
+          .as("plan_code"))
+      graft.domain.PostTransforms.conformanceReport(configs, certs)
+        .withColumn("conformant_pct", col("conformant_pct").cast("double"))
+    },
+      Some("""WITH cfg AS (SELECT 'G' || (o_custkey % 50)::VARCHAR AS group_id,
+                       (o_orderkey % 7 = 0) AS nonconformant FROM orders),
+              cert AS (SELECT 'G' || (o_custkey % 50)::VARCHAR AS group_id,
+                       CASE WHEN o_orderkey % 11 = 0 THEN ' N/A '
+                            WHEN o_orderkey % 13 = 0 THEN ''
+                            ELSE 'PL' || (o_orderkey % 5)::VARCHAR END AS plan_code
+                       FROM orders),
+              plans AS (SELECT group_id,
+                          string_agg(DISTINCT CASE
+                            WHEN NULLIF(upper(trim(plan_code)), '') IS NULL
+                              OR upper(trim(plan_code)) IN ('NULL', 'N/A') THEN '*'
+                            ELSE trim(plan_code) END, ','
+                            ORDER BY CASE
+                            WHEN NULLIF(upper(trim(plan_code)), '') IS NULL
+                              OR upper(trim(plan_code)) IN ('NULL', 'N/A') THEN '*'
+                            ELSE trim(plan_code) END) AS plan_codes
+                        FROM cert GROUP BY 1),
+              g AS (SELECT group_id, count(*)::BIGINT AS n_certs,
+                      sum(CASE WHEN nonconformant THEN 0 ELSE 1 END)::BIGINT AS n_conformant,
+                      sum(CASE WHEN nonconformant THEN 1 ELSE 0 END)::BIGINT AS n_nonconformant
+                    FROM cfg GROUP BY 1)
+              SELECT g.group_id, n_certs, n_conformant, n_nonconformant,
+                     round(n_conformant * 100.0 / n_certs, 2)::DECIMAL(5,2)::DOUBLE
+                       AS conformant_pct,
+                     plans.plan_codes
+              FROM g LEFT JOIN plans ON plans.group_id = g.group_id""")),
+
+    Q("g_licenses_flags", (s, d) =>
+      // 12-licenses (sql/transforms/12-licenses.sql Status CASE +
+      // sql/01-raw-tables.sql:163-178): status decode and boolean
+      // coercion of the mixed 'Y'/'true'/'1' residence-license column
+      graft.domain.CoreTransforms.parseLicenseFlags(ord(s, d).select(
+        concat(lit("L"), col("o_orderkey")).as("license_id"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit(" Active "))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("inactive"))
+          .otherwise(lit("Pending")).as("status"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit("Y"))
+          .when(pmod(col("o_orderkey"), lit(4)) === 1, lit("true"))
+          .when(pmod(col("o_orderkey"), lit(4)) === 2, lit("1"))
+          .otherwise(lit("N")).as("IsResidenceLicense")))
+        .select(col("license_id"), col("status_code"), col("is_residence")),
+      Some("""WITH lic AS (SELECT 'L' || o_orderkey::VARCHAR AS license_id,
+                       CASE WHEN o_orderkey % 3 = 0 THEN ' Active '
+                            WHEN o_orderkey % 3 = 1 THEN 'inactive'
+                            ELSE 'Pending' END AS status,
+                       CASE WHEN o_orderkey % 4 = 0 THEN 'Y'
+                            WHEN o_orderkey % 4 = 1 THEN 'true'
+                            WHEN o_orderkey % 4 = 2 THEN '1'
+                            ELSE 'N' END AS res FROM orders)
+              SELECT license_id,
+                     CASE WHEN upper(trim(status)) = 'ACTIVE' THEN 'A'
+                          WHEN upper(trim(status)) = 'INACTIVE' THEN 'I'
+                          ELSE 'U' END AS status_code,
+                     upper(trim(res)) IN ('Y', 'TRUE', '1') AS is_residence
+              FROM lic""")),
+
+    Q("g_eo_insurances", (s, d) =>
+      // 13-eo-insurances (sql/transforms/13-eo-insurances.sql): literal
+      // 'NULL'/'N/A' strings as null, padded ids trimmed, try_cast typed
+      // dates/amounts. coverage emitted DOUBLE.
+      graft.domain.CoreTransforms.eoInsurances(ord(s, d).select(
+        when(pmod(col("o_orderkey"), lit(17)) === 0, lit("NULL"))
+          .otherwise(concat(lit(" P"), pmod(col("o_custkey"), lit(500)), lit(" ")))
+          .as("PartyUniqueId"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit("N/A"))
+          .otherwise(concat(lit("Carrier-"), pmod(col("o_orderkey"), lit(7))))
+          .as("CarrierName"),
+        concat(lit("POL"), col("o_orderkey")).as("PolicyId"),
+        when(pmod(col("o_orderkey"), lit(19)) === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("FromDate"),
+        date_format(add_months(col("o_orderdate"), 12), "yyyy-MM-dd").as("ToDate"),
+        when(pmod(col("o_orderkey"), lit(23)) === 0, lit(""))
+          .otherwise(col("o_totalprice").cast("decimal(12,2)").cast("string"))
+          .as("CoverageAmount")))
+        .withColumn("coverage_amount", col("coverage_amount").cast("double")),
+      Some("""WITH raw AS (SELECT
+                CASE WHEN o_orderkey % 17 = 0 THEN 'NULL'
+                     ELSE ' P' || (o_custkey % 500)::VARCHAR || ' ' END AS party,
+                CASE WHEN o_orderkey % 13 = 0 THEN 'N/A'
+                     ELSE 'Carrier-' || (o_orderkey % 7)::VARCHAR END AS carrier,
+                'POL' || o_orderkey::VARCHAR AS policy_id,
+                CASE WHEN o_orderkey % 19 = 0 THEN 'not-a-date'
+                     ELSE strftime(o_orderdate, '%Y-%m-%d') END AS from_d,
+                strftime((o_orderdate + INTERVAL 12 MONTH)::DATE, '%Y-%m-%d') AS to_d,
+                CASE WHEN o_orderkey % 23 = 0 THEN ''
+                     ELSE o_totalprice::DECIMAL(12,2)::VARCHAR END AS cov
+                FROM orders),
+              cl AS (SELECT
+                CASE WHEN NULLIF(upper(trim(party)), '') IS NULL
+                     OR upper(trim(party)) IN ('NULL', 'N/A') THEN NULL
+                     ELSE trim(party) END AS broker_ext_id,
+                CASE WHEN NULLIF(upper(trim(carrier)), '') IS NULL
+                     OR upper(trim(carrier)) IN ('NULL', 'N/A') THEN NULL
+                     ELSE trim(carrier) END AS carrier,
+                trim(policy_id) AS policy_id,
+                TRY_CAST(from_d AS DATE) AS from_date,
+                TRY_CAST(to_d AS DATE) AS to_date,
+                TRY_CAST(NULLIF(trim(cov), '') AS DECIMAL(18,2)) AS coverage
+                FROM raw)
+              SELECT broker_ext_id, carrier, policy_id, from_date, to_date,
+                     coverage::DOUBLE AS coverage_amount FROM cl""")),
+
+    Q("g_fees_transform", (s, d) =>
+      // 11-fees (sql/transforms/11-fees.sql): MM/DD/YYYY parsing (~:222),
+      // six-way fee-method canonicalization with OTHER_FEE fallback
+      // (:125-190), natural-key fee ids (:109-113 — the reference's
+      // ROW_NUMBER surrogate as a deterministic key, W1). amount DOUBLE.
+      graft.domain.CoreTransforms.fees(ord(s, d).select(
+        concat(lit("PRD"), pmod(col("o_orderkey"), lit(30))).as("PRDNUM"),
+        col("o_orderpriority").as("PRODUCTCAT"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("MONTHLY"))
+          .otherwise(lit("ANNUAL")).as("FREQ"),
+        col("o_totalprice").cast("decimal(14,4)").cast("string").as("FormattedAmount"),
+        lit("FLAT").as("AMTKIND"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("DATESTART"),
+        when(pmod(col("o_orderkey"), lit(29)) === 0, lit("13/45/2020"))
+          .otherwise(date_format(add_months(col("o_orderdate"), 6), "MM/dd/yyyy"))
+          .as("DATEEND"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(" pctprem "))
+          .when(pmod(col("o_orderkey"), lit(7)) === 1, lit("PEPM"))
+          .when(pmod(col("o_orderkey"), lit(7)) === 2, lit("pmpm"))
+          .when(pmod(col("o_orderkey"), lit(7)) === 3, lit("FLAT"))
+          .when(pmod(col("o_orderkey"), lit(7)) === 4, lit("PctClaim"))
+          .when(pmod(col("o_orderkey"), lit(7)) === 5, lit("annual"))
+          .otherwise(lit("mystery")).as("FEECALCMETHOD"),
+        col("o_orderstatus").as("FEETYPE"),
+        concat(lit("P"), pmod(col("o_custkey"), lit(999))).as("PartyUniqueId")))
+        .withColumn("amount", col("amount").cast("double")),
+      Some("""WITH raw AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+                       o_totalprice, o_orderdate,
+                       CASE WHEN o_orderkey % 7 = 0 THEN ' pctprem '
+                            WHEN o_orderkey % 7 = 1 THEN 'PEPM'
+                            WHEN o_orderkey % 7 = 2 THEN 'pmpm'
+                            WHEN o_orderkey % 7 = 3 THEN 'FLAT'
+                            WHEN o_orderkey % 7 = 4 THEN 'PctClaim'
+                            WHEN o_orderkey % 7 = 5 THEN 'annual'
+                            ELSE 'mystery' END AS method FROM orders),
+              f AS (SELECT
+                'PRD' || (o_orderkey % 30)::VARCHAR AS product_num,
+                o_orderpriority AS product_cat,
+                CASE WHEN o_orderkey % 2 = 0 THEN 'MONTHLY' ELSE 'ANNUAL' END AS frequency,
+                o_totalprice::DECIMAL(14,4)::VARCHAR::DECIMAL(18,4) AS amount,
+                'FLAT' AS amount_kind,
+                strftime(o_orderdate, '%m/%d/%Y') AS ds,
+                CASE WHEN o_orderkey % 29 = 0 THEN '13/45/2020'
+                     ELSE strftime((o_orderdate + INTERVAL 6 MONTH)::DATE, '%m/%d/%Y')
+                END AS de,
+                CASE WHEN upper(trim(method)) = 'PCTPREM' THEN 'PERCENT_OF_PREMIUM'
+                     WHEN upper(trim(method)) = 'PEPM' THEN 'PER_EMPLOYEE_PER_MONTH'
+                     WHEN upper(trim(method)) = 'PMPM' THEN 'PER_MEMBER_PER_MONTH'
+                     WHEN upper(trim(method)) = 'FLAT' THEN 'FLAT_FEE'
+                     WHEN upper(trim(method)) = 'PCTCLAIM' THEN 'PERCENT_OF_CLAIMS'
+                     WHEN upper(trim(method)) = 'ANNUAL' THEN 'ANNUAL_FEE'
+                     ELSE 'OTHER_FEE' END AS fee_method,
+                o_orderstatus AS fee_type,
+                'P' || (o_custkey % 999)::VARCHAR AS recipient_ext_id
+                FROM raw)
+              SELECT product_num, product_cat, frequency, amount::DOUBLE AS amount,
+                     amount_kind,
+                     try_strptime(ds, '%m/%d/%Y')::DATE AS date_start,
+                     try_strptime(de, '%m/%d/%Y')::DATE AS date_end,
+                     fee_method, fee_type, recipient_ext_id,
+                     'FEE-' || product_num || '-' || fee_method || '-'
+                       || strftime(try_strptime(ds, '%m/%d/%Y'), '%Y%m%d') AS fee_id
+              FROM f""")),
+
+    Q("g_build_proposals", (s, d) => {
+      // buildProposals (proposal-builder.ts:886-1011): one proposal per
+      // (group, config_hash) over the conformant population, date range
+      // spanning member certs, natural-key PROP-{group}-{n} ids ordered
+      // by first effective date (W1/W3 — key-derived ids + ranked
+      // ordering). Arrays sorted in the CONTRACT so the dump is
+      // deterministic (collect order is not).
+      val base = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), to_date(col("o_orderdate")).as("od"))
+      val certs = base.select(col("o_orderkey").as("cert_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(80))).as("group_id"),
+        col("od").as("eff_date"), col("o_orderstatus").as("product_code"),
+        concat(lit("PL"), pmod(col("o_orderkey"), lit(4))).as("plan_code"))
+      val routed = base.select(col("o_orderkey").as("cert_id"),
+        concat(lit("G"), pmod(col("o_custkey"), lit(80))).as("group_id"),
+        concat(lit("CFG"), pmod(col("o_custkey"), lit(5))).as("config_hash"),
+        (pmod(col("o_orderkey"), lit(13)) === 0).as("route_pha"))
+      graft.domain.Proposals.buildProposals(routed, certs)
+        .select(col("proposal_id"), col("group_id"), col("config_hash"),
+          col("eff_from"), col("max_eff_date"), col("n_certs"),
+          array_sort(col("product_codes")).as("product_codes"),
+          array_sort(col("plan_codes")).as("plan_codes"))
+    },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_orderdate::DATE AS od FROM orders),
+              certs AS (SELECT o_orderkey AS cert_id,
+                       'G' || (o_custkey % 80)::VARCHAR AS group_id, od AS eff_date,
+                       o_orderstatus AS product_code,
+                       'PL' || (o_orderkey % 4)::VARCHAR AS plan_code FROM base),
+              routed AS (SELECT o_orderkey AS cert_id,
+                       'G' || (o_custkey % 80)::VARCHAR AS group_id,
+                       'CFG' || (o_custkey % 5)::VARCHAR AS config_hash,
+                       (o_orderkey % 13 = 0) AS route_pha FROM base),
+              cd AS (SELECT cert_id, min(eff_date) AS eff_date,
+                       list_distinct(list(product_code)) AS prods,
+                       list_distinct(list(plan_code)) AS plans
+                     FROM certs GROUP BY 1),
+              grouped AS (SELECT r.group_id, r.config_hash,
+                       min(cd.eff_date) AS eff_from, max(cd.eff_date) AS max_eff_date,
+                       count(DISTINCT r.cert_id)::BIGINT AS n_certs,
+                       list_sort(list_distinct(flatten(list(cd.prods)))) AS product_codes,
+                       list_sort(list_distinct(flatten(list(cd.plans)))) AS plan_codes
+                     FROM routed r JOIN cd ON cd.cert_id = r.cert_id
+                     WHERE NOT r.route_pha GROUP BY 1, 2)
+              SELECT 'PROP-' || group_id || '-'
+                       || (row_number() OVER (PARTITION BY group_id
+                           ORDER BY eff_from, config_hash))::VARCHAR AS proposal_id,
+                     group_id, config_hash, eff_from, max_eff_date, n_certs,
+                     product_codes, plan_codes
+              FROM grouped""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
