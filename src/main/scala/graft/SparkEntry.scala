@@ -2179,6 +2179,151 @@ object SparkEntry {
                      product_codes, plan_codes
               FROM grouped""")),
 
+    Q("g_brokers_transform", (s, d) => {
+      // 01-brokers (sql/transforms/01-brokers.sql:39-44,151-191): roster
+      // union with first-roster-wins dedup, status decode, and
+      // placeholder rows for certificate-referenced brokers absent from
+      // both rosters; external P-prefixed id <-> internal numeric id
+      val c = cst(s, d)
+      val ind = c.filter(pmod(col("c_custkey"), lit(3)) =!= 0).select(
+        concat(lit(" P"), col("c_custkey")).as("PartyUniqueId"),
+        col("c_name").as("Name"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit(" Active"))
+          .when(pmod(col("c_custkey"), lit(5)) === 1, lit("Terminated"))
+          .when(pmod(col("c_custkey"), lit(5)) === 2, lit("Terminated Residuals"))
+          .otherwise(lit("Retired")).as("CurrentStatus"))
+      val org = c.filter(pmod(col("c_custkey"), lit(4)) === 0).select(
+        concat(lit("P"), col("c_custkey")).as("PartyUniqueId"),
+        concat(lit("Org "), col("c_name")).as("Name"),
+        lit("Active").as("CurrentStatus"))
+      val certIds = ord(s, d)
+        .select(concat(lit("P"), pmod(col("o_orderkey"), lit(2500))).as("broker_id"))
+      graft.domain.CoreTransforms.brokers(ind, org, certIds)
+    },
+      Some("""WITH ind AS (SELECT NULLIF(trim(' P' || c_custkey::VARCHAR), '') AS broker_ext_id,
+                       NULLIF(trim(c_name), '') AS name,
+                       CASE WHEN c_custkey % 5 = 0 THEN 'ACTIVE'
+                            WHEN c_custkey % 5 = 1 THEN 'TERMINATED'
+                            WHEN c_custkey % 5 = 2 THEN 'TERMINATED_RESIDUALS'
+                            ELSE 'UNKNOWN' END AS status,
+                       'INDIVIDUAL' AS broker_type
+                FROM customer WHERE c_custkey % 3 <> 0),
+              org AS (SELECT 'P' || c_custkey::VARCHAR, 'Org ' || trim(c_name),
+                       'ACTIVE', 'ORGANIZATION'
+                FROM customer WHERE c_custkey % 4 = 0),
+              roster AS (SELECT * FROM (SELECT * FROM ind UNION ALL SELECT * FROM org)
+                         QUALIFY row_number() OVER (PARTITION BY broker_ext_id
+                           ORDER BY broker_type) = 1),
+              cert AS (SELECT DISTINCT 'P' || (o_orderkey % 2500)::VARCHAR AS broker_ext_id
+                       FROM orders),
+              ph AS (SELECT c.broker_ext_id, 'Placeholder ' || c.broker_ext_id AS name,
+                       'PLACEHOLDER' AS status, 'PLACEHOLDER' AS broker_type
+                     FROM cert c WHERE NOT EXISTS
+                       (SELECT 1 FROM roster r WHERE r.broker_ext_id = c.broker_ext_id))
+              SELECT *, TRY_CAST(regexp_replace(broker_ext_id, '^P', '') AS BIGINT) AS broker_id
+              FROM (SELECT * FROM roster UNION ALL SELECT * FROM ph) u""")),
+
+    Q("g_groups_transform", (s, d) => {
+      // 02-groups (sql/transforms/02-groups.sql:31-33,107-121): per-group
+      // best-non-empty conditional aggregates, perf > premium > cert
+      // fallback chains, canonical G-prefixed id, DTC '00000' sentinel
+      // for null raw ids
+      val o = ord(s, d)
+      val certGroups = o.select(
+        when(pmod(col("o_orderkey"), lit(31)) === 0, lit(null).cast("string"))
+          .otherwise(pmod(col("o_custkey"), lit(300)).cast("string")).as("group_id_raw"),
+        when(pmod(col("o_orderkey"), lit(17)) === 0, lit(""))
+          .otherwise(concat(lit("CertName "), pmod(col("o_custkey"), lit(300)))).as("name"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("TX")).otherwise(lit("CA")).as("state"))
+      val premiumGroups = o.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        pmod(col("o_custkey"), lit(300)).cast("string").as("group_id_raw"),
+        concat(lit("PremName "), pmod(col("o_custkey"), lit(300))).as("name"))
+      val perfGroups = cst(s, d).filter(col("c_custkey") <= 150).select(
+        pmod(col("c_custkey"), lit(300)).cast("string").as("group_id_raw"),
+        concat(lit("PerfName "), col("c_custkey")).as("name"),
+        lit("NY").as("state"), col("c_custkey").as("group_size"))
+      graft.domain.CoreTransforms.groups(certGroups, premiumGroups, perfGroups)
+    },
+      Some("""WITH cg0 AS (SELECT
+                       CASE WHEN o_orderkey % 31 = 0 THEN NULL
+                            ELSE (o_custkey % 300)::VARCHAR END AS group_id_raw,
+                       CASE WHEN o_orderkey % 17 = 0 THEN ''
+                            ELSE 'CertName ' || (o_custkey % 300)::VARCHAR END AS name,
+                       CASE WHEN o_orderkey % 2 = 0 THEN 'TX' ELSE 'CA' END AS state
+                FROM orders),
+              cg AS (SELECT group_id_raw, max(NULLIF(trim(name), '')) AS cert_name,
+                       max(NULLIF(trim(state), '')) AS cert_state FROM cg0 GROUP BY 1),
+              pg AS (SELECT (o_custkey % 300)::VARCHAR AS group_id_raw,
+                       max(NULLIF(trim('PremName ' || (o_custkey % 300)::VARCHAR), ''))
+                         AS prem_name
+                     FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+              fg AS (SELECT (c_custkey % 300)::VARCHAR AS group_id_raw,
+                       max(NULLIF(trim('PerfName ' || c_custkey::VARCHAR), '')) AS perf_name,
+                       max(NULLIF(trim('NY'), '')) AS perf_state,
+                       max(c_custkey) AS group_size
+                     FROM customer WHERE c_custkey <= 150 GROUP BY 1),
+              j AS (SELECT coalesce(cg.group_id_raw, pg.group_id_raw, fg.group_id_raw)
+                         AS group_id_raw,
+                       cert_name, cert_state, prem_name, perf_name, perf_state, group_size
+                    FROM cg FULL JOIN pg ON pg.group_id_raw = cg.group_id_raw
+                    FULL JOIN fg ON fg.group_id_raw =
+                      coalesce(cg.group_id_raw, pg.group_id_raw))
+              SELECT CASE WHEN regexp_matches(
+                         CASE WHEN NULLIF(trim(coalesce(group_id_raw, '')), '') IS NULL
+                              THEN '00000' ELSE trim(group_id_raw) END, '^G')
+                       THEN CASE WHEN NULLIF(trim(coalesce(group_id_raw, '')), '') IS NULL
+                              THEN '00000' ELSE trim(group_id_raw) END
+                       ELSE 'G' || CASE WHEN NULLIF(trim(coalesce(group_id_raw, '')), '') IS NULL
+                              THEN '00000' ELSE trim(group_id_raw) END END AS group_id,
+                     coalesce(perf_name, prem_name, cert_name) AS name,
+                     coalesce(perf_state, cert_state) AS state,
+                     group_size
+              FROM j""")),
+
+    Q("g_nonconformant_cases", (s, d) =>
+      // identifyNonConformantCases (proposal-builder.ts:740-779): total
+      // split percent off 100 beyond tolerance routes the certificate to
+      // the per-certificate PHA path
+      graft.domain.Proposals.flagNonConformant(li(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("cert_id"),
+          concat(lit("G"), pmod(col("l_orderkey"), lit(40))).as("group_id"),
+          when(pmod(col("l_orderkey"), lit(9)) === 0, lit(99.5))
+            .when(pmod(col("l_orderkey"), lit(7)) === 0, lit(100.0005))
+            .otherwise(lit(100.0)).as("total_split_pct"))),
+      Some("""SELECT l_orderkey AS cert_id,
+              'G' || (l_orderkey % 40)::VARCHAR AS group_id,
+              CASE WHEN l_orderkey % 9 = 0 THEN 99.5
+                   WHEN l_orderkey % 7 = 0 THEN 100.0005
+                   ELSE 100.0 END AS total_split_pct,
+              abs(CASE WHEN l_orderkey % 9 = 0 THEN 99.5
+                       WHEN l_orderkey % 7 = 0 THEN 100.0005
+                       ELSE 100.0 END - 100.0) > 0.001 AS nonconformant
+              FROM lineitem WHERE l_linenumber = 1""")),
+
+    Q("g_hierarchy_dedup", (s, d) =>
+      // getOrCreateHierarchy (proposal-builder.ts:1861-1954): first-seen
+      // content hash creates the hierarchy; deterministic representative
+      // is the lowest (cert_id, split_seq)
+      // split_seq folds in the partkey because the synthetic lineitem is
+      // NOT unique on (orderkey, linenumber) — the representative pick
+      // must be a total order for a deterministic contract
+      graft.domain.Proposals.dedupHierarchies(li(s, d).select(
+        concat(lit("HH"), pmod(col("l_partkey"), lit(97))).as("hierarchy_hash"),
+        col("l_orderkey").as("cert_id"),
+        (col("l_partkey") * 10 + col("l_linenumber")).as("split_seq"),
+        concat(lit("G"), pmod(pmod(col("l_partkey"), lit(97)), lit(20))).as("group_id"),
+        lit(50.0).as("split_pct"),
+        concat(lit("T"), pmod(col("l_partkey"), lit(3))).as("tiers"))),
+      Some("""SELECT hierarchy_hash, group_id, split_pct, tiers FROM (
+                SELECT 'HH' || (l_partkey % 97)::VARCHAR AS hierarchy_hash,
+                       l_orderkey AS cert_id, l_partkey * 10 + l_linenumber AS split_seq,
+                       'G' || ((l_partkey % 97) % 20)::VARCHAR AS group_id,
+                       50.0 AS split_pct, 'T' || (l_partkey % 3)::VARCHAR AS tiers
+                FROM lineitem
+                QUALIFY row_number() OVER (PARTITION BY hierarchy_hash
+                  ORDER BY cert_id, split_seq) = 1) t""")),
+
     // ===== domain: the commissions pipeline end-to-end (vs BASELINE.md) =====
 
     Q("domain_e2e_gl", (s, d) =>
