@@ -88,6 +88,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF("), p.take(2000))
   }
 
+  test("readiness/chain reports: only the 1-row PHA-size scalar join nests") {
+    val p = plan("g_readiness_report")
+    // the expected-vs-actual size reconciliation is a 1-row x 1-row
+    // scalar cross join (same class as x_tfidf's doc-count broadcast);
+    // anything more means a check degenerated to a nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val c = plan("g_chain_health")
+    assert(!c.contains("BroadcastNestedLoopJoin") && !c.contains("CartesianProduct"),
+      c.take(3000))
+  }
+
   test("tf-idf: the only nested loop is the 1-row scalar broadcast of N") {
     val p = plan("x_tfidf")
     // one BNLJ (the document-count scalar) is the expected shape; a
