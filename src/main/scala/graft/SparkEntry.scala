@@ -4614,7 +4614,9 @@ object SparkEntry {
         (col("l_returnflag") === "R").cast("long").as("y"))
       val binned = Windows.equiDepthBin(l, 10,
         "x", Seq(col("l_orderkey"), col("l_linenumber")), "bin")
-      val tot = binned.agg(sum(col("y")).as("tot_ev"), count(lit(1)).as("tot_n"))
+      // totals are invariant to binning — compute them from the PRE-binned
+      // frame so the expensive global-rank window runs once, not twice
+      val tot = l.agg(sum(col("y")).as("tot_ev"), count(lit(1)).as("tot_n"))
       // lo/hi: decimal-exact min/max, DOUBLE in the final projection
       // (decimal final columns are a driver-gate hash hazard; see a23)
       binned.groupBy(col("bin"))
