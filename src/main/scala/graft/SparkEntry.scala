@@ -4708,6 +4708,37 @@ object SparkEntry {
               min(o_orderdate) AS first_date, max(o_orderkey) AS max_key
               FROM orders GROUP BY 1""")),
 
+    Q("s15_xml_roundtrip", (s, d) => {
+      // XML sink/source fidelity (Spark 4 built-in XML data source):
+      // parquet -> write XML rows -> read with an explicit schema ->
+      // aggregate. Same engine-free oracle pattern as s12: the oracle
+      // computes the aggregate from the ORIGINAL parquet, so any value
+      // the XML round-trip mangles (escaping, whitespace, number
+      // formatting, date rendering) breaks the hash. Dates ride as
+      // strings: XML has no date type, so the contract makes the
+      // serialization explicit instead of trusting format inference.
+      val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_xml_$tag"
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_s"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od_s"))
+      o.write.mode("overwrite").option("rootTag", "orders").option("rowTag", "row")
+        .format("xml").save(s"$base/xml")
+      s.read.schema(o.schema).option("rowTag", "row").format("xml").load(s"$base/xml")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price_s").cast("decimal(12,2)")), 2)
+            .cast("double").as("total"),
+          min(col("od_s")).as("first_date"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total,
+              min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+              max(o_orderkey) AS max_key
+              FROM orders GROUP BY 1""")),
+
     Q("s14_schema_merge", (s, d) => {
       // schema-evolution read: two parquet batches written with DIFFERENT
       // schemas (a column added mid-stream), read back as one frame via
