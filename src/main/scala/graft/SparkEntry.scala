@@ -3930,6 +3930,36 @@ object SparkEntry {
 
     // ===== M: multimodal plumbing =====
 
+    Q("m_binary_ingest", (s, d) => {
+      // blob-ingestion read path (S7-adjacent): raw media files land as
+      // FILES, not rows — Spark's binaryFile source turns a directory of
+      // blobs into (path, length, content) rows for the multimodal
+      // pipeline. 50 deterministic fixture blobs are written as
+      // scaffolding (hex-of-md5 bytes, so the oracle can reproduce the
+      // content without reading files); the OPERATOR under test is the
+      // binaryFile scan + per-blob metadata projection. At 100 TB the
+      // same plan lists+reads the object store in parallel; content
+      // never reaches the driver.
+      val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_bin_$tag"
+      val dir = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(dir)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      (0 until 50).foreach { i =>
+        val hex = digest.digest(i.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.nio.file.Files.write(dir.resolve(s"doc_$i.bin"),
+          hex.getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(base)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("int").as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+    },
+      Some("""SELECT i::INT AS doc_id, 32::BIGINT AS length,
+              md5(md5(i::VARCHAR)) AS content_md5
+              FROM (SELECT unnest(generate_series(0, 49)) AS i) t""")),
+
     Q("m_media_meta", (s, d) =>
       Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.mime").as("mime"),
