@@ -2148,8 +2148,8 @@ object SparkEntry {
       graft.domain.Proposals.buildProposals(routed, certs)
         .select(col("proposal_id"), col("group_id"), col("config_hash"),
           col("eff_from"), col("max_eff_date"), col("n_certs"),
-          array_sort(col("product_codes")).as("product_codes"),
-          array_sort(col("plan_codes")).as("plan_codes"))
+          array_join(array_sort(col("product_codes")), ",").as("product_codes"),
+          array_join(array_sort(col("plan_codes")), ",").as("plan_codes"))
     },
       Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                        o_orderdate::DATE AS od FROM orders),
@@ -2176,7 +2176,8 @@ object SparkEntry {
                        || (row_number() OVER (PARTITION BY group_id
                            ORDER BY eff_from, config_hash))::VARCHAR AS proposal_id,
                      group_id, config_hash, eff_from, max_eff_date, n_certs,
-                     product_codes, plan_codes
+                     array_to_string(product_codes, ',') AS product_codes,
+                     array_to_string(plan_codes, ',') AS plan_codes
               FROM grouped""")),
 
     Q("g_brokers_transform", (s, d) => {
