@@ -3944,6 +3944,14 @@ object SparkEntry {
       val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
       val base = s"/tmp/graft_bin_$tag"
       val dir = java.nio.file.Paths.get(base)
+      // recreate from scratch: stale blobs from an earlier variant of
+      // this query (different count/names) would enter the scan and
+      // hash-red the gate
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       java.nio.file.Files.createDirectories(dir)
       val digest = java.security.MessageDigest.getInstance("MD5")
       (0 until 50).foreach { i =>

@@ -147,24 +147,49 @@ object Ingest {
     out.result()
   }
 
-  /** First line of a file through whatever FileSystem serves the path
+  /** Whether a partial CSV record ends inside an open quote — i.e. a
+    * quoted field containing an embedded newline continues on the next
+    * physical line (RFC 4180). Same quote/escape state machine as
+    * `splitCsvLine`. */
+  private def endsInOpenQuote(s: String): Boolean = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) {
+        if (ch == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') i += 1
+        else if (ch == '"') inQ = false
+      } else if (ch == '"') inQ = true
+      i += 1
+    }
+    inQ
+  }
+
+  /** First RECORD of a file through whatever FileSystem serves the path
     * (local, HDFS, object store) — metadata-sized driver read, mirroring
-    * `readCsvHeaders` (`ingest-raw-data.ts:287-310`). */
+    * `readCsvHeaders` (`ingest-raw-data.ts:287-310`). A quoted header
+    * field may contain embedded newlines (RFC 4180), so keep appending
+    * physical lines while the record ends inside an open quote. */
   def readCsvHeaders(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try {
       val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      val line = Option(rd.readLine()).getOrElse("")
-      splitCsvLine(line).zipWithIndex.map { case (h, i) => sanitizeHeader(h, i) }
+      val rec = new StringBuilder(Option(rd.readLine()).getOrElse(""))
+      var next: String = null
+      while (endsInOpenQuote(rec.result()) && { next = rd.readLine(); next != null })
+        rec.append('\n').append(next)
+      splitCsvLine(rec.result()).zipWithIndex.map { case (h, i) => sanitizeHeader(h, i) }
     } finally in.close()
   }
 
   /** One row of the ingest plan: where a file routes and whether its
-    * headers conform. `reason` is null for loadable files. */
+    * headers conform. `reason` is null for loadable files. `path` is the
+    * full input path (routing keys on the basename, but two inputs may
+    * share a basename across directories — loads must key on the path). */
   final case class IngestAction(
-      file: String, table: Option[String], nColumns: Int,
+      file: String, path: String, table: Option[String], nColumns: Int,
       missing: Seq[String], extra: Seq[String], reason: Option[String]) {
     def loadable: Boolean = reason.isEmpty
   }
@@ -177,18 +202,18 @@ object Ingest {
       val base = f.substring(f.lastIndexOf('/') + 1)
       routeFile(base) match {
         case None =>
-          IngestAction(base, None, 0, Nil, Nil, Some("no routing prefix matches"))
+          IngestAction(base, f, None, 0, Nil, Nil, Some("no routing prefix matches"))
         case Some(table) =>
           val headers = readCsvHeaders(spark, f)
           val expected = expectedColumns(table)
           if (skipValidation || expected.isEmpty)
-            IngestAction(base, Some(table), headers.size, Nil, Nil, None)
+            IngestAction(base, f, Some(table), headers.size, Nil, Nil, None)
           else {
             val v = validateHeaders(headers, expected)
             val reason =
               if (v.valid) None
               else Some(s"missing columns: ${v.missing.mkString(", ")}")
-            IngestAction(base, Some(table), headers.size, v.missing, v.extra, reason)
+            IngestAction(base, f, Some(table), headers.size, v.missing, v.extra, reason)
           }
       }
     }
@@ -204,9 +229,8 @@ object Ingest {
       : (Map[String, DataFrame], DataFrame) = {
     val plan = ingestPlan(spark, files, skipValidation)
     val byTable = plan.filter(_.loadable).groupBy(_.table.get)
-    val dirOf = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
     val loaded = byTable.map { case (table, actions) =>
-      val df = actions.map(a => readRawCsv(spark, dirOf(a.file)))
+      val df = actions.map(a => readRawCsv(spark, a.path))
         .reduce(_ unionByName (_, allowMissingColumns = true))
       table -> (if (preview) df.limit(previewRows) else df)
     }

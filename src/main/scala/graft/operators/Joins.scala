@@ -71,10 +71,20 @@ object Joins {
     * automatically on selective shuffle joins.
     *
     * Long-typed keys only (integral ids — the common case for fact/dim
-    * keys at scale); `expectedItems`/`fpp` size the filter. */
+    * keys at scale); `expectedItems`/`fpp` size the filter, with
+    * `expectedItems <= 0` meaning "size from the key side's actual
+    * count" — the filter literal then scales with the real key
+    * cardinality instead of a fixed 1M-slot (~1.2 MB) default bloating
+    * every caller's plan. */
   def bloomSemiJoin(
       fact: DataFrame, keys: DataFrame, factKey: String, keysKey: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val items =
+      if (expectedItems > 0) expectedItems
+      // count() is one extra scan of the (small) key side; the bloom
+      // build below scans it again anyway, so this doubles a cheap job,
+      // not the expensive one
+      else math.max(1000L, keys.count())
     // distributed build (stat.bloomFilter is a treeAggregate over the key
     // side), then serialize the filter into a BINARY literal for Spark's
     // native BloomFilterMightContain (registered as `bloom_might_contain`
@@ -82,7 +92,7 @@ object Joins {
     // unlike a per-row Scala UDF. Embedding the filter as a plan literal is
     // exactly what the runtime bloom-join rule does with its scalar
     // subquery result; the bytes are MB-scale config data, not row data.
-    val bf = keys.stat.bloomFilter(keysKey, expectedItems, fpp)
+    val bf = keys.stat.bloomFilter(keysKey, items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     fact.filter(call_function("bloom_might_contain", lit(bos.toByteArray), col(factKey)))

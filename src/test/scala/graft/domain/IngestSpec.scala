@@ -104,6 +104,29 @@ class IngestSpec extends SparkSpec {
     assert(q2.count() == 1) // only the unroutable file remains quarantined
   }
 
+  test("two input files sharing a basename across directories both load") {
+    val d1 = Files.createTempDirectory("graft_dup1").toFile
+    val d2 = Files.createTempDirectory("graft_dup2").toFile
+    for (d <- Seq(d1, d2))
+      Files.writeString(new java.io.File(d, "Fees_2024.csv").toPath,
+        s"FeeId,Amount\nF-${d.getName},10")
+    val files = Seq(d1, d2).map(d => new java.io.File(d, "Fees_2024.csv").getAbsolutePath)
+    val (loaded, _) = Ingest.ingestFiles(spark, files)
+    // before IngestAction carried the full path, the basename-keyed map
+    // double-loaded one file and dropped the other (2 rows, 1 distinct)
+    val ids = loaded("raw_fees").select(col("FeeId")).as[String].collect().sorted
+    assert(ids.toSeq == Seq(s"F-${d1.getName}", s"F-${d2.getName}"))
+  }
+
+  test("readCsvHeaders honors RFC-4180 quoted newlines in header fields") {
+    val dir = Files.createTempDirectory("graft_hdr").toFile
+    val f = new java.io.File(dir, "Fees_multi.csv")
+    Files.writeString(f.toPath, "FeeId,\"Amount\nUSD\",Status\nF1,10,A")
+    val h = Ingest.readCsvHeaders(spark, f.getAbsolutePath)
+    assert(h.size == 3, h)
+    assert(h(1).contains("Amount"), h)
+  }
+
   test("committed s1 fixture: CSV tokenization matches the raw parquet twin") {
     // The s1_csv_ingest oracle reads fixtures/s1_cert_raw.parquet (a
     // committed python-csv+pyarrow tokenization of fixtures/s1_cert.csv,

@@ -86,6 +86,15 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == plain.toSeq && got.toSeq == Seq(3L, 7L, 150L))
   }
 
+  test("bloomSemiJoin default sizes the filter from the key side's count") {
+    val fact = (1L to 200L).map(i => (i, s"f$i")).toDF("k", "payload")
+    val keys = Seq(3L, 7L, 150L).toDF("kk")
+    // auto-sized (expectedItems <= 0) must stay result-identical
+    val got = Joins.bloomSemiJoin(fact, keys, "k", "kk")
+      .select(col("k")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L, 7L, 150L))
+  }
+
   test("linkagePairs: agreement weights, null fields score zero, blocking bounds candidates") {
     val a = Seq(
       (1L, "b1", "ann", "x"),
