@@ -183,6 +183,59 @@ object SparkEntry {
       Some("""SELECT c_custkey, c_name FROM customer c
               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
 
+    Q("s8b_export_targets", (s, d) => {
+      // the reference's production export surface as data: all 38 dbo
+      // target tables (sql/export/*.sql) with their idempotence keys and
+      // FK gates — export parity is per-table config riding ONE
+      // exportSet operator (ExportSpec drives each table's round-trip)
+      import s.implicits._
+      graft.domain.Export.targets
+        .map(t => (t.table, t.keyCols.mkString(","), t.keyCols.size,
+          t.fkDim.map(_._1).orNull))
+        .toDF("target_table", "key_cols", "n_keys", "fk_dim")
+        .withColumn("n_keys", col("n_keys").cast("int"))
+    },
+      Some("""SELECT * FROM (VALUES
+              ('BrokerAppointments', 'BrokerId,StateCode', 2, 'Brokers'),
+              ('BrokerBankingInfos', 'BrokerId', 1, 'Brokers'),
+              ('BrokerEOInsurances', 'BrokerId', 1, 'Brokers'),
+              ('BrokerLicenses', 'BrokerId,LicenseNumber', 2, 'Brokers'),
+              ('BrokerTraceabilities', 'Id', 1, 'Brokers'),
+              ('Brokers', 'Id', 1, NULL),
+              ('CommissionAssignmentRecipients', 'Id', 1, NULL),
+              ('CommissionAssignmentVersions', 'Id', 1, NULL),
+              ('CommissionRuns', 'Id', 1, NULL),
+              ('CommissionTraceabilityReports', 'Id', 1, NULL),
+              ('EmployerGroups', 'Id', 1, NULL),
+              ('FeeScheduleItems', 'Id', 1, NULL),
+              ('FeeScheduleVersions', 'Id', 1, NULL),
+              ('FeeSchedules', 'Id', 1, NULL),
+              ('GLJournalEntries', 'Id', 1, NULL),
+              ('Hierarchies', 'Id', 1, NULL),
+              ('HierarchyParticipantProductRates', 'Id', 1, NULL),
+              ('HierarchyParticipants', 'Id', 1, NULL),
+              ('HierarchySplits', 'Id', 1, NULL),
+              ('HierarchyVersions', 'Id', 1, NULL),
+              ('Plans', 'Id', 1, NULL),
+              ('Policies', 'Id', 1, NULL),
+              ('PolicyHierarchyAssignments', 'PolicyId,HierarchyId,WritingBrokerId', 3, 'Policies'),
+              ('PremiumSplitParticipants', 'Id', 1, NULL),
+              ('PremiumSplitVersions', 'Id', 1, NULL),
+              ('PremiumTransactions', 'certificateId,premiumAmount,transactionDate', 3, NULL),
+              ('ProductCodes', 'Id', 1, NULL),
+              ('Products', 'ProductCode', 1, NULL),
+              ('ProposalProducts', 'ProposalId,ProductCode', 2, 'Proposals'),
+              ('Proposals', 'Id', 1, 'Brokers'),
+              ('ScheduleRateTiers', 'Id', 1, NULL),
+              ('ScheduleRates', 'Id', 1, NULL),
+              ('ScheduleVersions', 'Id', 1, NULL),
+              ('Schedules', 'Id', 1, NULL),
+              ('SpecialScheduleRates', 'ScheduleRateId,Year', 2, NULL),
+              ('SplitDistributions', 'Id', 1, NULL),
+              ('StateRuleStates', 'Id', 1, NULL),
+              ('StateRules', 'Id', 1, NULL))
+              t(target_table, key_cols, n_keys, fk_dim)""")),
+
     // ===== P: projections / predicates (SURVEY §2.2) =====
 
     Q("p2_status_decode", (s, d) =>
