@@ -100,6 +100,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.contains((1L, None)), got)       // unmatched, null-extended
   }
 
+  test("left-outer stream-stream join state stays bounded under watermark advance") {
+    implicit val sc = spark.sqlContext
+    val li = MemoryStream[StreamOps.Event]
+    val ri = MemoryStream[StreamOps.Event]
+    val q = StreamOps.intervalJoinStreams(li.toDF(), ri.toDF(), 3600, "0 seconds",
+        joinType = "leftOuter")
+      .writeStream.outputMode("append").format("memory").queryName("state_out").start()
+    def stateRows: Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    // batch 1: 50 never-matched lefts + 50 other-user rights, all at t0 —
+    // every row buffers in join state
+    li.addData((1 to 50).map(i =>
+      StreamOps.Event(i, ts("2024-01-01 00:00:00"), i, "error", 0.0)): _*)
+    ri.addData((1 to 50).map(i =>
+      StreamOps.Event(100 + i, ts("2024-01-01 00:00:00"), 1000 + i, "purchase", 0.0)): _*)
+    q.processAllAvailable()
+    val peak = stateRows
+    // the 50 lefts must buffer awaiting a match-or-timeout; rights at
+    // the watermark are evictable immediately (delay 0s), so they may
+    // already be gone by the time the batch's progress is sampled
+    assert(peak >= 50, s"expected the 50 unmatched lefts buffered, saw $peak")
+    // advance BOTH watermarks far past t0 + horizon: the engine must
+    // evict every t0 row (emitting the 50 null-extended lefts), leaving
+    // only the fresh rows' state. Two ticks: one to move the watermark,
+    // one to apply eviction.
+    for (h <- Seq("06", "07")) {
+      li.addData(StreamOps.Event(900, ts(s"2024-01-01 $h:00:00"), 900, "error", 0.0))
+      ri.addData(StreamOps.Event(901, ts(s"2024-01-01 $h:00:00"), 901, "purchase", 0.0))
+      q.processAllAvailable()
+    }
+    val after = stateRows
+    q.stop()
+    assert(after <= 4, s"state not evicted: peak=$peak after=$after")
+    // all 50 unmatched lefts emitted null-extended on eviction
+    val unmatched = spark.table("state_out").filter(col("effect_id").isNull).count()
+    assert(unmatched == 50L, s"unmatched=$unmatched")
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
