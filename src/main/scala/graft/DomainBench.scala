@@ -26,24 +26,42 @@ object DomainBench {
   /** Synth from an arbitrary lineitem-shaped frame (callers may pre-slice
     * by whole order keys — the per-order windows stay consistent). */
   def synthCertificatesFrom(li: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("l_orderkey"))
     // split percents: equal shares with the remainder on the last split so
     // every certificate sums to exactly 100.00 (conformant by construction
-    // except a deterministic 2% carve-out to exercise the PHA route)
+    // except a deterministic 2% carve-out to exercise the PHA route).
     // l_linenumber is NOT unique per order in the synthetic data; the
-    // full tiebreak pins which row carries the remainder split percent
-    // (row_number over a non-total order is nondeterministic). cnt uses
-    // the SAME ordered spec with a full-partition frame so both window
-    // functions share one WindowExec / one sort.
-    val ordered = w.orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
-    val withCnt = li
-      .withColumn("cnt", count(lit(1)).over(
-        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("rn", row_number().over(ordered))
-      .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
-      .withColumn("split_pct",
-        when(col("rn") < col("cnt"), col("base_pct"))
-          .otherwise(round(lit(100.0) - col("base_pct") * (col("cnt") - 1), 2)))
+    // full (linenumber, suppkey, partkey) tiebreak pins which row carries
+    // the remainder split percent (it IS unique per order — checked at
+    // sf0.01 and sf0.1).
+    //
+    // Default path: hash-agg (cnt + max(struct(tiebreak))) + equi join
+    // back — two hash shuffles, NO sort; the row equal to the per-order
+    // max struct is the remainder carrier, bit-equal to rn==cnt under a
+    // unique tiebreak. Measured at sf0.1 vs the shared-sort WindowExec
+    // twin (SPARK_GRAFT_SYNTH=window): see NOTES round 10. At 100 TB the
+    // agg form also partial-aggregates map-side, where a window must
+    // shuffle every row to its order's partition and sort it.
+    val withCnt =
+      if (sys.env.get("SPARK_GRAFT_SYNTH").contains("window")) {
+        val ordered = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        li.withColumn("cnt", count(lit(1)).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("rn", row_number().over(ordered))
+          .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
+          .withColumn("split_pct",
+            when(col("rn") < col("cnt"), col("base_pct"))
+              .otherwise(round(lit(100.0) - col("base_pct") * (col("cnt") - 1), 2)))
+      } else {
+        val tiebreak = struct(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("cnt"), max(tiebreak).as("__last"))
+        li.join(perOrder, Seq("l_orderkey"))
+          .withColumn("base_pct", floor(lit(10000) / col("cnt")) / 100.0)
+          .withColumn("split_pct",
+            when(tiebreak =!= col("__last"), col("base_pct"))
+              .otherwise(round(lit(100.0) - col("base_pct") * (col("cnt") - 1), 2)))
+      }
     withCnt.select(
       col("l_orderkey").as("cert_id"),
       concat(lit("G"), pmod(col("l_orderkey"), lit(3079))).as("group_id"),
