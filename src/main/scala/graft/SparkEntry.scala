@@ -3429,6 +3429,45 @@ object SparkEntry {
                      array_to_string(list(tok_id ORDER BY pos), ',') AS token_ids
               FROM enc GROUP BY 1""")),
 
+    Q("x_vocab_coverage", (s, d) => {
+      // tokenizer-design coverage curve: what fraction of the corpus
+      // token stream the top-k vocabulary covers, at k = 100/1000/10000.
+      // Token ranking rides the two-pass scalable global rank (quantile
+      // buckets + per-bucket window — no single-partition sort), and
+      // coverage at each k is ONE conditional hash aggregate; no global
+      // cumulative sum is ever materialized. At 100 TB the vocab frame
+      // is corpus-vocabulary-sized (millions), far below the token
+      // stream, and every stage map-side combines.
+      val toks = doc(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("neg_cnt", -col("cnt"))
+      val ranked = graft.operators.Windows.globalRowNumber(
+        freq, "neg_cnt", Seq(col("term")), "rank")
+      val ks = Seq(100, 1000, 10000)
+      val agg0 = ranked.agg(
+        sum(col("cnt")).as("total"),
+        ks.map(k => sum(when(col("rank") <= k, col("cnt")).otherwise(0L)).as(s"c$k")): _*)
+      agg0.select(explode(array(ks.map(k => struct(
+          lit(k).as("k"),
+          col(s"c$k").as("covered_tokens"),
+          round(col(s"c$k") * 100.0 / col("total"), 6).as("coverage_pct"))): _*)).as("r"))
+        .select(col("r.k").as("k"), col("r.covered_tokens").as("covered_tokens"),
+          col("r.coverage_pct").as("coverage_pct"))
+    },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                            FROM documents),
+              t AS (SELECT term FROM toks WHERE term <> ''),
+              f AS (SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+              r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM f),
+              tot AS (SELECT sum(cnt)::BIGINT AS total FROM f)
+              SELECT k, sum(CASE WHEN rank <= k THEN cnt ELSE 0 END)::BIGINT AS covered_tokens,
+                     round(sum(CASE WHEN rank <= k THEN cnt ELSE 0 END) * 100.0
+                           / (SELECT total FROM tot), 6) AS coverage_pct
+              FROM r CROSS JOIN (VALUES (100), (1000), (10000)) v(k)
+              GROUP BY 1""")),
+
     Q("x_bpe_merges", (s, d) =>
       // BPE vocabulary induction, 2 merge steps: heaviest adjacent symbol
       // pair (weight desc, pair lexicographic) merged left-to-right in
