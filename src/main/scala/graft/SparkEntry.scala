@@ -3348,6 +3348,53 @@ object SparkEntry {
               WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
                     < floor(rate * 10000)::BIGINT""")),
 
+    Q("d_budget_waterfill", (s, d) => {
+      // training-mix budget allocation: per-domain token supplies, a
+      // budget of half the corpus, sqrt(supply) weights (temperature
+      // alpha=0.5), supply caps, and 3 waterfill redistribution rounds.
+      // The budget constant is one metadata-sized driver read of the
+      // supply aggregate (config derivation, like the k-means centroids)
+      val sup = doc(s, d).groupBy(col("source").as("domain"))
+        .agg(sum(graft.functions.TextFunctions.tokenCountWs(col("text"))
+          .cast("long")).as("supply"))
+      val budget = sup.agg(sum(col("supply")).as("t")).head.getLong(0) / 2
+      graft.operators.Sampling.budgetWaterfill(sup, budget, rounds = 3)
+    },
+      Some("""WITH tok AS (SELECT source AS domain,
+                (CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS nt
+              FROM documents),
+              s0 AS (SELECT domain, sum(nt)::BIGINT AS supply FROM tok GROUP BY 1),
+              b AS (SELECT (sum(supply) // 2)::BIGINT AS budget FROM s0),
+              p0 AS (SELECT domain, supply,
+                       floor(sqrt(supply::DOUBLE) * 1000000)::BIGINT AS w,
+                       0::BIGINT AS alloc FROM s0),
+              t1 AS (SELECT sum(CASE WHEN alloc < supply THEN w ELSE 0 END)::BIGINT AS wsum,
+                            (SELECT budget FROM b) - sum(alloc)::BIGINT AS rem FROM p0),
+              p1 AS (SELECT domain, supply, w,
+                       alloc + (CASE WHEN alloc < supply AND t.wsum > 0 AND t.rem > 0
+                         THEN least(supply - alloc, floor(t.rem::DOUBLE * w / t.wsum)::BIGINT)
+                         ELSE 0 END) AS alloc
+                     FROM p0 CROSS JOIN t1 t),
+              t2 AS (SELECT sum(CASE WHEN alloc < supply THEN w ELSE 0 END)::BIGINT AS wsum,
+                            (SELECT budget FROM b) - sum(alloc)::BIGINT AS rem FROM p1),
+              p2 AS (SELECT domain, supply, w,
+                       alloc + (CASE WHEN alloc < supply AND t.wsum > 0 AND t.rem > 0
+                         THEN least(supply - alloc, floor(t.rem::DOUBLE * w / t.wsum)::BIGINT)
+                         ELSE 0 END) AS alloc
+                     FROM p1 CROSS JOIN t2 t),
+              t3 AS (SELECT sum(CASE WHEN alloc < supply THEN w ELSE 0 END)::BIGINT AS wsum,
+                            (SELECT budget FROM b) - sum(alloc)::BIGINT AS rem FROM p2),
+              p3 AS (SELECT domain, supply, w,
+                       alloc + (CASE WHEN alloc < supply AND t.wsum > 0 AND t.rem > 0
+                         THEN least(supply - alloc, floor(t.rem::DOUBLE * w / t.wsum)::BIGINT)
+                         ELSE 0 END) AS alloc
+                     FROM p2 CROSS JOIN t3 t)
+              SELECT domain, supply, alloc,
+                     round(alloc * 100.0 / supply, 6) AS utilization_pct,
+                     round(alloc * 100.0 / (SELECT budget FROM b), 6) AS budget_share_pct
+              FROM p3""")),
+
     Q("x_bm25", (s, d) =>
       // BM25 top-20 for a fixed bag-of-words query: token stream scanned
       // once for lengths (column expr, no explode) and once for the tf of

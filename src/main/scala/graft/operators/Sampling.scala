@@ -179,4 +179,48 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Token-budget waterfill across domains — the budget-allocation step
+    * of a training-mix build: given each domain's token `supply` and a
+    * total token `budget`, allocate the budget proportionally to
+    * temperature-scaled weights (sqrt(supply): upweights the tail like
+    * alpha=0.5 temperature mixing), cap every domain at its supply, and
+    * redistribute the remainder among uncapped domains for `rounds`
+    * fixed iterations (waterfilling; a handful of rounds converges for
+    * tens of domains).
+    *
+    * Determinism/parity: weights are integer fixed-point
+    * (floor(sqrt(supply) * 1e6)); all SUMS are over longs (exact,
+    * aggregation-order-independent); the per-round share is
+    * floor(rem * w / W) in double — mul/div/floor are correctly rounded
+    * IEEE ops, bit-identical across engines for identical operands.
+    * Scale shape: `supplies` is aggregate output (one row per domain —
+    * configuration-sized); each round is a cross join against a ONE-ROW
+    * aggregate of that frame, the same bounded pattern as the count-min
+    * inner product. The token stream itself is touched only by the
+    * upstream supply aggregate. */
+  def budgetWaterfill(
+      supplies: DataFrame, budget: Long, rounds: Int = 3): DataFrame = {
+    val w0 = supplies
+      .select(col("domain"), col("supply").cast("long").as("supply"))
+      .withColumn("w", floor(sqrt(col("supply").cast("double")) * 1e6).cast("long"))
+      .withColumn("alloc", lit(0L))
+    val filled = (1 to rounds).foldLeft(w0) { (cur, _) =>
+      val tot = cur.agg(
+        sum(when(col("alloc") < col("supply"), col("w")).otherwise(0L)).as("__W"),
+        sum(col("alloc")).as("__A"))
+      cur.crossJoin(tot)
+        .withColumn("__rem", lit(budget) - col("__A"))
+        .withColumn("__add", when(
+            col("alloc") < col("supply") && col("__W") > 0 && col("__rem") > 0,
+            least(col("supply") - col("alloc"),
+              floor(col("__rem").cast("double") * col("w") / col("__W")).cast("long")))
+          .otherwise(0L))
+        .withColumn("alloc", col("alloc") + col("__add"))
+        .drop("__W", "__A", "__rem", "__add")
+    }
+    filled.select(col("domain"), col("supply"), col("alloc"),
+      round(col("alloc") * 100.0 / col("supply"), 6).as("utilization_pct"),
+      round(col("alloc") * 100.0 / lit(budget.toDouble), 6).as("budget_share_pct"))
+  }
 }

@@ -122,4 +122,32 @@ class SamplingSpec extends SparkSpec {
     assert(otherW.isEmpty || mimicW.min > otherW.max)
     assert(mimicW.length >= 15)
   }
+
+  test("budgetWaterfill caps at supply and redistributes to uncapped domains") {
+    // tiny domain caps long before its sqrt-share of a big budget; the
+    // remainder must flow to the large domains across rounds
+    val sup = Seq(("tiny", 100L), ("mid", 100000L), ("big", 1000000L))
+      .toDF("domain", "supply")
+    val out = Sampling.budgetWaterfill(sup, budget = 600000L, rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val allocs = out.map { case (d, (_, a)) => d -> a }
+    assert(allocs("tiny") == 100L, s"tiny must cap at its supply: $allocs")
+    assert(out.forall { case (_, (s, a)) => a <= s }, s"no alloc beyond supply: $out")
+    val total = allocs.values.sum
+    assert(total <= 600000L, s"never over budget: $total")
+    // waterfilling should get within rounding slack of the full budget
+    assert(total >= 599990L, s"remainder should be redistributed: $total")
+    // sqrt weighting upweights mid (10x less supply, only 3.16x less
+    // weight) past its own supply: mid caps too, and big absorbs the
+    // whole remainder
+    assert(allocs("mid") == 100000L, s"mid must cap at its supply: $allocs")
+    assert(allocs("big") >= 499890L, s"big absorbs the remainder: $allocs")
+  }
+
+  test("budgetWaterfill with budget >= total supply allocates everything") {
+    val sup = Seq(("a", 1000L), ("b", 2000L)).toDF("domain", "supply")
+    val out = Sampling.budgetWaterfill(sup, budget = 10000L, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 1000L, "b" -> 2000L), out)
+  }
 }
