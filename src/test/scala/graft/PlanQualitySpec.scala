@@ -269,7 +269,7 @@ class PlanQualitySpec extends SparkSpec {
     // global Window.orderBy — the plan funnel that dies at 100x scale.
     // (An `Exchange SinglePartition` may legitimately remain: the scalar
     // totals aggregate exchanges one partial row per partition.)
-    for (q <- Seq("a17_equidepth", "a24_woe_binning")) {
+    for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage")) {
       val p = plan(q)
       assert(!p.contains("ntile"), s"$q:\n$p")
       val wlines = p.linesIterator
@@ -281,5 +281,14 @@ class PlanQualitySpec extends SparkSpec {
           s"$q has a global (unpartitioned) Window:\n$l")
       }
     }
+  }
+
+  test("budget waterfill: the token stream is touched only by the supply aggregate") {
+    // the 3 waterfill rounds operate on the domain-sized frame; the only
+    // join shape allowed against it is the one-row totals cross join —
+    // never a join keyed on the corpus
+    val p = plan("d_budget_waterfill")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }
