@@ -29,4 +29,13 @@ class GateContractSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"gate-unsafe final columns:\n  ${bad.mkString("\n  ")}")
   }
+
+  test("every query has an oracle and every oracle names a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    // the driver records a weaker rows-only check for missing oracles —
+    // keep the set empty so every component has the full hash gate
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
 }
