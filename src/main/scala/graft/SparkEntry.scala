@@ -5134,6 +5134,54 @@ object SparkEntry {
               FROM nfp n
               LEFT JOIN ex e ON n.doc_id = e.doc_id
               LEFT JOIN nr r ON n.doc_id = r.doc_id""")),
+
+    Q("x_quality_classifier", (s, d) =>
+      // fastText-style hashed linear classifier inference (bag of
+      // unigram+bigram features, hash-derived weight table, mean +
+      // sigmoid) — the exported-model serving path, fully row-local
+      // (HOF fold; no explode, no shuffle, no weight-table join).
+      // Weight sum stays in exact integer millis; only the final
+      // sigmoid touches floats (round-6 guards libm ulp drift, the
+      // a24 ln precedent)
+      TextFunctions.hashedClassifierScore(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                         FROM documents),
+              f AS (SELECT doc_id,
+                      list_concat(w,
+                        CASE WHEN len(w) >= 2
+                             THEN [array_to_string(w[i:i+1], ' ')
+                                   for i in generate_series(1, len(w) - 1)]
+                             ELSE [] END) AS feats
+                    FROM t),
+              sc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+                       list_sum([('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000
+                                 for x in feats])::BIGINT AS w_sum
+                     FROM f)
+              SELECT doc_id, n_feats, w_sum,
+                     round(1.0 / (1.0 + exp(-(w_sum / (1000.0 * n_feats)))), 6) AS prob,
+                     (w_sum >= 0) AS label
+              FROM sc""")),
+
+    Q("x_chunk_windows", (s, d) =>
+      // sliding-window chunking (RAG / training-sequence prep): 64-word
+      // windows, stride 48 (16-word overlap), final short window keeps
+      // the tail; chunk identity is an md5 fingerprint. Row-local
+      // sequence→posexplode — chunk rows scale with corpus words and
+      // never shuffle
+      TextFunctions.slidingChunks(doc(s, d), col("doc_id"), col("text"), 64, 48)
+        .select(col("doc_id"), col("cidx").cast("long").as("cidx"),
+          col("start_w").cast("long").as("start_w"),
+          col("n_w").cast("long").as("n_w"), col("chunk_md5")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                         FROM documents),
+              n AS (SELECT doc_id, w, len(w) AS nw FROM t),
+              c AS (SELECT doc_id, i::BIGINT AS cidx, (i * 48)::BIGINT AS start_w,
+                      least(64, nw - i * 48)::BIGINT AS n_w,
+                      md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
+                    FROM (SELECT doc_id, w, nw,
+                            unnest(generate_series(0, (greatest(nw - 64, 0) + 47) // 48)) AS i
+                          FROM n))
+              SELECT doc_id, cidx, start_w, n_w, chunk_md5 FROM c""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

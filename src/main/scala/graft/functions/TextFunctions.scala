@@ -353,4 +353,69 @@ object TextFunctions {
         .as("pct_pred_en"),
       round((n - countDistinct(col("fp"))) * 100.0 / n, 6).as("dup_rate_pct"))
   }
+
+  /** fastText-style hashed linear classifier INFERENCE (Joulin 2017
+    * shape: bag of unigram+bigram features, averaged weights, sigmoid).
+    * Weights are not learned here — they come from a deterministic hash
+    * of the feature string (`md5int(f) % 2001 - 1000`, i.e. a fixed
+    * model table any engine can reproduce), which exercises the exact
+    * serving path a real exported model would take (hash → weight
+    * lookup → mean → sigmoid) with an engine-replayable model.
+    *
+    * FULLY row-local: the feature bag, hashing and weight sum all fold
+    * inside one projection (HOFs over the token array — no explode, no
+    * shuffle, no weight-table join since the "table" is a pure function
+    * of the feature). The weight sum is kept in exact integer millis so
+    * only the final sigmoid touches floats.
+    *
+    * Returns (id, n_feats, w_sum, prob rounded to 6, label). */
+  def hashedClassifierScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(trim(text), "\\s+")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    val wSum = aggregate(feats, lit(0L),
+      (acc, f) => acc + (pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"),
+        lit(2001L)) - lit(1000L)))
+    df.select(id.as("doc_id"),
+        size(feats).cast("long").as("n_feats"), wSum.as("w_sum"))
+      .withColumn("prob", round(
+        lit(1.0) / (lit(1.0) +
+          exp(-(col("w_sum").cast("double") / (lit(1000.0) * col("n_feats"))))), 6))
+      .withColumn("label", col("w_sum") >= 0)
+  }
+
+  /** Sliding-window chunking for retrieval / training-sequence prep:
+    * fixed `size`-word windows advancing by `stride` words (stride <
+    * size ⇒ overlapping context windows, the standard RAG/packing
+    * shape). Every word is covered; the final window is the only one
+    * allowed to be shorter than `size`; a doc shorter than `size`
+    * yields exactly one window. Window count per doc =
+    * 1 + ceil(max(nWords - size, 0) / stride).
+    *
+    * Row-local explode (sequence → posexplode): chunk rows scale with
+    * corpus words, never shuffle — at 100 TB this runs inside the scan
+    * stage and feeds the embedding/packing stage directly.
+    *
+    * Returns (doc_id, cidx, start_w, n_w, chunk_md5). */
+  def slidingChunks(
+      df: DataFrame, id: Column, text: Column, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val base = df.select(id.cast("long").as("doc_id"),
+      split(trim(text), "\\s+").as("__toks"))
+      .withColumn("__nw", org.apache.spark.sql.functions.size(col("__toks")))
+      .withColumn("__nwin",
+        (lit(1L) + (greatest(col("__nw") - size, lit(0)).cast("long") +
+          lit(stride - 1L)) / lit(stride.toLong)).cast("int"))
+    base.select(col("doc_id"), col("__toks"), col("__nw"),
+        posexplode(sequence(lit(0), col("__nwin") - 1)).as(Seq("cidx", "__i")))
+      .select(col("doc_id"), col("cidx"),
+        (col("cidx") * stride).as("start_w"),
+        least(lit(size), col("__nw") - col("cidx") * stride).as("n_w"),
+        md5(array_join(slice(col("__toks"), col("cidx") * stride + 1, lit(size)), " "))
+          .as("chunk_md5"))
+  }
 }

@@ -291,4 +291,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("classifier inference and chunking are shuffle-free scan projections") {
+    // both are per-row operators: any Exchange would mean an accidental
+    // aggregation/join crept into what must stay a map-only stage
+    val pc = plan("x_quality_classifier")
+    assert(!pc.contains("Exchange"), pc)
+    val pw = plan("x_chunk_windows")
+    assert(!pw.contains("Exchange"), pw)
+    assert(pw.contains("Generate"), pw) // the posexplode, not a join fan-out
+  }
 }

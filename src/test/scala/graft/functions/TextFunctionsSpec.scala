@@ -177,4 +177,53 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("url").select(TextFunctions.registeredDomain(col("url"))).as[String].collect()
     assert(got.toSeq == Seq("shop3.com", "shop3.com", "localhost"))
   }
+
+  test("slidingChunks: window count, offsets, tail window, full coverage") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc(1)), (2L, doc(64)), (3L, doc(65)), (4L, doc(100)),
+      (5L, doc(112)), (6L, doc(160))).toDF("doc_id", "text")
+    val got = TextFunctions.slidingChunks(df, col("doc_id"), col("text"), 64, 48)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // expected window counts: 1 + ceil(max(n-64,0)/48)
+    assert(got(1L).length == 1 && got(2L).length == 1)
+    assert(got(3L).length == 2 && got(4L).length == 2)
+    assert(got(5L).length == 2 && got(6L).length == 3)
+    // offsets advance by the stride; tail window short but covers the end
+    assert(got(6L).map(_._3).toSeq == Seq(0, 48, 96))
+    assert(got(6L).map(_._4).toSeq == Seq(64, 64, 64))
+    assert(got(4L).map(c => (c._3, c._4)).toSeq == Seq((0, 64), (48, 52)))
+    // every word covered: last window's start + n_w == doc words
+    got.foreach { case (id, cs) =>
+      val last = cs.last
+      val n = Map(1L -> 1, 2L -> 64, 3L -> 65, 4L -> 100, 5L -> 112, 6L -> 160)(id)
+      assert(last._3 + last._4 == n, s"doc $id")
+    }
+    // fingerprint is the md5 of exactly the window's words
+    val md5w1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc(1).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L).head._5 == md5w1)
+  }
+
+  test("slidingChunks rejects bad size/stride") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextFunctions.slidingChunks(df, col("doc_id"), col("text"), 4, 8)
+    }
+  }
+
+  test("hashedClassifierScore: feature count, sign-consistent label, prob bounds") {
+    val df = Seq((1L, "alpha"), (2L, "alpha beta gamma"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.hashedClassifierScore(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // unigrams + bigrams: n tokens -> 2n-1 features
+    assert(got.map(_._2).toSeq == Seq(1L, 5L, 3L))
+    got.foreach { case (_, n, wSum, prob, label) =>
+      assert(label == (wSum >= 0))
+      assert(prob > 0.0 && prob < 1.0)
+      // mean weight bounded by the weight-table range => prob away from 0/1
+      assert(math.abs(wSum) <= 1000L * n)
+    }
+  }
 }
