@@ -5182,6 +5182,92 @@ object SparkEntry {
                             unnest(generate_series(0, (greatest(nw - 64, 0) + 47) // 48)) AS i
                           FROM n))
               SELECT doc_id, cidx, start_w, n_w, chunk_md5 FROM c""")),
+
+    Q("a27_psi_drift", (s, d) => {
+      // population-stability-index drift check between two halves of the
+      // fact stream (the train-vs-serving monitoring staple): decile
+      // edges come from the TRAIN half via the scalable two-pass global
+      // rank (a17/a24 machinery — no single-partition sort), both halves
+      // are then assigned by value against the 9 collected edge values
+      // (metadata-sized driver read, same posture as the rank's bucket
+      // counts), one shared scan+agg counts both halves, and the PSI
+      // terms are computed on the 10-row result with Laplace smoothing
+      // (+0.5/bin) so an empty serving bin can't produce ln(0)
+      val base = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("x"), pmod(col("l_orderkey"), lit(2)).as("half"))
+      val train = graft.Mat(base.filter(col("half") === 0)
+        .select(col("x"), col("l_orderkey"), col("l_linenumber")))
+      val binned = Windows.equiDepthBin(train, 10, "x",
+        Seq(col("l_orderkey"), col("l_linenumber")), "bin")
+      // bins 1..9's maxima are the assignment edges (bin 10's max is the
+      // global max — values above it belong in bin 10 by construction)
+      val edges = binned.filter(col("bin") <= 9).groupBy(col("bin"))
+        .agg(max(col("x")).as("mx")).collect().map(_.getDouble(1)).sorted
+      val assigned = base.withColumn("bin",
+        (lit(1) + size(filter(typedLit(edges), e => e < col("x")))).cast("long"))
+      val counts = assigned.groupBy(col("bin")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_score"))
+      val bins = s.range(1, 11).select(col("id").as("bin"))
+      val g = bins.join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_train", "n_score"))
+      val tot = g.agg(sum(col("n_train")).as("tn"), sum(col("n_score")).as("ts"))
+      val p = (col("n_train") + 0.5) / (col("tn") + 5.0)
+      val q = (col("n_score") + 0.5) / (col("ts") + 5.0)
+      g.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_train"), col("n_score"),
+          round((q - p) * log(q / p), 6).as("psi_term"))
+    },
+      Some("""WITH l AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
+                       l_orderkey % 2 AS half FROM lineitem),
+              tr AS (SELECT x, l_orderkey, l_linenumber FROM l WHERE half = 0),
+              r AS (SELECT x, row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn
+                    FROM tr),
+              b AS (SELECT x,
+                      (((rn - 1) * 10) // (SELECT count(*) FROM tr) + 1)::INT AS bin
+                    FROM r),
+              e AS (SELECT bin, max(x) AS mx FROM b WHERE bin <= 9 GROUP BY 1),
+              a AS (SELECT half,
+                      1 + (SELECT count(*) FROM e WHERE e.mx < l.x) AS bin
+                    FROM l),
+              c AS (SELECT bin,
+                      sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                      sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_score
+                    FROM a GROUP BY 1),
+              g AS (SELECT gs.b::BIGINT AS bin,
+                      coalesce(n_train, 0)::BIGINT AS n_train,
+                      coalesce(n_score, 0)::BIGINT AS n_score
+                    FROM generate_series(1, 10) AS gs(b)
+                    LEFT JOIN c ON c.bin = gs.b),
+              t AS (SELECT sum(n_train)::BIGINT AS tn, sum(n_score)::BIGINT AS ts FROM g)
+              SELECT bin, n_train, n_score,
+                     round(((n_score + 0.5) / (ts + 5.0) - (n_train + 0.5) / (tn + 5.0)) *
+                           ln(((n_score + 0.5) / (ts + 5.0)) /
+                              ((n_train + 0.5) / (tn + 5.0))), 6) AS psi_term
+              FROM g CROSS JOIN t""")),
+
+    Q("x_curriculum_order", (s, d) =>
+      // curriculum ordering with source interleaving: easy→hard within
+      // each source (difficulty = doc length, doc_id tiebreak), global
+      // training position assigned ANALYTICALLY (rank*n_sources +
+      // src_idx) — round-robin across sources with no global window or
+      // sort; the only window partitions by source
+      graft.operators.Sampling.curriculumInterleave(
+        doc(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+          col("rank_in_source"), col("pos")),
+      Some("""WITH s AS (SELECT src AS source,
+                      row_number() OVER (ORDER BY src) - 1 AS src_idx,
+                      (SELECT count(DISTINCT source) FROM documents) AS ns
+                    FROM (SELECT DISTINCT source AS src FROM documents)),
+              r AS (SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS rank_in_source
+                    FROM documents)
+              SELECT r.doc_id, r.source, r.n_chars, r.rank_in_source,
+                     (r.rank_in_source - 1) * s.ns + s.src_idx AS pos
+              FROM r JOIN s ON r.source = s.source""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

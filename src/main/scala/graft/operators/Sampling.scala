@@ -223,4 +223,37 @@ object Sampling {
       round(col("alloc") * 100.0 / col("supply"), 6).as("utilization_pct"),
       round(col("alloc") * 100.0 / lit(budget.toDouble), 6).as("budget_share_pct"))
   }
+
+  /** Curriculum ordering with source interleaving: rank documents
+    * easy→hard WITHIN each source (difficulty + tiebreaks must make the
+    * order total), then assign the global training position
+    * ANALYTICALLY — `pos = (rank_in_source - 1) * n_sources + src_idx`
+    * — which round-robins the sources per difficulty step without any
+    * global window or sort. The only per-row window partitions by
+    * source (parallel across sources); the source index table is
+    * config-sized (one row per source), so its own window and the
+    * join back are metadata work.
+    *
+    * Positions are globally unique and dense per step; a source that
+    * exhausts early leaves holes in later steps, which is the standard
+    * interleave contract (consumers order by pos, not index by it).
+    *
+    * Returns the input plus (rank_in_source, pos), both LONG. */
+  def curriculumInterleave(
+      df: DataFrame, source: Column, difficulty: Column,
+      tiebreaks: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy((difficulty +: tiebreaks): _*)
+    val ranked = df.withColumn("rank_in_source", row_number().over(w).cast("long"))
+    // config-sized source index: distinct sources, alphabetical idx
+    val srcIdx = df.select(source.as("__src")).distinct()
+      .withColumn("src_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__src"))).cast("long") - 1L)
+    val n = srcIdx.count()
+    ranked.join(broadcast(srcIdx), source === col("__src"))
+      .withColumn("pos",
+        (col("rank_in_source") - 1L) * lit(n) + col("src_idx"))
+      .drop("__src", "src_idx")
+  }
 }

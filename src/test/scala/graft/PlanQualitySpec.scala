@@ -269,7 +269,8 @@ class PlanQualitySpec extends SparkSpec {
     // global Window.orderBy — the plan funnel that dies at 100x scale.
     // (An `Exchange SinglePartition` may legitimately remain: the scalar
     // totals aggregate exchanges one partial row per partition.)
-    for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage")) {
+    for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage",
+        "a27_psi_drift")) {
       val p = plan(q)
       assert(!p.contains("ntile"), s"$q:\n$p")
       val wlines = p.linesIterator

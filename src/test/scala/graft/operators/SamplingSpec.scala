@@ -150,4 +150,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out == Map("a" -> 1000L, "b" -> 2000L), out)
   }
+
+  test("curriculumInterleave: per-source easy-to-hard, round-robin positions, unique") {
+    val df = Seq(
+      ("A", 1L, 30), ("A", 2L, 10), ("A", 3L, 20),
+      ("B", 4L, 5), ("B", 5L, 50),
+      ("C", 6L, 1)).toDF("source", "doc_id", "n_chars")
+    val got = Sampling.curriculumInterleave(df, col("source"), col("n_chars"),
+        Seq(col("doc_id")))
+      .select("source", "doc_id", "rank_in_source", "pos")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    // positions globally unique
+    assert(got.map(_._4).distinct.length == got.length)
+    // step 1 (rank 1) holds one doc per source in source order: A,B,C
+    assert(got.take(3).map(t => (t._1, t._3)).toSeq ==
+      Seq(("A", 1L), ("B", 1L), ("C", 1L)))
+    // within a source, rank follows ascending difficulty with id tiebreak
+    val aDocs = got.filter(_._1 == "A").sortBy(_._3).map(_._2).toSeq
+    assert(aDocs == Seq(2L, 3L, 1L)) // n_chars 10 < 20 < 30
+    // analytic positions: pos = (rank-1)*3 + src_idx
+    got.foreach { case (src, _, rk, pos) =>
+      val idx = Map("A" -> 0L, "B" -> 1L, "C" -> 2L)(src)
+      assert(pos == (rk - 1) * 3 + idx, s"$src rank $rk pos $pos")
+    }
+    // exhausted source (C after step 1) leaves holes, never re-packs
+    assert(!got.map(_._4).contains(5L)) // step 2 slot for C is empty
+  }
 }
