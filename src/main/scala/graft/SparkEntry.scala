@@ -5268,6 +5268,109 @@ object SparkEntry {
               SELECT r.doc_id, r.source, r.n_chars, r.rank_in_source,
                      (r.rank_in_source - 1) * s.ns + s.src_idx AS pos
               FROM r JOIN s ON r.source = s.source""")),
+
+    Q("d_dedup_report", (s, d) =>
+      // per-source dedup retention report: exact fingerprint dedup
+      // (keep min-id), then MinHash-LSH cluster canonicalization (keep
+      // best quality) on what's left; one row per source with drop
+      // counts and the retention rate. Composes the blocked operators —
+      // nothing all-pairs; the report itself is one hash aggregate
+      Dedup.dedupRetentionReport(doc(s, d), col("doc_id"), col("text"),
+        col("source"), shingleWords = 3, numHashes = 16, bands = 4),
+      Some("""WITH RECURSIVE
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              h AS (SELECT doc_id, i,
+                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i) + (11 * i + 7))
+                          % 4294967311) AS m
+                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+                    GROUP BY 1, 2),
+              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
+              banded AS (SELECT doc_id,
+                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
+                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b
+                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                        UNION SELECT id_b, id_a FROM cand),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION
+                        SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src),
+              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY node),
+              b0 AS (SELECT doc_id, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop
+              FROM documents),
+              qual AS (SELECT doc_id,
+                round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality
+              FROM b0),
+              keepn AS (SELECT component, node AS keep_id FROM (
+                          SELECT c.component, c.node,
+                                 row_number() OVER (PARTITION BY c.component
+                                   ORDER BY q.quality DESC, c.node ASC) AS rn
+                          FROM comp c JOIN qual q ON q.doc_id = c.node) WHERE rn = 1),
+              neard AS (SELECT c.node AS doc_id
+                        FROM comp c JOIN keepn k USING (component)
+                        WHERE c.node <> k.keep_id),
+              fps AS (SELECT doc_id, source,
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM documents),
+              firsts AS (SELECT fp, min(doc_id) AS first_id FROM fps GROUP BY 1),
+              fl AS (SELECT f.doc_id, f.source,
+                       (f.doc_id <> fi.first_id) AS exact_drop,
+                       (f.doc_id IN (SELECT doc_id FROM neard)) AS near_member
+                     FROM fps f JOIN firsts fi USING (fp))
+              SELECT source, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN exact_drop THEN 1 ELSE 0 END)::BIGINT AS n_exact_drop,
+                sum(CASE WHEN NOT exact_drop AND near_member THEN 1 ELSE 0 END)::BIGINT AS n_near_drop,
+                sum(CASE WHEN NOT exact_drop AND NOT near_member THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                round(sum(CASE WHEN NOT exact_drop AND NOT near_member THEN 1 ELSE 0 END) * 100.0
+                      / count(*), 6) AS retention_pct
+              FROM fl GROUP BY 1""")),
+
+    Q("v_knn_graph", (s, d) =>
+      // mutual k-NN graph over the embedding corpus (the seed for
+      // graph-based clustering/diversity curation): IVF-cell blocked
+      // candidates, per-node top-3 window, edge kept only when BOTH
+      // endpoints rank each other — never corpus x corpus
+      Similarity.mutualKnnGraph(emb(s, d), col("vec_id"), col("embedding"),
+        k = 3, nlist = 16),
+      Some("""WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vid = m.mvid),
+              asg AS (SELECT vid, v, cell FROM (
+                        SELECT e.vid, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vid
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1),
+              dg AS (SELECT a.vid AS src, b.vid AS dst,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                     FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid <> b.vid),
+              tk AS (SELECT src, dst, cos FROM (
+                       SELECT src, dst, cos,
+                              row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst ASC) AS rn
+                       FROM dg) WHERE rn <= 3)
+              SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos
+              FROM tk x JOIN tk y
+                ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -608,4 +608,56 @@ object Dedup {
       .select(col("doc_id"), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_semdup"))
   }
+
+  /** Per-source dedup retention report — the corpus-curation summary a
+    * dataset release ships next to its corpus card: how many documents
+    * each source loses to exact duplication, how many more to near-dup
+    * cluster canonicalization, and what survives.
+    *
+    * Policy (the standard pipeline order):
+    *  1. exact: keep the min-id document per normalized fingerprint;
+    *  2. near: MinHash-LSH pairs → connected components → keep the
+    *     best-quality member per cluster (quality desc, id asc) — but a
+    *     document already dropped as an exact dup is counted in the
+    *     exact bucket only (each doc is dropped once).
+    *
+    * Scale shape: everything reuses the blocked operators — exact dedup
+    * is one fingerprint hash-agg + join-back, near-dup candidates come
+    * from [[minHashLshPairs]] (band-bucketed, never all-pairs),
+    * components are O(diameter) label propagation, and the final report
+    * is one per-source hash aggregate.
+    *
+    * Returns one row per source: (source, n_docs, n_exact_drop,
+    * n_near_drop, n_kept, retention_pct). */
+  def dedupRetentionReport(
+      df: DataFrame, id: Column, text: Column, source: Column,
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val base = df.select(id.cast("long").as("doc_id"), source.as("source"),
+      TextFunctions.fingerprint(text).as("fp"))
+    val firstFp = base.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+    val flagged = base.join(firstFp, Seq("fp"))
+      .withColumn("exact_drop", col("doc_id") =!= col("first_id"))
+    val pairs = minHashLshPairs(df, id, text, shingleWords, numHashes, bands)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val qual = df.select(id.cast("long").as("qid"),
+      TextFunctions.qualityScore(text).as("quality"))
+    val members = comp.join(qual, col("node") === col("qid"))
+    val keep = Joins.top1PerGroup(members, Seq(col("component")),
+        Seq(col("quality").desc, col("node").asc))
+      .select(col("component"), col("node").as("keep_id"))
+    val nearDropped = members.join(keep, Seq("component"))
+      .filter(col("node") =!= col("keep_id"))
+      .select(col("node").as("doc_id")).withColumn("__near", lit(true))
+    flagged.join(nearDropped, Seq("doc_id"), "left")
+      .withColumn("near_drop",
+        !col("exact_drop") && coalesce(col("__near"), lit(false)))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_exact_drop"),
+        sum(when(col("near_drop"), 1L).otherwise(0L)).as("n_near_drop"),
+        sum(when(!col("exact_drop") && !col("near_drop"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("retention_pct",
+        round(col("n_kept") * 100.0 / col("n_docs"), 6))
+  }
 }

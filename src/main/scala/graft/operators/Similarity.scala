@@ -366,4 +366,47 @@ object Similarity {
         Window.orderBy(col("adc_dist").asc, col("vid").asc)).cast("int"))
       .select(col("vid").as("neighbor_id"), col("adc_dist"), col("rank"))
   }
+
+  /** Mutual k-NN graph construction — the edge list graph-based corpus
+    * clustering and diversity analysis start from: an undirected edge
+    * (a,b) exists iff b is among a's k nearest neighbors AND a is among
+    * b's (mutuality prunes the hub edges a plain k-NN digraph drowns in).
+    *
+    * IVF-cell blocked like [[Dedup.embeddingNearDupPairs]]: neighbors
+    * are only sought within a vector's cell, so candidate generation is
+    * an equi self-join on the cell id — never corpus × corpus. The
+    * deterministic centroid seed (min-id per `vid % nlist`) and the
+    * rounded-similarity/cell tiebreaks keep the whole graph
+    * engine-replayable. Per-node top-k is a window partitioned by the
+    * node — parallel across nodes, no global sort.
+    *
+    * Returns (id_a, id_b, cos) with id_a < id_b. */
+  def mutualKnnGraph(
+      df: DataFrame, id: Column, vec: Column, k: Int,
+      nlist: Int = 16): DataFrame = {
+    val cos = cosineCol(df) _
+    val e = df.select(id.cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(vec).as("v"))
+    val centroids = broadcast(Joins.top1PerGroup(
+      e.withColumn("cell", pmod(col("vid"), lit(nlist))),
+      Seq(col("cell")), Seq(col("vid")))
+      .select(col("cell"), col("v").as("centroid")))
+    val assigned = Joins.top1PerGroup(
+      e.crossJoin(centroids)
+        .withColumn("cdist", round(cos(col("v"), col("centroid")), 6)),
+      Seq(col("vid")), Seq(col("cdist").desc, col("cell").asc))
+      .select(col("cell"), col("vid"), col("v"))
+    val directed = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("src"), col("b.vid").as("dst"),
+        round(cos(col("a.v"), col("b.v")), 6).as("cos"))
+    val topk = directed.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("__rn") <= k).drop("__rn")
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
+  }
 }

@@ -293,6 +293,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup retention report: every join equi, no all-pairs scan") {
+    val p = plan("d_dedup_report")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mutual kNN graph: candidates blocked by cell; only the centroid cross nests") {
+    val p = plan("v_knn_graph")
+    // the bounded nlist-row centroid broadcast is the one allowed nested
+    // loop; the pair join and the mutuality join must be equi joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("classifier inference and chunking are shuffle-free scan projections") {
     // both are per-row operators: any Exchange would mean an accidental
     // aggregation/join crept into what must stay a map-only stage

@@ -295,4 +295,29 @@ class DedupSpec extends SparkSpec {
     assert(out.orderBy("doc_id").collect().toSeq ==
       rev.orderBy("doc_id").collect().toSeq)
   }
+
+  test("dedupRetentionReport: exact wins over near, each doc dropped once") {
+    // srcA: 1 and 2 are byte-identical (2 = exact drop); 3 is a near-dup
+    // of 1 (shares most 3-shingles) with lower quality than 1.
+    // srcB: 4 is unique and survives.
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " tail one", "srcA"),
+      (2L, common + " tail one", "srcA"),   // exact dup of 1
+      (3L, common + " different end", "srcA"), // near dup of 1
+      (4L, "completely unrelated words nothing shared here at all", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupRetentionReport(docs, col("doc_id"), col("text"),
+        col("source"), shingleWords = 3, numHashes = 16, bands = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("srcA")
+    assert(a._2 == 3, s"srcA docs: $a")
+    assert(a._3 == 1, s"exactly one exact drop (doc 2): $a")
+    assert(a._4 == 1, s"exactly one near drop (doc 3): $a")
+    assert(a._5 == 1 && a._6 == 33.333333, s"one kept: $a")
+    assert(got("srcB") == ("srcB", 1L, 0L, 0L, 1L, 100.0))
+    // counts partition: every doc lands in exactly one bucket
+    assert(a._3 + a._4 + a._5 == a._2)
+  }
 }

@@ -234,4 +234,28 @@ class SimilaritySpec extends SparkSpec {
       .select(col("rank"), col("neg_id")).as[(Int, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1, 2L), (2, 4L))) // label-0 vec 1 never appears
   }
+
+  test("mutualKnnGraph keeps only reciprocated edges and prunes hub fan-in") {
+    // one cell (nlist=1). With k=1: 0 and 1 pick each other (mutual);
+    // 2's nearest is 0, but 0's top-1 is 1 — the hub edge 0-2 must NOT
+    // survive mutuality; 3 is near-orthogonal to everyone.
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.99, 0.14, 0.0)),
+      (2L, Array(0.9, -0.43, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val k1 = Similarity.mutualKnnGraph(vecs, col("vec_id"), col("embedding"),
+        k = 1, nlist = 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(k1 == Set((0L, 1L)), s"only the reciprocal pair survives: $k1")
+    // k=2: the close trio is fully reciprocal; the orthogonal vector
+    // ranks others but nobody's top-2 ranks it back — zero edges for it
+    val k2 = Similarity.mutualKnnGraph(vecs, col("vec_id"), col("embedding"),
+        k = 2, nlist = 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(k2 == Set((0L, 1L), (0L, 2L), (1L, 2L)), k2)
+    // undirected contract: id_a < id_b always
+    k2.foreach { case (a, b) => assert(a < b) }
+  }
 }
