@@ -5371,6 +5371,48 @@ object SparkEntry {
               SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos
               FROM tk x JOIN tk y
                 ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""")),
+
+    Q("a28_ks_drift", (s, d) => {
+      // two-sample Kolmogorov-Smirnov drift statistic between the two
+      // halves of the fact stream: per-value counts (one hash agg), then
+      // EXACT cumulative counts via the scalable global running sum
+      // (bucketed two-pass — no `sum OVER (ORDER BY)` single-partition
+      // funnel), then one max-reduce for the KS sup. The CDF ratios are
+      // doubles of exact longs, so the argmax value is engine-stable
+      val base = li(s, d).select(col("l_extendedprice").as("x"),
+        pmod(col("l_orderkey"), lit(2)).as("half"))
+      val per = graft.Mat(base.groupBy(col("x")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1")))
+      val cum = Windows.globalRunningSums(per, "x", Nil,
+        Seq(col("n0") -> "c0", col("n1") -> "c1"))
+      val tot = per.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+        count(lit(1)).as("nv"))
+      val best = cum.crossJoin(broadcast(tot))
+        .select(col("x"), col("t0"), col("t1"), col("nv"),
+          abs(col("c0").cast("double") / col("t0") -
+              col("c1").cast("double") / col("t1")).as("dd"))
+        .agg(max(struct(col("dd"), (-col("x")).as("nx"))).as("b"),
+          first(col("t0")).as("n_train"), first(col("t1")).as("n_score"),
+          first(col("nv")).as("n_values"))
+      best.select(round(col("b.dd"), 6).as("ks"), (-col("b.nx")).as("at_x"),
+        col("n_values"), col("n_train"), col("n_score"))
+    },
+      Some("""WITH l AS (SELECT l_extendedprice AS x, l_orderkey % 2 AS half
+                         FROM lineitem),
+              p AS (SELECT x,
+                      sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                      sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+                    FROM l GROUP BY 1),
+              c AS (SELECT x, sum(n0) OVER (ORDER BY x)::BIGINT AS c0,
+                           sum(n1) OVER (ORDER BY x)::BIGINT AS c1 FROM p),
+              t AS (SELECT sum(n0)::BIGINT AS t0, sum(n1)::BIGINT AS t1,
+                           count(*)::BIGINT AS nv FROM p),
+              dd AS (SELECT x, abs(c0::DOUBLE / t0 - c1::DOUBLE / t1) AS d
+                     FROM c CROSS JOIN t)
+              SELECT round(dd.d, 6) AS ks, dd.x AS at_x, t.nv AS n_values,
+                     t.t0 AS n_train, t.t1 AS n_score
+              FROM dd CROSS JOIN t ORDER BY dd.d DESC, dd.x ASC LIMIT 1""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,6 +86,55 @@ object Windows {
         .drop("__gr_rn")
     }
 
+  /** Exact global running sums over a total order, same two-pass bucket
+    * machinery as [[globalRowNumber]] (approxQuantile edges → per-bucket
+    * partial sums read driver-side, metadata-sized → within-bucket
+    * window + offset) — the scalable form of
+    * `sum(v) OVER (ORDER BY key)`, which as written funnels the table
+    * through ONE task. Each `(valueCol, outName)` pair gets its own
+    * cumulative column in the same single pass; values must be LONG
+    * (exact integer prefix sums — engine-replayable).
+    *
+    * `leadKey` must be numeric; `tiebreaks` must make the order total
+    * (the prefix sum at a row is order-dependent across ties). */
+  def globalRunningSums(
+      df: DataFrame, leadKey: String, tiebreaks: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until n).map(_.toDouble / n).toArray
+    val edges =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
+    val bucketCol =
+      if (edges.isEmpty) lit(0)
+      else size(filter(typedLit(edges), e => e < col(leadKey).cast("double")))
+    val named = values.zipWithIndex.map { case ((v, out), i) => (v, out, s"__gs_v$i") }
+    val bucketed = df.withColumn("__gs_b", bucketCol)
+    // metadata-sized driver read: one partial-sum row per bucket
+    val partials = bucketed.groupBy(col("__gs_b"))
+      .agg(sum(named.head._1.cast("long")).as(named.head._3),
+        named.tail.map { case (v, _, tmp) => sum(v.cast("long")).as(tmp) }: _*)
+      .select(col("__gs_b") +: named.map(t => col(t._3)): _*)
+      .collect().map(r => r.getInt(0) -> named.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val accs = Array.fill(named.size)(0L)
+    val offsets = partials.map { case (b, sums) =>
+      val off = accs.toSeq
+      sums.zipWithIndex.foreach { case (s, i) => accs(i) += s }
+      b -> off
+    }.toMap
+    val w = Window.partitionBy(col("__gs_b"))
+      .orderBy((col(leadKey) +: tiebreaks): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    named.zipWithIndex.foldLeft(bucketed) { case (acc, ((v, out, _), i)) =>
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else element_at(typedLit(offsets.map { case (b, o) => b -> o(i) }), col("__gs_b"))
+      acc.withColumn(out, sum(v.cast("long")).over(w) + offCol)
+    }.drop("__gs_b")
+  }
+
   private def withGlobalRank(df: DataFrame, leadKey: String, tiebreaks: Seq[Column])(
       build: (DataFrame, Column, Long) => DataFrame): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions

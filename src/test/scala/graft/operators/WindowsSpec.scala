@@ -37,4 +37,31 @@ class WindowsSpec extends SparkSpec {
       .select(col("t")).as[Option[Double]].collect().toSeq
     assert(got == Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
   }
+
+  test("globalRunningSums matches a sequential prefix sum across buckets") {
+    // 500 rows with duplicate keys (tiebreak on id) across 4 shuffle
+    // partitions — exercises the bucket offsets, not just one window
+    val rows = (1 to 500).map(i => ((i * 7919) % 50, i.toLong, (i % 13).toLong, (i % 5).toLong))
+    val df = rows.toDF("k", "id", "a", "b").repartition(4)
+    val got = Windows.globalRunningSums(df, "k", Seq(col("id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"))
+      .orderBy(col("k"), col("id"))
+      .select(col("ca"), col("cb")).as[(Long, Long)].collect().toSeq
+    val want = rows.sortBy(r => (r._1, r._2))
+      .scanLeft((0L, 0L)) { case ((sa, sb), r) => (sa + r._3, sb + r._4) }.drop(1)
+    assert(got == want)
+  }
+
+  test("globalRunningSums plans no global (unpartitioned) window") {
+    val df = (1 to 100).map(i => (i % 10, i.toLong, 1L)).toDF("k", "id", "a")
+    val p = Windows.globalRunningSums(df, "k", Seq(col("id")), Seq(col("a") -> "c"))
+      .queryExecution.executedPlan.toString
+    val wlines = p.linesIterator
+      .filter(l => """(^|[-+: ])Window \[""".r.findFirstIn(l).isDefined).toList
+    assert(wlines.nonEmpty, p)
+    wlines.foreach { l =>
+      assert("""\], \[""".r.findAllIn(l).length >= 2,
+        s"global (unpartitioned) Window:\n$l")
+    }
+  }
 }
