@@ -5342,16 +5342,27 @@ object SparkEntry {
                       / count(*), 6) AS retention_pct
               FROM fl GROUP BY 1""")),
 
-    Q("v_knn_graph", (s, d) =>
+    Q("v_knn_graph", (s, d) => {
       // mutual k-NN graph over the embedding corpus (the seed for
       // graph-based clustering/diversity curation): IVF-cell blocked
       // candidates, per-node top-3 window, edge kept only when BOTH
-      // endpoints rank each other — never corpus x corpus
-      Similarity.mutualKnnGraph(emb(s, d), col("vec_id"), col("embedding"),
-        k = 3, nlist = 16),
+      // endpoints rank each other — never corpus x corpus. nlist is
+      // corpus-adaptive (√(n/2), floor 16): a fixed cell count makes
+      // within-cell pairs grow quadratically with the corpus (measured
+      // at 10x vectors: 19.2 s at nlist=16 vs 9.7 s adaptive, the
+      // latter with a colder JVM; nlist 16 vs 31 tie at 1x).
+      // SPARK_GRAFT_KNN_NLIST pins the cell count for experiments
+      val e = emb(s, d)
+      val nl = sys.env.get("SPARK_GRAFT_KNN_NLIST").map(_.toInt)
+        .getOrElse(Similarity.adaptiveNlist(e.count()))
+      Similarity.mutualKnnGraph(e, col("vec_id"), col("embedding"),
+        k = 3, nlist = nl)
+    },
       Some("""WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              nl AS (SELECT greatest(16, floor(sqrt(count(*) / 2.0))::BIGINT) AS nlist
+                     FROM e),
               cent AS (SELECT m.cell, e.v AS centroid
-                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                       FROM (SELECT vid % (SELECT nlist FROM nl) AS cell, min(vid) AS mvid
                              FROM e GROUP BY 1) m
                        JOIN e ON e.vid = m.mvid),
               asg AS (SELECT vid, v, cell FROM (

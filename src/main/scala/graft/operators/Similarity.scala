@@ -380,7 +380,20 @@ object Similarity {
     * engine-replayable. Per-node top-k is a window partitioned by the
     * node — parallel across nodes, no global sort.
     *
+    * SCALE DIAL: `nlist` must grow with the corpus — a FIXED cell count
+    * means cell populations grow linearly and within-cell pairs
+    * QUADRATICALLY (measured: 10x vectors at nlist=16 → 26x wall; the
+    * simhash band-saturation failure mode). Use [[adaptiveNlist]]
+    * (√(n/2), so expected cell population stays ~√(2n)) unless the cell
+    * count is pinned for oracle/test replay.
+    *
     * Returns (id_a, id_b, cos) with id_a < id_b. */
+  /** Corpus-adaptive IVF cell count: ⌊√(n/2)⌋ floored at 16, so the
+    * expected cell population grows as √n instead of linearly — keeps
+    * blocked pair generation near-linear in corpus size. */
+  def adaptiveNlist(n: Long): Int =
+    math.max(16, math.sqrt(n / 2.0).toInt)
+
   def mutualKnnGraph(
       df: DataFrame, id: Column, vec: Column, k: Int,
       nlist: Int = 16): DataFrame = {

@@ -258,4 +258,14 @@ class SimilaritySpec extends SparkSpec {
     // undirected contract: id_a < id_b always
     k2.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("adaptiveNlist: sqrt growth with a floor of 16") {
+    assert(Similarity.adaptiveNlist(0L) == 16)
+    assert(Similarity.adaptiveNlist(2000L) == 31)   // sqrt(1000)
+    assert(Similarity.adaptiveNlist(20000L) == 100) // sqrt(10000)
+    // expected cell population grows ~sqrt(2n), not linearly
+    val popRatio = 2000000L / Similarity.adaptiveNlist(2000000L).toDouble /
+      (20000L / Similarity.adaptiveNlist(20000L).toDouble)
+    assert(popRatio < 11.0, s"100x corpus must not mean 100x cell population: $popRatio")
+  }
 }
