@@ -219,4 +219,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val runningSumGen: Gen[List[(Int, Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(-20, 20)       // duplicate keys incl. negatives
+      a <- Gen.choose(-50L, 50L)     // negative values: sums must stay exact
+      b <- Gen.choose(0L, 13L)
+    } yield (k, a, b))
+  } yield rows.zipWithIndex.map { case ((k, a, b), i) => (k, i.toLong, a, b) }
+
+  test("globalRunningSums == sequential prefix sum for random inputs (5 seeds)") {
+    (11L to 15L).foreach { seed =>
+      val rows = sample(runningSumGen, seed)
+      val got = graft.operators.Windows.globalRunningSums(
+          rows.toDF("k", "id", "a", "b").repartition(3),
+          "k", Seq(col("id")), Seq(col("a") -> "ca", col("b") -> "cb"))
+        .orderBy(col("k"), col("id"))
+        .select(col("ca"), col("cb")).as[(Long, Long)].collect().toSeq
+      val want = rows.sortBy(r => (r._1, r._2))
+        .scanLeft((0L, 0L)) { case ((sa, sb), r) => (sa + r._3, sb + r._4) }
+        .drop(1)
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  private val chunkGen: Gen[(Int, Int, List[Int])] = for {
+    size <- Gen.choose(1, 12)
+    stride <- Gen.choose(1, size)
+    docs <- Gen.listOfN(8, Gen.choose(0, 40))
+  } yield (size, stride, docs)
+
+  test("slidingChunks: coverage/overlap invariants for random sizes (5 seeds)") {
+    (21L to 25L).foreach { seed =>
+      val (size, stride, lens) = sample(chunkGen, seed)
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, (1 to n.max(1)).map(w => s"w$w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.functions.TextFunctions
+        .slidingChunks(df, col("doc_id"), col("text"), size, stride)
+        .select(col("doc_id"), col("cidx"), col("start_w"), col("n_w"))
+        .as[(Long, Int, Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+      got.foreach { case (id, cs) =>
+        val n = lens(id.toInt).max(1)
+        // starts advance by exactly the stride from zero
+        assert(cs.map(_._3) == cs.indices.map(_ * stride).toList, s"seed=$seed doc=$id")
+        // every window non-empty, only the last may be short
+        cs.init.foreach(c => assert(c._4 == size, s"seed=$seed doc=$id"))
+        assert(cs.last._4 >= 1 && cs.last._4 <= size, s"seed=$seed doc=$id")
+        // full coverage: last window ends exactly at the doc end
+        assert(cs.last._3 + cs.last._4 == n, s"seed=$seed doc=$id n=$n cs=$cs")
+        // window count formula
+        val want = 1 + math.ceil(math.max(n - size, 0) / stride.toDouble).toInt
+        assert(cs.length == want, s"seed=$seed doc=$id")
+      }
+    }
+  }
 }
