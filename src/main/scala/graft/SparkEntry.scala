@@ -5342,6 +5342,32 @@ object SparkEntry {
                       / count(*), 6) AS retention_pct
               FROM fl GROUP BY 1""")),
 
+    Q("d_segment_dedup", (s, d) =>
+      // CCNet-style corpus-frequency segment suppression: 8-word
+      // segments, EVERY occurrence of a segment seen >2 times corpus-wide
+      // removed (boilerplate killer — distinct from chunkDedup's
+      // keep-first contract). One explode + one hash agg; the hot set is
+      // threshold-filtered before the join back (AQE broadcasts it);
+      // reassembly is an in-row array_sort, no per-doc window
+      Dedup.segmentDedup(doc(s, d), col("doc_id"), col("text"),
+        segmentWords = 8, maxDf = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              segs AS (SELECT doc_id, i AS idx,
+                         array_to_string(w[(i*8+1):(i*8+8)], ' ') AS seg
+                       FROM toks,
+                         LATERAL unnest(generate_series(0, (len(w)-1)//8)) AS t(i)),
+              freq AS (SELECT md5(seg) AS h, count(*) AS n FROM segs GROUP BY 1),
+              fl AS (SELECT s.doc_id, s.idx, s.seg, (f.n > 2) AS is_hot
+                     FROM segs s JOIN freq f ON md5(s.seg) = f.h)
+              SELECT doc_id, count(*)::BIGINT AS n_segments,
+                sum(CASE WHEN is_hot THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                round(sum(CASE WHEN is_hot THEN 1 ELSE 0 END)
+                      / count(*), 6) AS removed_ratio,
+                coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END, ' '
+                                    ORDER BY idx), '') AS kept_text
+              FROM fl GROUP BY 1""")),
+
     Q("v_knn_graph", (s, d) => {
       // mutual k-NN graph over the embedding corpus (the seed for
       // graph-based clustering/diversity curation): IVF-cell blocked

@@ -522,6 +522,74 @@ object Dedup {
           s => s.getField("chunk")), " ").as("dedup_text"))
   }
 
+  /** Corpus-frequency segment suppression (the CCNet/RefinedWeb
+    * paragraph-dedup shape, e.g. Wenzek et al. 2019 §4.1): hash every
+    * segment of every document, count each hash's corpus-wide occurrence
+    * frequency, and remove EVERY occurrence of segments seen more than
+    * `maxDf` times — including the first. This is the boilerplate killer
+    * (nav bars, license headers, cookie banners): unlike [[chunkDedup]]'s
+    * keep-first contract, a hot segment survives nowhere, because its
+    * repetition is evidence it is template text rather than content.
+    *
+    * Reference behavioral anchor: the reference's dedup stage is
+    * keep-first only (dedup-processor.ts); this operator extends the
+    * family with the frequency-threshold variant a pretraining corpus
+    * needs.
+    *
+    * Segmentation here is fixed non-overlapping `segmentWords`-token
+    * windows (the synthetic corpus has no newlines); on real data,
+    * pre-split into (doc_id, idx, seg) rows — by '\n', sentence breaks,
+    * whatever — and call [[segmentDedupFrom]], which is the actual
+    * engine.
+    *
+    * Scale: one explode (bounded by token count), one hash aggregate for
+    * the frequency table, and the hot-set is threshold-filtered BEFORE
+    * the join back — at any realistic `maxDf` it is a tiny fraction of
+    * the segment universe, so AQE broadcasts the left join (never forced:
+    * hot-set size is data-dependent). Reassembly is an in-row
+    * `array_sort`, no per-doc window/sort.
+    *
+    * Returns (doc_id, n_segments, n_removed, removed_ratio, kept_text). */
+  def segmentDedup(
+      df: DataFrame, id: Column, text: Column,
+      segmentWords: Int, maxDf: Int): DataFrame = {
+    require(segmentWords > 0, "segmentWords must be positive")
+    val toks = df.select(id.cast("long").as("doc_id"),
+      split(trim(text), "\\s+").as("toks"))
+    val segs = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(segmentWords)).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * segmentWords + 1, lit(segmentWords)))))
+        .as(Seq("idx", "seg")))
+    segmentDedupFrom(segs, maxDf)
+  }
+
+  /** Core of [[segmentDedup]] over pre-segmented rows
+    * (doc_id, idx, seg): drop every occurrence of segments whose total
+    * corpus occurrence count exceeds `maxDf`, reassemble per doc in
+    * `idx` order. Within-doc repeats count toward the frequency — a doc
+    * that repeats its own boilerplate 50 times is exactly the
+    * degenerate-template case the threshold exists for. */
+  def segmentDedupFrom(segs: DataFrame, maxDf: Int): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    val hashed = segs.withColumn("__h", md5(col("seg")))
+    val hot = hashed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDf).select(col("__h"), lit(true).as("__hot"))
+    hashed.join(hot, Seq("__h"), "left")
+      .withColumn("__drop", coalesce(col("__hot"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("kept_text"))
+      .withColumn("removed_ratio",
+        round(col("n_removed") / col("n_segments"), 6))
+      .select("doc_id", "n_segments", "n_removed", "removed_ratio", "kept_text")
+  }
+
   /** Incremental dedup: flag each NEW-batch document against the
     * existing corpus — exact (normalized fingerprint present in the
     * corpus) and near (df-capped n-gram Jaccard vs a corpus doc >=

@@ -307,6 +307,15 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("segment dedup: equi joins only; hot-set filtered before join-back") {
+    val p = plan("d_segment_dedup")
+    // frequency table and join-back are hash ops on the segment hash —
+    // any nested loop would mean the hot set stopped being a key join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // reassembly is in-row array_sort, never a per-doc sort/window
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+  }
+
   test("classifier inference and chunking are shuffle-free scan projections") {
     // both are per-row operators: any Exchange would mean an accidental
     // aggregation/join crept into what must stay a map-only stage

@@ -232,6 +232,46 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, "")))
   }
 
+  test("segmentDedup removes EVERY occurrence of corpus-hot segments") {
+    // segmentWords=2, maxDf=2: "a b" occurs 3x corpus-wide -> suppressed
+    // everywhere (including the first owner — the contract that
+    // distinguishes this from chunkDedup's keep-first)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, col("doc_id"), col("text"),
+        segmentWords = 2, maxDf = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"), col("kept_text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "a b" df=3 (hot), "c d" df=2 (kept at threshold), "x y" df=1
+    assert(got(1L) == ((2L, 1L, "c d")))
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((2L, 1L, "c d")))
+  }
+
+  test("segmentDedup counts within-doc repeats toward the frequency") {
+    // "z z" appears 3x inside ONE doc -> still hot at maxDf=2; a doc
+    // whose every segment is hot reassembles to the empty string
+    val docs = Seq((1L, "z z z z z z"), (2L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, col("doc_id"), col("text"),
+        segmentWords = 2, maxDf = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        col("removed_ratio"), col("kept_text"))
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0, "")))
+    assert(got(2L) == ((1L, 0L, 0.0, "p q")))
+  }
+
+  test("segmentDedup ragged tail segment is its own frequency unit") {
+    val docs = Seq((1L, "a b c"), (2L, "c"), (3L, "c")).toDF("doc_id", "text")
+    // tail segment "c" of doc 1 + whole docs 2,3 -> df=3 -> hot
+    val got = Dedup.segmentDedup(docs, col("doc_id"), col("text"),
+        segmentWords = 2, maxDf = 2)
+      .select(col("doc_id"), col("kept_text")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a b", 2L -> "", 3L -> ""))
+  }
+
   test("incrementalDedup flags new docs against the corpus only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
