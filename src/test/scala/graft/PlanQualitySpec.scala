@@ -316,6 +316,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("WindowExec") && !p.contains("Window "), p)
   }
 
+  test("curation funnel: stage flags travel as equi joins, no all-pairs") {
+    val p = plan("docs_e2e_curation")
+    // LSH pair generation and every flag join-back must stay hash/equi;
+    // a nested loop would mean a stage flag lost its doc_id key
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("classifier inference and chunking are shuffle-free scan projections") {
     // both are per-row operators: any Exchange would mean an accidental
     // aggregation/join crept into what must stay a map-only stage
