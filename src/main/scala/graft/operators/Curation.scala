@@ -42,13 +42,19 @@ object Curation {
       minQuality: Double = 0.5,
       shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4,
       contamN: Int = 5): DataFrame = {
-    val base = docs.select(id.cast("long").as("doc_id"), source.as("source"),
+    // materialized ONCE: the quality/lang-id regex battery is the single
+    // most expensive row-local stage here, and `base` fans into every
+    // downstream branch (the s2 filter, the cluster-quality join, and
+    // the final flag join-back) — without the barrier each branch
+    // re-scores the corpus
+    val base = graft.Mat(docs.select(
+        id.cast("long").as("doc_id"), source.as("source"),
         lang.as("lang"), text.as("text"),
         TextFunctions.qualityScore(text).as("quality"),
         TextFunctions.langId(text).as("pred_lang"),
         TextFunctions.tokenCountWs(text).cast("long").as("n_tok"))
       .withColumn("pass_q", col("quality") >= minQuality)
-      .withColumn("pass_l", col("pass_q") && col("pred_lang") === col("lang"))
+      .withColumn("pass_l", col("pass_q") && col("pred_lang") === col("lang")))
 
     // stage 3: exact keep-first on the language survivors
     val s2 = base.filter(col("pass_l"))

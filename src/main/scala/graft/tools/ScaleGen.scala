@@ -10,13 +10,22 @@ import org.apache.spark.sql.functions._
   * — a faithful N x workload, not a hot-key pileup. Dimension tables are
   * copied through unchanged.
   *
-  * Usage: ScaleGen <srcSfDir> <outDir> <copies>
+  * Usage: ScaleGen <srcSfDir> <outDir> <copies> [docsMode]
   * (run via the Bench classpath: java -cp target/...:/opt/spark/jars/\*)
+  *
+  * docsMode `suffix` (default) word-suffixes each copy's text so the
+  * corpus is `copies` DISJOINT shards — the honest linear baseline for
+  * dedup (verbatim replication would square pair counts). docsMode
+  * `verbatim` keeps texts identical across copies (only ids shift):
+  * the cross-shard-duplicate stress a crawl corpus actually has, and
+  * the right workload for operators whose regex/scoring stages would
+  * be broken by suffixed words (lang-id markers, stopword ratios).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val verbatimDocs = args.length > 3 && args(3) == "verbatim"
     val spark = graft.GraftSession.getOrCreate("graft-scalegen")
 
     val o = spark.read.parquet(s"$src/orders.parquet")
@@ -42,24 +51,28 @@ object ScaleGen {
     // (replicating texts verbatim would grow pair counts quadratically)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dShift = docs.agg(max("doc_id")).head.getLong(0) + 1
-    docs.select(col("*"), cSeq)
+    val docsScaled = docs.select(col("*"), cSeq)
       .withColumn("doc_id", col("doc_id") + col("__c") * dShift)
-      .withColumn("text", array_join(
-        transform(split(col("text"), " "),
-          w => concat(w, lit("_"), col("__c"))), " "))
+    (if (verbatimDocs) docsScaled
+     else docsScaled.withColumn("text", array_join(
+       transform(split(col("text"), " "),
+         w => concat(w, lit("_"), col("__c"))), " ")))
       .drop("__c")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // embeddings: circular dimension shift per copy — norms and within-copy
-    // similarity structure preserved, cross-copy cosines decorrelated
+    // similarity structure preserved, cross-copy cosines decorrelated.
+    // Shift modulo the dimension: copies beyond dim wrap (slice length
+    // must stay >= 0 — at copies > dim the raw offset went negative)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val eShift = emb.agg(max("vec_id")).head.getLong(0) + 1
     emb.select(col("*"), cSeq)
       .withColumn("vec_id", col("vec_id") + col("__c") * eShift)
+      .withColumn("__s", pmod(col("__c").cast("int"), size(col("embedding"))))
       .withColumn("embedding", concat(
-        slice(col("embedding"), col("__c").cast("int") + 1,
-          size(col("embedding")) - col("__c").cast("int")),
-        slice(col("embedding"), lit(1), col("__c").cast("int"))))
-      .drop("__c")
+        slice(col("embedding"), col("__s") + 1,
+          size(col("embedding")) - col("__s")),
+        slice(col("embedding"), lit(1), col("__s"))))
+      .drop("__c", "__s")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
