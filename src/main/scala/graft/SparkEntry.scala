@@ -5485,6 +5485,120 @@ object SparkEntry {
                 round(sum(s5ok::INT) / count(*), 6) AS retention
               FROM fin2 GROUP BY 1, 2""")),
 
+    Q("d_curation_log", (s, d) => {
+      // per-doc audit surface of the funnel: FIRST stage that dropped
+      // each document (or 'kept') — same flagged substrate as
+      // docs_e2e_curation, projected per doc instead of aggregated.
+      // Corpus-sized output: a write-to-table surface, never a collect
+      val docs = doc(s, d)
+      Curation.curationDropLog(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("doc_id"), col("text"), col("source"), col("lang"))
+    },
+      Some("""WITH RECURSIVE
+              corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+              b0 AS (SELECT doc_id, source, lang, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|that|with)\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
+              FROM corpus0),
+              flags AS (SELECT doc_id, source, lang, text, n_tok_ws,
+                round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality,
+                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                     ELSE 'und' END AS pred_lang
+              FROM b0),
+              fl2 AS (SELECT *, quality >= 0.5 AS pass_q,
+                        (quality >= 0.5 AND pred_lang = lang) AS pass_l
+                      FROM flags),
+              s2 AS (SELECT * FROM fl2 WHERE pass_l),
+              fps AS (SELECT doc_id,
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM s2),
+              ek AS (SELECT f.doc_id FROM fps f
+                     JOIN (SELECT fp, min(doc_id) AS k FROM fps GROUP BY 1) m
+                       ON f.fp = m.fp AND f.doc_id = m.k),
+              s3 AS (SELECT s2.* FROM s2 JOIN ek USING (doc_id)),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM s3),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              h AS (SELECT doc_id, i,
+                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i) + (11 * i + 7))
+                          % 4294967311) AS m
+                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+                    GROUP BY 1, 2),
+              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
+              banded AS (SELECT doc_id,
+                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
+                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b
+                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                        UNION SELECT id_b, id_a FROM cand),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION
+                        SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src),
+              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY node),
+              keepn AS (SELECT component, node AS keep_id FROM (
+                          SELECT c.component, c.node,
+                                 row_number() OVER (PARTITION BY c.component
+                                   ORDER BY f.quality DESC, c.node ASC) AS rn
+                          FROM comp c JOIN fl2 f ON f.doc_id = c.node) WHERE rn = 1),
+              neard AS (SELECT c.node AS doc_id
+                        FROM comp c JOIN keepn k USING (component)
+                        WHERE c.node <> k.keep_id),
+              s4 AS (SELECT * FROM s3
+                     WHERE doc_id NOT IN (SELECT doc_id FROM neard)),
+              t4 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w4 FROM s4),
+              g4 AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w4[i:i+4], ' ')
+                                             for i in generate_series(1, len(w4) - 4)])) AS g
+                     FROM t4 WHERE len(w4) >= 5),
+              tp AS (SELECT string_split_regex(trim(text), '\s+') AS wp
+                     FROM documents WHERE doc_id % 97 = 0),
+              probe AS (SELECT DISTINCT unnest([array_to_string(wp[i:i+4], ' ')
+                                               for i in generate_series(1, len(wp) - 4)]) AS g
+                        FROM tp WHERE len(wp) >= 5),
+              contam AS (SELECT DISTINCT doc_id FROM g4
+                         WHERE g IN (SELECT g FROM probe)),
+              fin AS (SELECT f.*,
+                        (f.doc_id IN (SELECT doc_id FROM ek)) AS s3ok0
+                      FROM fl2 f),
+              fin2 AS (SELECT *,
+                         s3ok0 AS s3ok,
+                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)) AS s4ok,
+                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)
+                          AND doc_id NOT IN (SELECT doc_id FROM contam)) AS s5ok
+                       FROM fin)
+                            SELECT doc_id, source, lang, quality, pred_lang,
+                n_tok_ws::BIGINT AS n_tok,
+                CASE WHEN NOT pass_q THEN 'quality'
+                     WHEN NOT pass_l THEN 'lang'
+                     WHEN NOT s3ok THEN 'exact_dup'
+                     WHEN NOT s4ok THEN 'near_dup'
+                     WHEN NOT s5ok THEN 'contaminated'
+                     ELSE 'kept' END AS verdict
+              FROM fin2""")),
+
     Q("v_knn_graph", (s, d) => {
       // mutual k-NN graph over the embedding corpus (the seed for
       // graph-based clustering/diversity curation): IVF-cell blocked

@@ -36,12 +36,16 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
-  def curationFunnel(
+  /** Per-doc stage flags — the shared substrate of [[curationFunnel]]
+    * (the aggregate report) and [[curationDropLog]] (the per-doc audit).
+    * One row per corpus doc with pass_q/pass_l and the s3ok/s4ok/s5ok
+    * survivor flags. */
+  private def flaggedDocs(
       docs: DataFrame, probes: DataFrame,
       id: Column, text: Column, source: Column, lang: Column,
-      minQuality: Double = 0.5,
-      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      contamN: Int = 5): DataFrame = {
+      minQuality: Double,
+      shingleWords: Int, numHashes: Int, bands: Int,
+      contamN: Int): DataFrame = {
     // materialized ONCE: the quality/lang-id regex battery is the single
     // most expensive row-local stage here, and `base` fans into every
     // downstream branch (the s2 filter, the cluster-quality join, and
@@ -90,13 +94,23 @@ object Curation {
     val contamDocs = corpusGrams.join(probeGrams, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("contam", lit(true))
 
-    // one pass over the flagged base: conditional sums per (source, lang)
     base.join(exactKeep, Seq("doc_id"), "left")
       .join(nearDrop, Seq("doc_id"), "left")
       .join(contamDocs, Seq("doc_id"), "left")
       .withColumn("s3ok", col("pass_l") && coalesce(col("pass_e"), lit(false)))
       .withColumn("s4ok", col("s3ok") && !coalesce(col("near_drop"), lit(false)))
       .withColumn("s5ok", col("s4ok") && !coalesce(col("contam"), lit(false)))
+  }
+
+  def curationFunnel(
+      docs: DataFrame, probes: DataFrame,
+      id: Column, text: Column, source: Column, lang: Column,
+      minQuality: Double = 0.5,
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      contamN: Int = 5): DataFrame =
+    // one pass over the flagged base: conditional sums per (source, lang)
+    flaggedDocs(docs, probes, id, text, source, lang,
+      minQuality, shingleWords, numHashes, bands, contamN)
       .groupBy(col("source"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -107,5 +121,27 @@ object Curation {
         sum(when(col("s5ok"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("s5ok"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
       .withColumn("retention", round(col("n_kept") / col("n_docs"), 6))
-  }
+
+  /** Per-doc audit log of the funnel: one row per corpus document with
+    * the FIRST stage that dropped it (`quality`, `lang`, `exact_dup`,
+    * `near_dup`, `contaminated`) or `kept` — the data-governance answer
+    * to "why is my document not in the training set". Same flagged
+    * substrate as [[curationFunnel]]; output is corpus-sized (one row
+    * per doc), so it is a write-to-table surface, not a collect. */
+  def curationDropLog(
+      docs: DataFrame, probes: DataFrame,
+      id: Column, text: Column, source: Column, lang: Column,
+      minQuality: Double = 0.5,
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      contamN: Int = 5): DataFrame =
+    flaggedDocs(docs, probes, id, text, source, lang,
+      minQuality, shingleWords, numHashes, bands, contamN)
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"),
+        col("pred_lang"), col("n_tok"),
+        when(!col("pass_q"), lit("quality"))
+          .when(!col("pass_l"), lit("lang"))
+          .when(!col("s3ok"), lit("exact_dup"))
+          .when(!col("s4ok"), lit("near_dup"))
+          .when(!col("s5ok"), lit("contaminated"))
+          .otherwise(lit("kept")).as("verdict"))
 }

@@ -276,4 +276,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val segCorpusGen: Gen[(Int, Int, List[String])] = for {
+    segWords <- Gen.choose(1, 4)
+    maxDf <- Gen.choose(1, 3)
+    nDocs <- Gen.choose(1, 20)
+    // small vocab so segment collisions actually occur
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "))
+  } yield (segWords, maxDf, docs)
+
+  test("segmentDedup == sequential replay for random corpora (5 seeds)") {
+    (31L to 35L).foreach { seed =>
+      val (segWords, maxDf, texts) = sample(segCorpusGen, seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .segmentDedup(df, col("doc_id"), col("text"), segWords, maxDf)
+        .select(col("doc_id"), col("n_segments"), col("n_removed"), col("kept_text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential oracle: segment, count corpus-wide, suppress hot
+      val segs = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").grouped(segWords).map(_.mkString(" ")).toList
+      }
+      val freq = segs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      segs.foreach { case (id, ss) =>
+        val kept = ss.filter(s => freq(s) <= maxDf)
+        assert(got(id) == ((ss.length.toLong, (ss.length - kept.length).toLong,
+          kept.mkString(" "))), s"seed=$seed doc=$id segWords=$segWords maxDf=$maxDf")
+      }
+    }
+  }
+
+  test("curationFunnel counts are monotone down the funnel (3 seeds)") {
+    val gen = for {
+      nDocs <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(1, 25)
+        ws <- Gen.listOfN(n, Gen.oneOf("the", "and", "cat", "dog", "le", "la", "x"))
+        lang <- Gen.oneOf("en", "fr", "und")
+        src <- Gen.oneOf("s1", "s2")
+      } yield (ws.mkString(" "), lang, src))
+    } yield docs
+    (41L to 43L).foreach { seed =>
+      val rows = sample(gen, seed).zipWithIndex
+        .map { case ((t, l, s), i) => (i.toLong, t, l, s) }
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val probes = Seq((999L, rows.head._2)).toDF("doc_id", "text")
+      graft.operators.Curation.curationFunnel(df, probes,
+          col("doc_id"), col("text"), col("source"), col("lang"), minQuality = 0.1)
+        .select(col("n_docs"), col("n_quality"), col("n_lang"), col("n_exact"),
+          col("n_near"), col("n_kept"), col("retention"))
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+        .foreach { case (d, q, l, e, nr, k, r) =>
+          assert(d >= q && q >= l && l >= e && e >= nr && nr >= k, s"seed=$seed")
+          assert(r >= 0.0 && r <= 1.0, s"seed=$seed")
+        }
+    }
+  }
 }

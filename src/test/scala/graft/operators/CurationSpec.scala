@@ -48,6 +48,25 @@ class CurationSpec extends SparkSpec {
     assert(kept == ((2L, 18L)))
   }
 
+  test("curationDropLog reports the FIRST stage that dropped each doc") {
+    val got = Curation.curationDropLog(corpus, probes,
+        col("doc_id"), col("text"), col("source"), col("lang"),
+        minQuality = 0.1)
+      .select(col("doc_id"), col("verdict")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "kept", 2L -> "exact_dup", 3L -> "lang",
+      4L -> "near_dup", 5L -> "kept", 6L -> "contaminated"))
+  }
+
+  test("curationDropLog and curationFunnel agree on survivor counts") {
+    val log = Curation.curationDropLog(corpus, probes,
+        col("doc_id"), col("text"), col("source"), col("lang"), minQuality = 0.1)
+      .filter(col("verdict") === "kept").count()
+    val rep = Curation.curationFunnel(corpus, probes,
+        col("doc_id"), col("text"), col("source"), col("lang"), minQuality = 0.1)
+      .agg(sum(col("n_kept"))).as[Long].head()
+    assert(log == rep)
+  }
+
   test("curationFunnel retention is kept/docs per (source, lang)") {
     val r = Curation.curationFunnel(corpus, probes,
         col("doc_id"), col("text"), col("source"), col("lang"),
