@@ -58,7 +58,12 @@ object SparkEntry {
   /** Generated N-step BPE oracle: the same per-step CTE triple the
     * hand-written 2-step x_bpe_merges oracle uses, chained `n` times —
     * the oracle replays the full merge trajectory. */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int): String =
+    s"${bpeOracleCtes(n)}\nSELECT word, freq, replace(seg, '  ', ' ') AS seg FROM w$n"
+
+  /** The WITH-chain of [[bpeOracleSql]] alone (ending in `wN`), for
+    * oracles that consume the learned vocabulary downstream. */
+  private def bpeOracleCtes(n: Int): String = {
     val head =
       """WITH toks AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
@@ -82,7 +87,7 @@ object SparkEntry {
          |           ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')) AS seg
          |       FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
     }.mkString
-    s"$head$steps\nSELECT word, freq, replace(seg, '  ', ' ') AS seg FROM w$n"
+    s"$head$steps"
   }
 
   /** Repo root for committed fixtures — env-overridable so a checkout at a
@@ -3565,6 +3570,31 @@ object SparkEntry {
         nMerges = 12, matEvery = 1),
       Some(bpeOracleSql(12))),
 
+    Q("x_bpe_encode", (s, d) =>
+      // tokenizer APPLICATION: encode the corpus under 8 learned merges
+      // and report per-language tokenizer economics (fertility =
+      // tokens/word, chars/token). Encoding is one equi join of
+      // per-(lang, word) occurrence counts against the vocabulary frame
+      // — corpus rows are never touched word-by-word; the oracle replays
+      // the full 8-merge trajectory then the same join+agg
+      graft.operators.Tokenize.bpeEncodeStats(doc(s, d), col("doc_id"),
+        col("text"), col("lang"), nMerges = 8, matEvery = 1)
+        .withColumnRenamed("grp", "lang"),
+      Some(s"""${bpeOracleCtes(8)},
+              enc AS (SELECT word, len(string_split(seg, '  '))::INT AS n_sym
+                      FROM w8),
+              occ AS (SELECT lang, term, count(*)::BIGINT AS cnt FROM (
+                        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS term
+                        FROM documents)
+                      WHERE term <> '' GROUP BY 1, 2)
+              SELECT lang,
+                sum(cnt)::BIGINT AS n_words,
+                sum(cnt * n_sym)::BIGINT AS n_tokens,
+                round(sum(cnt * n_sym) / sum(cnt)::DOUBLE, 6) AS fertility,
+                round(sum(cnt * length(word)) / sum(cnt * n_sym)::DOUBLE, 6)
+                  AS chars_per_token
+              FROM occ JOIN enc ON occ.term = enc.word GROUP BY 1""")),
+
     Q("x_seq_pack", (s, d) =>
       // deterministic sequence packing: per source, docs in id order fill
       // 2048-token sequences by running total — one window, no per-bin
@@ -5183,6 +5213,40 @@ object SparkEntry {
                           FROM n))
               SELECT doc_id, cidx, start_w, n_w, chunk_md5 FROM c""")),
 
+    Q("x_line_fix", (s, d) =>
+      // RefinedWeb-style line-wise corrections: drop fragment /
+      // nav-like (no function word) / repetitive pseudo-lines (8-word
+      // windows), then gate the DOC on removed-word fraction <= 50%.
+      // Fully row-local — one projection over the scan (transform/
+      // filter/aggregate HOFs), no explode, no shuffle; ratio gates are
+      // integer cross-multiplications so the oracle replays them exactly
+      TextFunctions.lineCorrections(doc(s, d), col("doc_id"), col("text"),
+        lineWords = 8, minWords = 3, distinctRatioPct = 70,
+        maxRemovedPct = 50),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              lines AS (SELECT doc_id, len(w)::BIGINT AS n_words, i AS idx,
+                          w[(i*8+1):(i*8+8)] AS l
+                        FROM toks,
+                          LATERAL unnest(generate_series(0, (len(w)-1)//8)) AS t(i)),
+              fl AS (SELECT doc_id, n_words, idx, l, len(l)::BIGINT AS n,
+                       (len(l) < 3
+                        OR NOT list_has_any(l, ['the','a','an','and','or','of','to',
+                                               'in','is','it','that','for','on','with','as'])
+                        OR len(list_distinct(l)) * 100 < len(l) * 70) AS dropped
+                     FROM lines)
+              SELECT doc_id,
+                count(*)::BIGINT AS n_lines,
+                sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_removed_lines,
+                round((any_value(n_words) - sum(CASE WHEN dropped THEN 0 ELSE n END))
+                      / any_value(n_words)::DOUBLE, 6) AS removed_word_frac,
+                (CASE WHEN (any_value(n_words) - sum(CASE WHEN dropped THEN 0 ELSE n END)) * 100
+                           <= any_value(n_words) * 50 THEN 1 ELSE 0 END)::INT AS doc_kept,
+                coalesce(string_agg(CASE WHEN NOT dropped
+                                         THEN array_to_string(l, ' ') END, ' '
+                                    ORDER BY idx), '') AS kept_text
+              FROM fl GROUP BY 1""")),
+
     Q("a27_psi_drift", (s, d) => {
       // population-stability-index drift check between two halves of the
       // fact stream (the train-vs-serving monitoring staple): decile
@@ -5367,6 +5431,33 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END, ' '
                                     ORDER BY idx), '') AS kept_text
               FROM fl GROUP BY 1""")),
+
+    Q("d_indoc_dedup", (s, d) =>
+      // WITHIN-document duplicate-segment removal, keep first occurrence
+      // (crawl pages repeating their own paragraphs) — in-doc member of
+      // the segment-dedup family, distinct from chunkDedup (keep-first
+      // corpus-wide) and segmentDedup (suppress every occurrence
+      // corpus-wide). First-occurrence is a hash agg keyed by
+      // (doc_id, seg): skew bounds by PER-DOC repetition, hot corpus
+      // boilerplate never funnels one reducer. 2-word segments so the
+      // synthetic corpus actually exhibits in-doc repeats
+      Dedup.indocDedup(doc(s, d), col("doc_id"), col("text"),
+        segmentWords = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              segs AS (SELECT doc_id, i AS idx,
+                         array_to_string(w[(i*2+1):(i*2+2)], ' ') AS seg
+                       FROM toks,
+                         LATERAL unnest(generate_series(0, (len(w)-1)//2)) AS t(i)),
+              fst AS (SELECT doc_id, seg, min(idx) AS keep_idx,
+                        count(*)::BIGINT AS n
+                      FROM segs GROUP BY 1, 2)
+              SELECT doc_id,
+                sum(n)::BIGINT AS n_segments,
+                sum(n - 1)::BIGINT AS n_removed,
+                round(sum(n - 1) / sum(n)::DOUBLE, 6) AS removed_ratio,
+                string_agg(seg, ' ' ORDER BY keep_idx) AS dedup_text
+              FROM fst GROUP BY 1""")),
 
     Q("docs_e2e_curation", (s, d) => {
       // the documents-side FLAGSHIP: full sequential curation funnel

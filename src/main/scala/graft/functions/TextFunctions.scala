@@ -64,11 +64,17 @@ object TextFunctions {
       .otherwise(host)
   }
 
+  /** The function-word list shared by [[stopwordCount]] (ratio scoring)
+    * and [[lineCorrections]] (nav-line detection). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as")
+
   /** Occurrences of common English stopwords (word-boundary matched). */
   def stopwordCount(c: Column): Column =
     size(regexp_extract_all(
       lower(c),
-      lit("\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b"),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"),
       lit(0)))
 
   /** Composite quality score in [0,1]: blends length, stopword ratio and
@@ -417,5 +423,61 @@ object TextFunctions {
         least(lit(size), col("__nw") - col("cidx") * stride).as("n_w"),
         md5(array_join(slice(col("__toks"), col("cidx") * stride + 1, lit(size)), " "))
           .as("chunk_md5"))
+  }
+
+  /** RefinedWeb-style line-wise corrections (Penedo et al. 2023 §3.2 /
+    * App. G: drop nav/boilerplate LINES, then gate the DOCUMENT on how
+    * much of it the line pass removed). A pseudo-line here is a fixed
+    * non-overlapping `lineWords`-token window (this corpus has no
+    * newlines — on real data split by '\n' upstream and feed lines
+    * directly). A line is dropped when ANY rule fires:
+    *
+    *  - fragment:   fewer than `minWords` words (trailing crumbs,
+    *                button labels);
+    *  - nav-like:   contains NO function word at all ([[stopwords]]) —
+    *                menus, tag lists and breadcrumbs are noun soups;
+    *  - repetitive: distinct-word ratio below `distinctRatioPct`%
+    *                (repeated-token runs, "next next next" pagination).
+    *
+    * The document survives (`doc_kept = 1`) when removed WORDS are at
+    * most `maxRemovedPct`% of the document — past that the page was
+    * mostly chrome and the remnant is not trustworthy content. Ratio
+    * gates are exact integer cross-multiplications, so any engine
+    * replays them bit-for-bit.
+    *
+    * Scale: fully row-local — one projection over the scan (transform /
+    * filter / aggregate HOFs), NO explode, NO shuffle; at 100 TB this
+    * runs inside the scan stage ahead of every pairwise operator.
+    *
+    * Returns (doc_id, n_lines, n_removed_lines, removed_word_frac,
+    * doc_kept, kept_text). */
+  def lineCorrections(
+      df: DataFrame, id: Column, text: Column,
+      lineWords: Int, minWords: Int,
+      distinctRatioPct: Int, maxRemovedPct: Int): DataFrame = {
+    require(lineWords > 0 && minWords > 0, "lineWords/minWords must be positive")
+    require(distinctRatioPct >= 0 && distinctRatioPct <= 100, "distinctRatioPct in [0,100]")
+    require(maxRemovedPct >= 0 && maxRemovedPct <= 100, "maxRemovedPct in [0,100]")
+    val stopArr = array(stopwords.map(lit): _*)
+    df.select(id.cast("long").as("doc_id"), split(trim(text), "\\s+").as("__toks"))
+      .withColumn("__lines", transform(
+        sequence(lit(0), floor((size(col("__toks")) - 1) / lit(lineWords)).cast("int")),
+        i => slice(col("__toks"), i * lineWords + 1, lit(lineWords))))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        !(size(l) < minWords ||
+          !arrays_overlap(l, stopArr) ||
+          size(array_distinct(l)) * 100 < size(l) * distinctRatioPct)))
+      .withColumn("__nw", size(col("__toks")).cast("long"))
+      .withColumn("__kw",
+        aggregate(col("__kept"), lit(0L), (acc, l) => acc + size(l)))
+      .select(
+        col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_removed_lines"),
+        round((col("__nw") - col("__kw")) / col("__nw"), 6).as("removed_word_frac"),
+        when((col("__nw") - col("__kw")) * 100 <= col("__nw") * maxRemovedPct, 1)
+          .otherwise(0).as("doc_kept"),
+        array_join(transform(col("__kept"), l => array_join(l, " ")), " ")
+          .as("kept_text"))
   }
 }

@@ -590,6 +590,58 @@ object Dedup {
       .select("doc_id", "n_segments", "n_removed", "removed_ratio", "kept_text")
   }
 
+  /** Within-document duplicate-segment removal, keep-FIRST occurrence —
+    * the in-doc member of the segment-dedup family (crawl pages repeat
+    * their own paragraphs: pagination artifacts, expanded/collapsed
+    * sections, templated list items). Deliberately distinct from both
+    * [[chunkDedup]] (keep-first CORPUS-wide) and [[segmentDedup]]
+    * (suppress EVERY occurrence corpus-wide): here a segment's repeats
+    * are judged only inside its own document, so two documents sharing
+    * text are untouched.
+    *
+    * Segmentation is fixed non-overlapping `segmentWords`-token windows
+    * (this corpus has no newlines); on real data pre-split into
+    * (doc_id, idx, seg) rows and call [[indocDedupFrom]].
+    *
+    * Scale: first-occurrence is one hash aggregate keyed by
+    * (doc_id, seg) — partial aggregation collapses per-partition repeats
+    * before the shuffle, and the key includes doc_id so hot boilerplate
+    * segments do NOT funnel through one reducer (the skew bound is
+    * per-doc repetition, not corpus frequency — strictly better than the
+    * corpus-level variants). Reassembly is the same in-row `array_sort`,
+    * no per-doc window.
+    *
+    * Returns (doc_id, n_segments, n_removed, removed_ratio, dedup_text). */
+  def indocDedup(
+      df: DataFrame, id: Column, text: Column, segmentWords: Int): DataFrame = {
+    require(segmentWords > 0, "segmentWords must be positive")
+    val toks = df.select(id.cast("long").as("doc_id"),
+      split(trim(text), "\\s+").as("toks"))
+    val segs = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(segmentWords)).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * segmentWords + 1, lit(segmentWords)))))
+        .as(Seq("idx", "seg")))
+    indocDedupFrom(segs)
+  }
+
+  /** Core of [[indocDedup]] over pre-segmented (doc_id, idx, seg) rows:
+    * keep each distinct segment's first in-doc occurrence, reassemble in
+    * first-occurrence order. */
+  def indocDedupFrom(segs: DataFrame): DataFrame =
+    segs.groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("idx")).as("__keep"), count(lit(1)).as("__n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__n")).as("n_segments"),
+        sum(col("__n") - 1).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__keep"), col("seg")))),
+          s => s.getField("seg")), " ").as("dedup_text"))
+      .withColumn("removed_ratio",
+        round(col("n_removed") / col("n_segments"), 6))
+      .select("doc_id", "n_segments", "n_removed", "removed_ratio", "dedup_text")
+
   /** Incremental dedup: flag each NEW-batch document against the
     * existing corpus — exact (normalized fingerprint present in the
     * corpus) and near (df-capped n-gram Jaccard vs a corpus doc >=

@@ -118,4 +118,43 @@ object Tokenize {
       .withColumn("seq_id", floor((col("__cum") - nTokens) / seqLen).cast("long"))
       .drop("__cum")
   }
+
+  /** Tokenizer APPLICATION stats — the stage after [[bpeMerges]] learns
+    * a vocabulary: encode the whole corpus under the learned merges and
+    * report per-`group` (a language, a source) tokenizer economics:
+    * word occurrences, BPE tokens, fertility (tokens per word — THE
+    * tokenizer-quality number, e.g. Rust et al. 2021) and characters
+    * per token (compression).
+    *
+    * Encoding never touches corpus rows word-by-word: each distinct
+    * word's segmentation is already the `seg` column of the merge
+    * output, so application is one equi join of per-(group, word)
+    * occurrence counts against the vocabulary frame, then a group-sized
+    * aggregate. The vocabulary side is distinct-word-sized but
+    * data-dependent — the join is NOT force-broadcast (AQE decides);
+    * Zipf-hot words are harmless because the occurrence side is already
+    * aggregated to one row per (group, word).
+    *
+    * Returns (grp, n_words, n_tokens, fertility, chars_per_token). */
+  def bpeEncodeStats(
+      df: DataFrame, id: Column, text: Column, group: Column,
+      nMerges: Int, matEvery: Int): DataFrame = {
+    val enc = bpeMerges(df, id, text, nMerges, matEvery)
+      .select(col("word"), size(split(col("seg"), " ")).as("n_sym"))
+    val occ = df.select(group.as("grp"),
+        explode(split(trim(text), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    occ.join(enc, occ("term") === enc("word"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("grp"),
+        col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
+  }
 }

@@ -332,4 +332,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pw.contains("Exchange"), pw)
     assert(pw.contains("Generate"), pw) // the posexplode, not a join fan-out
   }
+
+  test("line corrections is a pure scan projection; indoc dedup has no window") {
+    // lineCorrections is all in-row HOFs: no explode, no shuffle at all
+    val pl = plan("x_line_fix")
+    assert(!pl.contains("Exchange"), pl)
+    assert(!pl.contains("Generate"), pl)
+    // indocDedup's first-occurrence must be the (doc_id, seg)-keyed hash
+    // aggregate — a WindowExec here would mean a per-doc sort crept in
+    val pd = plan("d_indoc_dedup")
+    assert(pd.contains("HashAggregate"), pd)
+    assert(!pd.contains("WindowExec") && !pd.contains("Window "), pd)
+  }
 }

@@ -311,6 +311,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("indocDedup == sequential keep-first replay per doc (5 seeds)") {
+    (61L to 65L).foreach { seed =>
+      val (segWords, _, texts) = sample(segCorpusGen, seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .indocDedup(df, col("doc_id"), col("text"), segWords)
+        .select(col("doc_id"), col("n_segments"), col("n_removed"), col("dedup_text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential oracle: per doc, scan segments left-to-right keeping
+      // only unseen ones (distinct preserves first-occurrence order)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val ss = t.split("\\s+").grouped(segWords).map(_.mkString(" ")).toList
+        val kept = ss.distinct
+        assert(got(i.toLong) == ((ss.length.toLong, (ss.length - kept.length).toLong,
+          kept.mkString(" "))), s"seed=$seed doc=$i segWords=$segWords")
+      }
+    }
+  }
+
   test("curationFunnel counts are monotone down the funnel (3 seeds)") {
     val gen = for {
       nDocs <- Gen.choose(2, 25)

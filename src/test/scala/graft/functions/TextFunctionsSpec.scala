@@ -226,4 +226,41 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(wSum) <= 1000L * n)
     }
   }
+
+  test("lineCorrections: each rule fires independently; doc gate on words") {
+    // lineWords=3, minWords=2, distinctRatioPct=70, maxRemovedPct=50
+    val docs = Seq(
+      (1L, "x"),                      // single 1-word line -> fragment
+      (2L, "cat dog fox"),            // no function word -> nav-like
+      (3L, "the the the"),            // has 'the' but 1/3 distinct -> repetitive
+      (4L, "the cat dog"),            // clean line -> kept
+      (5L, "the cat dog pig rat")     // clean full line + 2-word tail [pig rat]
+                                      // (no stopword -> dropped); 2/5 words
+                                      // removed = 40% <= 50% -> doc kept
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.lineCorrections(docs, col("doc_id"), col("text"),
+        lineWords = 3, minWords = 2, distinctRatioPct = 70, maxRemovedPct = 50)
+      .select(col("doc_id"), col("n_lines"), col("n_removed_lines"),
+        col("removed_word_frac"), col("doc_kept"), col("kept_text"))
+      .as[(Long, Long, Long, Double, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0, 0, "")))
+    assert(got(2L) == ((1L, 1L, 1.0, 0, "")))
+    assert(got(3L) == ((1L, 1L, 1.0, 0, "")))
+    assert(got(4L) == ((1L, 0L, 0.0, 1, "the cat dog")))
+    assert(got(5L) == ((2L, 1L, 0.4, 1, "the cat dog")))
+  }
+
+  test("lineCorrections: removed-word fraction over the gate drops the doc") {
+    // 3-word clean line + 6 removed words = 66% removed > 50% -> doc dropped
+    val docs = Seq(
+      (1L, "the cat dog zz zz zz xx yy ww")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.lineCorrections(docs, col("doc_id"), col("text"),
+        lineWords = 3, minWords = 2, distinctRatioPct = 70, maxRemovedPct = 50)
+      .select(col("n_lines"), col("n_removed_lines"), col("removed_word_frac"),
+        col("doc_kept"), col("kept_text"))
+      .as[(Long, Long, Double, Int, String)].collect().head
+    assert(got == ((3L, 2L, 0.666667, 0, "the cat dog")))
+  }
 }

@@ -272,6 +272,32 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "a b", 2L -> "", 3L -> ""))
   }
 
+  test("indocDedup keeps first in-doc occurrence; cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "a b a b c d"), // [a b][a b][c d] -> second [a b] removed
+      (2L, "a b x y")      // [a b] repeats doc 1 but NOT within doc 2 -> kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.indocDedup(docs, col("doc_id"), col("text"), segmentWords = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"), col("dedup_text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, "a b c d")))
+    assert(got(2L) == ((2L, 0L, "a b x y")))
+  }
+
+  test("indocDedup ragged tail is its own segment; order is first-occurrence") {
+    val docs = Seq(
+      (1L, "a a a a a"),   // [a a][a a][a] -> one [a a] removed, tail [a] distinct
+      (2L, "c d a b c d")  // [c d][a b][c d] -> trailing [c d] removed, order kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.indocDedup(docs, col("doc_id"), col("text"), segmentWords = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        col("removed_ratio"), col("dedup_text"))
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333, "a a a")))
+    assert(got(2L) == ((3L, 1L, 0.333333, "c d a b")))
+  }
+
   test("incrementalDedup flags new docs against the corpus only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -129,4 +129,36 @@ class TokenizeStatsSpec extends SparkSpec {
       .select(col("user_id"), col("stage")).as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
   }
+
+  test("bpeEncodeStats at 0 merges: every char a token, chars_per_token=1") {
+    val docs = Seq(
+      (1L, "ab cde", "en"),
+      (2L, "ab", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Tokenize.bpeEncodeStats(docs, col("doc_id"), col("text"),
+        col("lang"), nMerges = 0, matEvery = 0)
+      .select(col("grp"), col("n_words"), col("n_tokens"),
+        col("fertility"), col("chars_per_token"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // en: 2 word occurrences, 2+3=5 char tokens; fr: 1 occurrence, 2 tokens
+    assert(got("en") == ((2L, 5L, 2.5, 1.0)))
+    assert(got("fr") == ((1L, 2L, 2.0, 1.0)))
+  }
+
+  test("bpeEncodeStats: merges drop fertility, raise chars/token") {
+    // one distinct word "abab", freq 3: merge1 joins the heaviest pair
+    // ('a','b' weight 6) -> "ab ab", merge2 -> "abab" (one token/word)
+    val docs = Seq(
+      (1L, "abab abab", "en"),
+      (2L, "abab", "en")
+    ).toDF("doc_id", "text", "lang")
+    def stats(n: Int) = Tokenize.bpeEncodeStats(docs, col("doc_id"),
+        col("text"), col("lang"), nMerges = n, matEvery = 1)
+      .select(col("n_tokens"), col("fertility"), col("chars_per_token"))
+      .as[(Long, Double, Double)].collect().head
+    assert(stats(0) == ((12L, 4.0, 1.0)))
+    assert(stats(1) == ((6L, 2.0, 2.0)))
+    assert(stats(2) == ((3L, 1.0, 4.0)))
+  }
 }
