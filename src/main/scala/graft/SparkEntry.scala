@@ -5459,6 +5459,32 @@ object SparkEntry {
                 string_agg(seg, ' ' ORDER BY keep_idx) AS dedup_text
               FROM fst GROUP BY 1""")),
 
+    Q("d_source_overlap", (s, d) =>
+      // cross-source provenance matrix: distinct 3-gram shingles per
+      // source, shared shingles and Jaccard per source PAIR. The
+      // pairwise stage is an equi self-join ON THE SHINGLE (fan-out
+      // bounded by sources-per-shingle), never sources x sources on
+      // content
+      Dedup.sourceOverlap(doc(s, d), col("text"), col("source"), n = 3),
+      Some("""WITH toks AS (SELECT source AS src,
+                       string_split_regex(trim(text), '\s+') AS w FROM documents),
+              g AS (SELECT DISTINCT src, array_to_string(w[i:i+2], ' ') AS sh
+                    FROM toks,
+                      LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+                    WHERE len(w) >= 3),
+              per AS (SELECT src, count(*)::BIGINT AS n_sh FROM g GROUP BY 1),
+              pr AS (SELECT a.src AS source_a, b.src AS source_b,
+                       count(*)::BIGINT AS n_shared
+                     FROM g a JOIN g b ON a.sh = b.sh AND a.src < b.src
+                     GROUP BY 1, 2)
+              SELECT source_a, source_b, pa.n_sh AS n_a, pb.n_sh AS n_b,
+                n_shared,
+                round(n_shared / (pa.n_sh + pb.n_sh - n_shared)::DOUBLE, 6)
+                  AS jaccard
+              FROM pr
+              JOIN per pa ON pr.source_a = pa.src
+              JOIN per pb ON pr.source_b = pb.src""")),
+
     Q("docs_e2e_curation", (s, d) => {
       // the documents-side FLAGSHIP: full sequential curation funnel
       // (quality gate -> lang-id agreement -> exact keep-first dedup ->
@@ -5772,6 +5798,58 @@ object SparkEntry {
               SELECT round(dd.d, 6) AS ks, dd.x AS at_x, t.nv AS n_values,
                      t.t0 AS n_train, t.t1 AS n_score
               FROM dd CROSS JOIN t ORDER BY dd.d DESC, dd.x ASC LIMIT 1""")),
+
+    Q("a29_seasonality", (s, d) =>
+      // day-of-week multiplicative seasonal index of the event stream:
+      // two hash aggs (per-day, per-weekday) + a one-row total
+      // broadcast; the index is ONE double division of exact long
+      // cross-products (no float accumulation to drift)
+      graft.operators.Stats.seasonalIndex(ev(s, d), col("ts")),
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS cnt
+                             FROM events GROUP BY 1),
+              dw AS (SELECT isodow(day)::INT AS dow, count(*)::BIGINT AS n_days,
+                       sum(cnt)::BIGINT AS n_events
+                     FROM daily GROUP BY 1),
+              t AS (SELECT count(*)::BIGINT AS t_days, sum(cnt)::BIGINT AS t_events
+                    FROM daily)
+              SELECT dow, n_days, n_events,
+                round(n_events / n_days::DOUBLE, 6) AS events_per_day,
+                round((n_events * t_days) / (n_days * t_events)::DOUBLE, 6)
+                  AS seasonal_idx
+              FROM dw CROSS JOIN t""")),
+
+    Q("a30_mad_outliers", (s, d) =>
+      // robust outlier report: EXACT lower median + MAD with a 3-MAD
+      // band; both order statistics ride the bucketed two-pass global
+      // running sum over per-value counts (no single-partition ORDER BY
+      // funnel), and the half-count contract is exact-integer so the
+      // oracle window replay lands on the same values
+      graft.operators.Stats.madOutliers(li(s, d),
+        col("l_extendedprice"), k = 3.0),
+      Some("""WITH x AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem),
+              t AS (SELECT count(*)::BIGINT AS n FROM x),
+              med AS (SELECT min(x) AS med FROM (
+                        SELECT x, sum(c) OVER (ORDER BY x) AS cum,
+                               sum(c) OVER () AS nn
+                        FROM (SELECT x, count(*) AS c FROM x GROUP BY 1))
+                      WHERE cum * 2 >= nn),
+              dvs AS (SELECT abs(x.x - med.med) AS dv FROM x CROSS JOIN med),
+              mad AS (SELECT min(dv) AS mad FROM (
+                        SELECT dv, sum(c) OVER (ORDER BY dv) AS cum,
+                               sum(c) OVER () AS nn
+                        FROM (SELECT dv, count(*) AS c FROM dvs GROUP BY 1))
+                      WHERE cum * 2 >= nn)
+              SELECT t.n AS n, med.med AS median, mad.mad AS mad,
+                sum(CASE WHEN abs(x.x - med.med) > 3.0 * mad.mad
+                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                sum(CASE WHEN x.x - med.med > 3.0 * mad.mad
+                         THEN 1 ELSE 0 END)::BIGINT AS n_high,
+                sum(CASE WHEN med.med - x.x > 3.0 * mad.mad
+                         THEN 1 ELSE 0 END)::BIGINT AS n_low,
+                round(sum(CASE WHEN abs(x.x - med.med) > 3.0 * mad.mad
+                               THEN 1 ELSE 0 END) / t.n::DOUBLE, 6) AS outlier_pct
+              FROM x CROSS JOIN med CROSS JOIN mad CROSS JOIN t
+              GROUP BY t.n, med.med, mad.mad""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

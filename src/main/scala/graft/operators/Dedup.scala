@@ -642,6 +642,48 @@ object Dedup {
         round(col("n_removed") / col("n_segments"), 6))
       .select("doc_id", "n_segments", "n_removed", "removed_ratio", "dedup_text")
 
+  /** Cross-source content-overlap matrix — corpus provenance analysis
+    * (how much of source A is re-hosted in source B; the "two crawls of
+    * the same forum" question that decides which source to keep). For
+    * every pair of sources: distinct word `n`-gram counts per side,
+    * shared distinct n-grams, and the shingle-set Jaccard.
+    *
+    * Scale: the substrate is the DISTINCT (source, shingle) frame (one
+    * explode + one distinct, both hash-shuffled on the shingle); the
+    * pairwise stage is an equi self-join ON THE SHINGLE, so fan-out per
+    * shingle is bounded by the number of sources carrying it — with K
+    * sources total work is <= distinct-shingles x C(K,2), linear in the
+    * corpus for the dozens-of-sources regime this matrix is for (the
+    * output itself is K^2 rows, so K is small by construction).
+    *
+    * Returns (source_a, source_b, n_a, n_b, n_shared, jaccard). */
+  def sourceOverlap(
+      df: DataFrame, text: Column, source: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val ssh = df.select(source.as("src"), split(trim(text), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("src"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*))))
+        .as("sh"))
+      .distinct()
+    val per = ssh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val pairs = ssh.as("a")
+      .join(ssh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(per.select(col("src"), col("n_sh").as("n_a")),
+        col("source_a") === col("src")).drop("src")
+      .join(per.select(col("src"), col("n_sh").as("n_b")),
+        col("source_b") === col("src")).drop("src")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
+
   /** Incremental dedup: flag each NEW-batch document against the
     * existing corpus — exact (normalized fingerprint present in the
     * corpus) and near (df-capped n-gram Jaccard vs a corpus doc >=

@@ -122,4 +122,73 @@ object Stats {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Day-of-week multiplicative seasonal index of an event stream — the
+    * first stage of any seasonality-aware anomaly/forecast pipeline:
+    * per ISO weekday (1 = Monday .. 7 = Sunday), observed days, total
+    * events, events/day, and the seasonal index (that weekday's daily
+    * rate over the all-days daily rate; 1.0 = no weekly effect).
+    *
+    * Two hash aggregates (per-day, then per-weekday) plus a one-row
+    * total broadcast. The index is computed as ONE double division of
+    * exact long cross-products — engine-replayable with no intermediate
+    * float accumulation.
+    *
+    * Returns (dow, n_days, n_events, events_per_day, seasonal_idx). */
+  def seasonalIndex(df: DataFrame, ts: Column): DataFrame = {
+    val daily = df.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val perDow = daily
+      .groupBy((weekday(col("day")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("n_events"))
+    val tot = daily.agg(count(lit(1)).as("t_days"), sum(col("cnt")).as("t_events"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        round(col("n_events") / col("n_days"), 6).as("events_per_day"),
+        round((col("n_events") * col("t_days")) /
+          (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
+  }
+
+  /** Robust outlier report: EXACT lower median and MAD (median absolute
+    * deviation) with a `k`-MAD outlier band — the heavy-tail-safe
+    * alternative to [[zScoreOutliers]] (one extreme value cannot move
+    * the thresholds). Both medians ride [[Windows.globalRunningSums]]'s
+    * bucketed two-pass machinery over per-VALUE counts: no
+    * `ORDER BY`-everything single-partition funnel anywhere, and the
+    * "smallest value whose cumulative count reaches half" contract is
+    * exact-integer, so any engine replays it. The median/MAD frames are
+    * one-row aggregates (broadcast is metadata-sized by construction).
+    *
+    * Returns 1 row: (n, median, mad, n_outliers, n_high, n_low,
+    * outlier_pct). */
+  def madOutliers(df: DataFrame, value: Column, k: Double): DataFrame = {
+    val x = df.select(value.cast("double").as("x"))
+    val per = graft.Mat(x.groupBy(col("x")).agg(count(lit(1)).as("c")))
+    val tot = per.agg(sum(col("c")).as("n"))
+    val med = Windows.globalRunningSums(per, "x", Nil, Seq(col("c") -> "cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("x")).as("med"))
+    val dv = x.crossJoin(broadcast(med))
+      .select(abs(col("x") - col("med")).as("dv"))
+    val perD = graft.Mat(dv.groupBy(col("dv")).agg(count(lit(1)).as("c")))
+    val mad = Windows.globalRunningSums(perD, "dv", Nil, Seq(col("c") -> "cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("dv")).as("mad"))
+    x.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col("x") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        sum(when(col("x") - col("med") > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_high"),
+        sum(when(col("med") - col("x") > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_low"))
+      .select(col("n"), col("median"), col("mad"), col("n_outliers"),
+        col("n_high"), col("n_low"),
+        round(col("n_outliers") / col("n"), 6).as("outlier_pct"))
+  }
 }

@@ -270,7 +270,7 @@ class PlanQualitySpec extends SparkSpec {
     // (An `Exchange SinglePartition` may legitimately remain: the scalar
     // totals aggregate exchanges one partial row per partition.)
     for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage",
-        "a27_psi_drift", "a28_ks_drift")) {
+        "a27_psi_drift", "a28_ks_drift", "a30_mad_outliers")) {
       val p = plan(q)
       assert(!p.contains("ntile"), s"$q:\n$p")
       val wlines = p.linesIterator
@@ -331,6 +331,12 @@ class PlanQualitySpec extends SparkSpec {
     val pw = plan("x_chunk_windows")
     assert(!pw.contains("Exchange"), pw)
     assert(pw.contains("Generate"), pw) // the posexplode, not a join fan-out
+  }
+
+  test("source overlap pairs join on the shingle, never sources x content") {
+    val p = plan("d_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("line corrections is a pure scan projection; indoc dedup has no window") {

@@ -298,6 +298,20 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0.333333, "c d a b")))
   }
 
+  test("sourceOverlap: distinct shingles per source, Jaccard per pair") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), // s1 grams: {a b c, b c d}
+      (2L, "a b c", "s1"),   // duplicate gram within s1 counts once
+      (3L, "a b c x", "s2"), // s2 grams: {a b c, b c x}
+      (4L, "z z z", "s3")    // disjoint -> no pair row with anyone
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, col("text"), col("source"), n = 3)
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard"))
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(("s1", "s2", 2L, 2L, 1L, 0.333333)))
+  }
+
   test("incrementalDedup flags new docs against the corpus only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -130,6 +130,45 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("seasonalIndex: exact long cross-product index per ISO weekday") {
+    // 2024-01-01 is a Monday. Mon has 2 days x 3 events avg; Tue 1 day x 2
+    val ts = Seq(
+      "2024-01-01 01:00:00", "2024-01-01 02:00:00", // Mon wk1: 2
+      "2024-01-08 01:00:00", "2024-01-08 02:00:00",
+      "2024-01-08 03:00:00", "2024-01-08 04:00:00", // Mon wk2: 4
+      "2024-01-02 01:00:00", "2024-01-02 02:00:00"  // Tue: 2
+    ).map(java.sql.Timestamp.valueOf)
+    val got = Stats.seasonalIndex(ts.toDF("ts"), col("ts"))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        col("events_per_day"), col("seasonal_idx"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // overall: 8 events / 3 days; Mon rate 3 -> idx 3/(8/3) = 9/8
+    assert(got(1) == ((2L, 6L, 3.0, 1.125)))
+    assert(got(2) == ((1L, 2L, 2.0, 0.75)))
+    assert(got.keySet == Set(1, 2))
+  }
+
+  test("madOutliers: exact lower median, MAD, and 3-MAD band") {
+    // values: 1,2,3,4,100 -> median 3 (odd n), |x-3| = 2,1,0,1,97 ->
+    // MAD 1; 3-MAD band (3-3, 3+3): only 100 is outside, on the high side
+    val got = Stats.madOutliers(
+        Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v"), col("v"), k = 3.0)
+      .select(col("n"), col("median"), col("mad"), col("n_outliers"),
+        col("n_high"), col("n_low"), col("outlier_pct"))
+      .as[(Long, Double, Double, Long, Long, Long, Double)].collect().head
+    assert(got == ((5L, 3.0, 1.0, 1L, 1L, 0L, 0.2)))
+  }
+
+  test("madOutliers: even count takes the LOWER median") {
+    // values: 1,2,3,10 -> lower median 2; |x-2| = 1,0,1,8 -> lower MAD 1
+    val got = Stats.madOutliers(
+        Seq(1.0, 2.0, 3.0, 10.0).toDF("v"), col("v"), k = 3.0)
+      .select(col("median"), col("mad"), col("n_outliers"), col("n_high"))
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(got == ((2.0, 1.0, 1L, 1L)))
+  }
+
   test("bpeEncodeStats at 0 merges: every char a token, chars_per_token=1") {
     val docs = Seq(
       (1L, "ab cde", "en"),
