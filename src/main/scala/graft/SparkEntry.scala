@@ -3520,6 +3520,30 @@ object SparkEntry {
               FROM r CROSS JOIN (VALUES (100), (1000), (10000)) v(k)
               GROUP BY 1""")),
 
+    Q("x_zipf_slope", (s, d) =>
+      // Zipf power-law fit of the corpus frequency spectrum (corpus
+      // health check): distributed exact OLS of ln(freq) on ln(rank) —
+      // ranks via the two-pass scalable global rank, regression via ONE
+      // aggregate of five sums; log terms round at 9 against libm drift
+      graft.operators.InvertedIndex.zipfFit(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                            FROM documents),
+              f AS (SELECT term, count(*)::BIGINT AS cnt FROM toks
+                    WHERE term <> '' GROUP BY 1),
+              r AS (SELECT cnt,
+                      row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM f),
+              p AS (SELECT round(ln(rank), 9) AS x, round(ln(cnt), 9) AS y FROM r),
+              s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                           sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+                    FROM p)
+              SELECT n::BIGINT AS n_terms,
+                round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS alpha,
+                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                  AS intercept,
+                round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+              FROM s""")),
+
     Q("x_bpe_merges", (s, d) =>
       // BPE vocabulary induction, 2 merge steps: heaviest adjacent symbol
       // pair (weight desc, pair lexicographic) merged left-to-right in
@@ -5817,6 +5841,58 @@ object SparkEntry {
                 round((n_events * t_days) / (n_days * t_events)::DOUBLE, 6)
                   AS seasonal_idx
               FROM dw CROSS JOIN t""")),
+
+    Q("a31_attribution", (s, d) =>
+      // multi-touch revenue attribution (last-touch + linear) of
+      // purchases to view/click touches inside a 7-day lookback. All
+      // timeline arithmetic is integer epoch-microseconds (the latest
+      // preceding touch is max(us*8+code) over one long — no
+      // struct/argmax portability hazard); linear shares round at 6 and
+      // sum as DECIMAL. Two per-user window passes + one channel-sized agg
+      graft.operators.Stats.attribution(ev(s, d), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackSeconds = 604800L),
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et,
+                value AS v,
+                CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 END AS code
+              FROM events),
+              w AS (SELECT *,
+                max(CASE WHEN code IS NOT NULL THEN us * 8 + code END) OVER
+                  (PARTITION BY u ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_enc,
+                sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) OVER wr AS n1,
+                sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) OVER wr AS n2
+              FROM e WINDOW wr AS (PARTITION BY u ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+              p AS (SELECT *, n1 + n2 AS tot,
+                CASE WHEN last_enc IS NOT NULL AND last_enc // 8 >= us - 604800000000
+                     THEN CASE last_enc % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                          ELSE 'none' END
+                     ELSE 'none' END AS last_ch,
+                round(v, 6)::DECIMAL(18,6) AS vd
+              FROM w WHERE et = 'purchase'),
+              a AS (SELECT
+                sum(CASE WHEN last_ch = 'view' THEN 1 ELSE 0 END)::BIGINT AS nl1,
+                sum(CASE WHEN last_ch = 'click' THEN 1 ELSE 0 END)::BIGINT AS nl2,
+                sum(CASE WHEN last_ch = 'none' THEN 1 ELSE 0 END)::BIGINT AS nl0,
+                sum(CASE WHEN last_ch = 'view' THEN vd ELSE 0 END) AS lr1,
+                sum(CASE WHEN last_ch = 'click' THEN vd ELSE 0 END) AS lr2,
+                sum(CASE WHEN last_ch = 'none' THEN vd ELSE 0 END) AS lr0,
+                sum(CASE WHEN tot > 0
+                         THEN round(v * n1 / tot, 6)::DECIMAL(18,6) ELSE 0 END) AS li1,
+                sum(CASE WHEN tot > 0
+                         THEN round(v * n2 / tot, 6)::DECIMAL(18,6) ELSE 0 END) AS li2,
+                sum(CASE WHEN tot = 0 THEN vd ELSE 0 END) AS li0
+              FROM p)
+              SELECT ch AS channel,
+                (CASE ch WHEN 'view' THEN nl1 WHEN 'click' THEN nl2 ELSE nl0 END)
+                  AS n_last_touch,
+                (CASE ch WHEN 'view' THEN lr1 WHEN 'click' THEN lr2 ELSE lr0 END)::DOUBLE
+                  AS last_touch_rev,
+                (CASE ch WHEN 'view' THEN li1 WHEN 'click' THEN li2 ELSE li0 END)::DOUBLE
+                  AS linear_rev
+              FROM a CROSS JOIN (VALUES ('view'), ('click'), ('none')) c(ch)""")),
 
     Q("a30_mad_outliers", (s, d) =>
       // robust outlier report: EXACT lower median + MAD with a 3-MAD

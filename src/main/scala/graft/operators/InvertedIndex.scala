@@ -101,4 +101,39 @@ object InvertedIndex {
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
   }
+
+  /** Zipf power-law fit of the corpus frequency spectrum (corpus health
+    * check: natural text fits alpha ~ 1, synthetic/templated corpora
+    * deviate): closed-form OLS of ln(freq) on ln(rank) over the
+    * vocabulary. Ranks ride [[Windows.globalRowNumber]]'s two-pass
+    * machinery (no single-partition sort); the regression itself is ONE
+    * aggregate of five sums — distributed exact least squares, no
+    * iterative fitting. Log terms round at 9 (the iterative-algorithm
+    * rounding discipline) so engine libm ulp differences can't seep
+    * into the sums.
+    *
+    * Returns 1 row: (n_terms, alpha, intercept, r2). */
+  def zipfFit(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val freq = termPairs(df, id, text)
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .withColumn("neg_cnt", -col("cnt"))
+    val ranked = Windows.globalRowNumber(freq, "neg_cnt", Seq(col("term")), "rank")
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col("cnt").cast("double")), 9).as("y"))
+    val sm = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sm.select(col("n").cast("long").as("n_terms"),
+      round(-slope, 6).as("alpha"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+             (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 }

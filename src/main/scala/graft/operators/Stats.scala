@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-statistics operators for data-quality reporting at corpus scale.
@@ -147,6 +148,90 @@ object Stats {
         round(col("n_events") / col("n_days"), 6).as("events_per_day"),
         round((col("n_events") * col("t_days")) /
           (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
+  }
+
+  /** Multi-touch revenue attribution over an event timeline — the
+    * marketing-analytics staple: every conversion's value is credited to
+    * the touch channels that preceded it inside a lookback window, under
+    * BOTH classic models at once:
+    *
+    *  - last-touch: the single most recent preceding touch gets all of
+    *    it ('none' when no touch is inside the lookback);
+    *  - linear: the value splits pro-rata over the per-channel touch
+    *    COUNTS inside the lookback.
+    *
+    * Determinism at the engine boundary: all timeline arithmetic is
+    * integer epoch-MICROSECONDS; the "latest preceding touch" is
+    * `max(us * 8 + channel_code)` over an unbounded-preceding frame
+    * (one long — no struct/argmax portability hazards), decoded by
+    * div/mod; linear shares are `round(value * n_c / n_total, 6)`
+    * summed as DECIMAL. Any engine replays every step bit-for-bit.
+    *
+    * Scale: two window passes partitioned BY USER (skew bounded by one
+    * user's event count) + one global channel-sized aggregate.
+    *
+    * Returns one row per channel (+ 'none'):
+    * (channel, n_last_touch, last_touch_rev, linear_rev). */
+  def attribution(
+      df: DataFrame, user: Column, ts: Column, eventType: Column,
+      value: Column, touchTypes: Seq[String], convType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size < 8,
+      "1..7 touch channels (3-bit code)")
+    val codes = touchTypes.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+    val codeCol = codes.foldLeft(lit(null).cast("long")) { case (acc, (t, c)) =>
+      when(eventType === t, lit(c)).otherwise(acc)
+    }
+    val lbUs = lookbackSeconds * 1000000L
+    val base = df.select(user.as("u"), unix_micros(ts).as("us"),
+      eventType.as("et"), value.as("v"), codeCol.as("code"))
+    val wPrev = Window.partitionBy(col("u")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRange = Window.partitionBy(col("u")).orderBy(col("us"))
+      .rangeBetween(-lbUs, 0L)
+    val enriched = codes.foldLeft(
+      base.withColumn("last_enc",
+        max(when(col("code").isNotNull, col("us") * 8 + col("code"))).over(wPrev))
+    ) { case (acc, (_, c)) =>
+      acc.withColumn(s"n_$c",
+        sum(when(col("code") === c, 1L).otherwise(0L)).over(wRange))
+    }
+    val totCol = codes.map { case (_, c) => col(s"n_$c") }.reduce(_ + _)
+    val lastCh = when(col("last_enc").isNotNull &&
+        expr("last_enc div 8") >= col("us") - lbUs,
+      codes.foldLeft(lit("none")) { case (acc, (t, c)) =>
+        when(pmod(col("last_enc"), lit(8L)) === c, lit(t)).otherwise(acc)
+      }).otherwise(lit("none"))
+    val purch = enriched.filter(col("et") === convType)
+      .withColumn("tot", totCol)
+      .withColumn("last_ch", lastCh)
+      .withColumn("vd", round(col("v"), 6).cast("decimal(18,6)"))
+    val perCh = codes.flatMap { case (t, c) => Seq(
+      sum(when(col("last_ch") === t, 1L).otherwise(0L)).as(s"nl_$c"),
+      sum(when(col("last_ch") === t, col("vd"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).as(s"lr_$c"),
+      sum(when(col("tot") > 0,
+        round(col("v") * col(s"n_$c") / col("tot"), 6).cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).as(s"li_$c"))
+    }
+    val noneAggs = Seq(
+      sum(when(col("last_ch") === "none", 1L).otherwise(0L)).as("nl_0"),
+      sum(when(col("last_ch") === "none", col("vd"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).as("lr_0"),
+      sum(when(col("tot") === 0, col("vd"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).as("li_0"))
+    val aggd = purch.agg((perCh ++ noneAggs).head, (perCh ++ noneAggs).tail: _*)
+    val rows = (codes.map { case (t, c) => (t, c) } :+ ("none" -> 0L)).map {
+      case (t, c) => struct(lit(t).as("channel"),
+        col(s"nl_$c").as("n_last_touch"),
+        col(s"lr_$c").cast("double").as("last_touch_rev"),
+        col(s"li_$c").cast("double").as("linear_rev"))
+    }
+    aggd.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.channel").as("channel"),
+        col("r.n_last_touch").as("n_last_touch"),
+        col("r.last_touch_rev").as("last_touch_rev"),
+        col("r.linear_rev").as("linear_rev"))
   }
 
   /** Robust outlier report: EXACT lower median and MAD (median absolute

@@ -75,6 +75,19 @@ object ScaleGen {
       .drop("__c", "__s")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: disjoint id/user shifts per copy; timestamps unchanged, so
+    // per-day volumes scale uniformly x copies (seasonal/drift structure
+    // preserved, per-user densities constant). Loaded via Tables.events
+    // so either ts encoding round-trips.
+    val evt = graft.Tables.events(spark, src)
+    val evShift = evt.agg(max("event_id")).head.getLong(0) + 1
+    val uShift = evt.agg(max("user_id")).head.getLong(0) + 1
+    evt.select(col("*"), cSeq)
+      .withColumn("event_id", col("event_id") + col("__c") * evShift)
+      .withColumn("user_id", col("user_id") + col("__c") * uShift)
+      .drop("__c")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -270,7 +270,8 @@ class PlanQualitySpec extends SparkSpec {
     // (An `Exchange SinglePartition` may legitimately remain: the scalar
     // totals aggregate exchanges one partial row per partition.)
     for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage",
-        "a27_psi_drift", "a28_ks_drift", "a30_mad_outliers")) {
+        "a27_psi_drift", "a28_ks_drift", "a30_mad_outliers", "x_zipf_slope",
+        "a31_attribution")) {
       val p = plan(q)
       assert(!p.contains("ntile"), s"$q:\n$p")
       val wlines = p.linesIterator

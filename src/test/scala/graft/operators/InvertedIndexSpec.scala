@@ -73,4 +73,29 @@ class InvertedIndexSpec extends SparkSpec {
       Seq("fast", "join", "table")).as[(Long, Long)].collect().toMap
     assert(three == Map(1L -> 1L))
   }
+
+  test("zipfFit matches a local closed-form OLS replay") {
+    // freqs: a=5, b=3, c=1, d=1 -> ranks 1..4 (count desc, term asc)
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = InvertedIndex.zipfFit(docs, col("doc_id"), col("text"))
+      .select(col("n_terms"), col("alpha"), col("intercept"), col("r2"))
+      .as[(Long, Double, Double, Double)].collect().head
+    val pts = Seq((1, 5), (2, 3), (3, 1), (4, 1)).map { case (r, c) =>
+      (math.log(r.toDouble), math.log(c.toDouble))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - -slope) < 1e-6, got)
+    assert(math.abs(got._3 - (sy - slope * sx) / n) < 1e-6, got)
+    assert(math.abs(got._4 - r2) < 1e-6, got)
+    // a frequency spectrum decaying by rank fits with a POSITIVE alpha
+    assert(got._2 > 0 && got._4 >= 0 && got._4 <= 1)
+  }
 }

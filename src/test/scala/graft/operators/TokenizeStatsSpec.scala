@@ -169,6 +169,37 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got == ((2.0, 1.0, 1L, 1L)))
   }
 
+  test("attribution: last-touch picks latest in-window; linear splits pro-rata") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view then click then purchase -> last = click; linear 50/50
+      (1L, t("2024-01-10 10:00:00"), "view", 0.0),
+      (1L, t("2024-01-10 11:00:00"), "click", 0.0),
+      (1L, t("2024-01-10 12:00:00"), "purchase", 10.0),
+      // user 2: purchase with no touches at all -> none
+      (2L, t("2024-01-10 12:00:00"), "purchase", 5.0),
+      // user 3: view 8 days before purchase -> outside 7d lookback -> none
+      (3L, t("2024-01-02 12:00:00"), "view", 0.0),
+      (3L, t("2024-01-10 13:00:00"), "purchase", 7.0),
+      // user 4: two views, one click in window -> last = click;
+      // linear: view 2/3, click 1/3
+      (4L, t("2024-01-10 09:00:00"), "view", 0.0),
+      (4L, t("2024-01-10 09:30:00"), "click", 0.0),
+      (4L, t("2024-01-10 09:45:00"), "view", 0.0),
+      (4L, t("2024-01-10 10:00:00"), "purchase", 9.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Stats.attribution(ev, col("user_id"), col("ts"),
+        col("event_type"), col("value"), Seq("view", "click"), "purchase", 604800L)
+      .select(col("channel"), col("n_last_touch"),
+        col("last_touch_rev"), col("linear_rev"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // user 4's LAST touch is the 09:45 view (later than the click)
+    assert(got("view") == ((1L, 9.0, 5.0 + 6.0)))   // u4 last; linear u1 5 + u4 6
+    assert(got("click") == ((1L, 10.0, 5.0 + 3.0))) // u1 last; linear u1 5 + u4 3
+    assert(got("none") == ((2L, 12.0, 12.0)))       // u2 + u3 both models
+  }
+
   test("bpeEncodeStats at 0 merges: every char a token, chars_per_token=1") {
     val docs = Seq(
       (1L, "ab cde", "en"),
