@@ -3830,6 +3830,63 @@ object SparkEntry {
               FROM sc)
               SELECT doc_id, pred_lang, pred_lang = lang AS agrees FROM p""")),
 
+    Q("x_source_kl", (s, d) =>
+      // per-source token-distribution KL divergence vs the whole corpus
+      // (domain-shift diagnostics for training-mix design), Laplace
+      // +0.5 smoothing over the FULL vocabulary; the smoothed grid is
+      // source-list x vocabulary (vocab-bounded, never corpus x corpus);
+      // per-term ln contributions round at 9, the KL at 6; the most
+      // divergent term per source via deterministic struct-max argmax
+      TextFunctions.sourceKl(doc(s, d), col("source"), col("text")),
+      Some("""WITH tk AS (SELECT src, term FROM (
+                       SELECT source AS src,
+                         unnest(string_split_regex(trim(text), '\s+')) AS term
+                       FROM documents) WHERE term <> ''),
+              st AS (SELECT src, term, count(*)::BIGINT AS c_st FROM tk GROUP BY 1, 2),
+              t AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+              s AS (SELECT src, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+              tot AS (SELECT sum(c_t)::BIGINT AS n, count(*)::BIGINT AS v FROM t),
+              cells AS (SELECT s.src, t.term, s.n_s, t.c_t, tot.n, tot.v,
+                          coalesce(st.c_st, 0)::BIGINT AS c_st
+                        FROM s CROSS JOIN t CROSS JOIN tot
+                        LEFT JOIN st ON st.src = s.src AND st.term = t.term),
+              k AS (SELECT src, n_s, v, term,
+                      round(((c_st + 0.5) / (n_s + 0.5 * v)) *
+                            ln(((c_st + 0.5) / (n_s + 0.5 * v)) /
+                               ((c_t + 0.5) / (n + 0.5 * v))), 9) AS contrib
+                    FROM cells),
+              agg AS (SELECT src, any_value(n_s) AS n_tokens,
+                        any_value(v) AS vocab_size,
+                        round(sum(contrib), 6) AS kl_nats
+                      FROM k GROUP BY 1),
+              top AS (SELECT src, term AS top_term, contrib AS top_contrib
+                      FROM (SELECT src, term, contrib,
+                              row_number() OVER (PARTITION BY src
+                                ORDER BY contrib DESC, term DESC) AS rn
+                            FROM k) WHERE rn = 1)
+              SELECT agg.src AS source, n_tokens, vocab_size, kl_nats,
+                     top_term, top_contrib
+              FROM agg JOIN top ON agg.src = top.src""")),
+
+    Q("a32_cumulative_reach", (s, d) =>
+      // growth dashboard: DAU + new users + EXACT cumulative distinct
+      // reach per day — cumulative distinct computed as the running sum
+      // of FIRST-SEEN counts over the scalable two-pass global running
+      // sum (never count(DISTINCT) OVER, which is quadratic AND
+      // single-partition)
+      graft.operators.Stats.cumulativeReach(ev(s, d), col("user_id"), col("ts")),
+      Some("""WITH e AS (SELECT user_id AS u, ts::DATE AS day FROM events),
+              fs AS (SELECT u, min(day) AS fd FROM e GROUP BY 1),
+              nn AS (SELECT fd AS day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+              da AS (SELECT day, count(DISTINCT u)::BIGINT AS dau FROM e GROUP BY 1),
+              j AS (SELECT da.day, da.dau, coalesce(nn.n_new, 0)::BIGINT AS n_new
+                    FROM da LEFT JOIN nn ON da.day = nn.day)
+              SELECT day, dau, n_new,
+                sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+                  AS cum_users,
+                round(n_new / dau::DOUBLE, 6) AS pct_new
+              FROM j""")),
+
     Q("x_corpus_card", (s, d) =>
       // the per-source dataset-release report: size, token budget, mean
       // quality (DECIMAL-exact sum), predicted-English share, exact-dup

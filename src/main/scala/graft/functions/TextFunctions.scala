@@ -425,6 +425,48 @@ object TextFunctions {
           .as("chunk_md5"))
   }
 
+  /** Per-source token-distribution divergence from the corpus — the
+    * domain-shift detector for training-mix design (which source is
+    * linguistically unlike the rest; CCNet/DoReMi-adjacent diagnostics):
+    * KL(P_source || P_corpus) in nats over the FULL corpus vocabulary
+    * with Laplace smoothing (+0.5 per term, so terms absent from a
+    * source still contribute), plus the single most divergent term per
+    * source (argmax of the per-term KL contribution, term-desc
+    * tiebreak).
+    *
+    * Scale: per-(source, term) counts are one hash agg; the smoothed
+    * sum needs every (source, vocab-term) cell, built as source-list x
+    * vocabulary — the product is vocab-bounded x a dozens-sized source
+    * list (never corpus x corpus; neither side force-broadcast). Each
+    * ln term rounds at 9 before the sum (libm-drift discipline), the
+    * final KL at 6.
+    *
+    * Returns (source, n_tokens, vocab_size, kl_nats, top_term,
+    * top_contrib). */
+  def sourceKl(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val toks = df.select(source.as("src"),
+        explode(split(trim(text), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy(col("src"), col("term")).agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val s = st.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val tot = t.agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
+    val cells = s.crossJoin(t).crossJoin(broadcast(tot))
+      .join(st, Seq("src", "term"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+      .withColumn("p", (col("c_st") + 0.5) / (col("n_s") + col("v") * 0.5))
+      .withColumn("q", (col("c_t") + 0.5) / (col("n") + col("v") * 0.5))
+      .withColumn("contrib", round(col("p") * log(col("p") / col("q")), 9))
+    cells.groupBy(col("src").as("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("v")).as("vocab_size"),
+        round(sum(col("contrib")), 6).as("kl_nats"),
+        max(struct(col("contrib"), col("term"))).as("__top"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("kl_nats"), col("__top.term").as("top_term"),
+        col("__top.contrib").as("top_contrib"))
+  }
+
   /** RefinedWeb-style line-wise corrections (Penedo et al. 2023 §3.2 /
     * App. G: drop nav/boilerplate LINES, then gate the DOCUMENT on how
     * much of it the line pass removed). A pseudo-line here is a fixed

@@ -150,6 +150,29 @@ object Stats {
           (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
   }
 
+  /** Daily audience accounting — DAU, new users, and EXACT cumulative
+    * distinct reach per day (the growth-dashboard staple that naively is
+    * `count(DISTINCT user) OVER (ORDER BY day)` — quadratic and
+    * single-partition). Scalable form: cumulative distinct = running sum
+    * of FIRST-SEEN counts (each user contributes once, on their first
+    * day), ridden over [[Windows.globalRunningSums]]' bucketed two-pass
+    * — two hash aggregates plus the metadata-sized partial-sum read, no
+    * distinct-over-window anywhere.
+    *
+    * Returns (day, dau, n_new, cum_users, pct_new). */
+  def cumulativeReach(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val e = df.select(user.as("u"), to_date(ts).as("day"))
+    val firstSeen = e.groupBy(col("u")).agg(min(col("day")).as("fd"))
+      .groupBy(col("fd").as("day")).agg(count(lit(1)).as("n_new"))
+    val dau = e.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val joined = dau.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("__dn", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    Windows.globalRunningSums(joined, "__dn", Nil, Seq(col("n_new") -> "cum_users"))
+      .select(col("day"), col("dau"), col("n_new"), col("cum_users"),
+        round(col("n_new") / col("dau"), 6).as("pct_new"))
+  }
+
   /** Multi-touch revenue attribution over an event timeline — the
     * marketing-analytics staple: every conversion's value is credited to
     * the touch channels that preceded it inside a lookback window, under

@@ -332,6 +332,97 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("attribution == sequential per-user replay for random streams (3 seeds)") {
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        sec <- Gen.choose(0L, 20L * 86400L) // 20-day span vs 7-day lookback
+        et <- Gen.oneOf("view", "click", "purchase", "signup")
+        v <- Gen.choose(1, 9999)
+      } yield (u, sec, et, v / 100.0))
+    } yield evs
+    val lbSec = 604800L
+    (71L to 73L).foreach { seed =>
+      // dedupe (u, sec) — the operator's order contract assumes no exact
+      // per-user timestamp ties (true of the event stream)
+      val evs = sample(gen, seed)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toList.sortBy(e => (e._1, e._2))
+      val df = evs.map { case (u, sec, et, v) =>
+        (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), et, v)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = graft.operators.Stats.attribution(df, col("user_id"), col("ts"),
+          col("event_type"), col("value"), Seq("view", "click"), "purchase", lbSec)
+        .select(col("channel"), col("n_last_touch"),
+          col("last_touch_rev"), col("linear_rev"))
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential replay
+      val nl = collection.mutable.Map("view" -> 0L, "click" -> 0L, "none" -> 0L)
+      val lr = collection.mutable.Map("view" -> 0.0, "click" -> 0.0, "none" -> 0.0)
+      val li = collection.mutable.Map("view" -> 0.0, "click" -> 0.0, "none" -> 0.0)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      evs.groupBy(_._1).values.foreach { uevs =>
+        val tl = uevs.sortBy(_._2)
+        tl.zipWithIndex.filter(_._1._3 == "purchase").foreach { case ((_, sec, _, v), i) =>
+          val before = tl.take(i)
+          val touches = before.filter(e => e._3 == "view" || e._3 == "click")
+          val inWin = touches.filter(e => e._2 >= sec - lbSec)
+          val last = touches.lastOption.filter(e => e._2 >= sec - lbSec)
+            .map(_._3).getOrElse("none")
+          nl(last) += 1; lr(last) += r6(v)
+          if (inWin.isEmpty) li("none") += r6(v)
+          else {
+            val nv = inWin.count(_._3 == "view"); val nc = inWin.size - nv
+            li("view") += r6(v * nv / inWin.size); li("click") += r6(v * nc / inWin.size)
+          }
+        }
+      }
+      Seq("view", "click", "none").foreach { ch =>
+        val (gn, glast, glin) = got(ch)
+        assert(gn == nl(ch), s"seed=$seed $ch n_last")
+        assert(math.abs(glast - lr(ch)) < 1e-6, s"seed=$seed $ch last_rev")
+        assert(math.abs(glin - li(ch)) < 1e-6, s"seed=$seed $ch linear_rev")
+      }
+    }
+  }
+
+  test("lineCorrections == sequential rule replay for random docs (3 seeds)") {
+    val gen = for {
+      nDocs <- Gen.choose(1, 15)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(n, Gen.oneOf("the", "and", "cat", "dog", "x", "y"))
+      } yield ws.mkString(" "))
+    } yield docs
+    val stop = graft.functions.TextFunctions.stopwords.toSet
+    (81L to 83L).foreach { seed =>
+      val texts = sample(gen, seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.functions.TextFunctions.lineCorrections(df,
+          col("doc_id"), col("text"), lineWords = 4, minWords = 2,
+          distinctRatioPct = 70, maxRemovedPct = 50)
+        .select(col("doc_id"), col("n_lines"), col("n_removed_lines"),
+          col("doc_kept"), col("kept_text"))
+        .as[(Long, Long, Long, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").toList
+        val lines = toks.grouped(4).toList
+        val kept = lines.filter { l =>
+          !(l.size < 2 || !l.exists(stop.contains) ||
+            l.distinct.size * 100 < l.size * 70)
+        }
+        val nw = toks.size; val kw = kept.map(_.size).sum
+        val dk = if ((nw - kw) * 100 <= nw * 50) 1 else 0
+        assert(got(i.toLong) == ((lines.size.toLong,
+          (lines.size - kept.size).toLong, dk, kept.map(_.mkString(" ")).mkString(" "))),
+          s"seed=$seed doc=$i")
+      }
+    }
+  }
+
   test("curationFunnel counts are monotone down the funnel (3 seeds)") {
     val gen = for {
       nDocs <- Gen.choose(2, 25)

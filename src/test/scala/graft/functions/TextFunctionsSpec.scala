@@ -227,6 +227,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sourceKl: local replay; the minority skewed source diverges most") {
+    // s1 dominates the corpus mix; s2 is a small all-"x" outlier
+    val docs = Seq(
+      (1L, "a b a b a b", "s1"),
+      (2L, "x x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextFunctions.sourceKl(docs, col("source"), col("text"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("kl_nats"), col("top_term"))
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // corpus: a=3 b=3 x=2, V=3, N=8
+    def kl(cs: Map[String, Long], ns: Long): Double = {
+      val corpus = Map("a" -> 3L, "b" -> 3L, "x" -> 2L)
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = Seq("a", "b", "x").map { t =>
+        val p = (cs.getOrElse(t, 0L) + 0.5) / (ns + 1.5)
+        val q = (corpus(t) + 0.5) / (8 + 1.5)
+        r9(p * math.log(p / q))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (n1, v1, k1, _) = got("s1")
+    val (n2, v2, k2, top2) = got("s2")
+    assert((n1, v1) == ((6L, 3L)) && (n2, v2) == ((2L, 3L)))
+    assert(math.abs(k1 - kl(Map("a" -> 3L, "b" -> 3L), 6L)) < 1e-6)
+    assert(math.abs(k2 - kl(Map("x" -> 2L), 2L)) < 1e-6)
+    assert(k2 > k1)          // the outlier source diverges more
+    assert(top2 == "x")      // and its driver is the over-represented term
+  }
+
   test("lineCorrections: each rule fires independently; doc gate on words") {
     // lineWords=3, minWords=2, distinctRatioPct=70, maxRemovedPct=50
     val docs = Seq(

@@ -169,6 +169,24 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got == ((2.0, 1.0, 1L, 1L)))
   }
 
+  test("cumulativeReach: cum distinct = running sum of first-seen counts") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 11:00:00")),
+      (1L, t("2024-01-02 10:00:00")),                      // day2: only returners
+      (3L, t("2024-01-03 10:00:00")), (1L, t("2024-01-03 11:00:00")),
+      (1L, t("2024-01-03 12:00:00"))                       // same user twice a day
+    ).toDF("user_id", "ts")
+    val got = Stats.cumulativeReach(ev, col("user_id"), col("ts"))
+      .select(col("day").cast("string"), col("dau"), col("n_new"),
+        col("cum_users"), col("pct_new"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("2024-01-01", 2L, 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 0L, 2L, 0.0),
+      ("2024-01-03", 2L, 1L, 3L, 0.5)))
+  }
+
   test("attribution: last-touch picks latest in-window; linear splits pro-rata") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
