@@ -3887,6 +3887,81 @@ object SparkEntry {
                 round(n_new / dau::DOUBLE, 6) AS pct_new
               FROM j""")),
 
+    Q("a34_markov_transitions", (s, d) =>
+      // first-order Markov transition matrix of per-user event sequences
+      // (clickstream analysis): one lead window per user timeline, one
+      // pair-count hash agg, probabilities row-normalized against the
+      // state-space-sized per-from totals
+      graft.operators.Stats.transitionMatrix(ev(s, d), col("user_id"),
+        col("ts"), col("event_type")),
+      Some("""WITH pr AS (SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS to_type
+                     FROM events),
+              c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM pr
+                    WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT from_type, sum(n)::BIGINT AS tt FROM c GROUP BY 1)
+              SELECT c.from_type, c.to_type, c.n,
+                     round(c.n / t.tt::DOUBLE, 6) AS p
+              FROM c JOIN t USING (from_type)""")),
+
+    Q("x_shard_balance", (s, d) =>
+      // deterministic corpus sharding (pmod(md5(doc_id), 16) — stable
+      // across runs/engines, no RNG) + shard balance report; one hash
+      // agg + a one-row total broadcast; balance ratio is exact long
+      // cross-products through one double division
+      graft.operators.Sampling.shardBalance(doc(s, d), col("doc_id"),
+        col("text"), nShards = 16),
+      Some("""WITH b AS (SELECT
+                ('0x' || substr(md5(doc_id::VARCHAR || '#shard'), 1, 8))::BIGINT
+                  % 16 AS shard,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS nt,
+                length(text)::BIGINT AS nc
+              FROM documents),
+              per AS (SELECT shard, count(*)::BIGINT AS n_docs,
+                        sum(nt)::BIGINT AS n_tokens, sum(nc)::BIGINT AS n_chars
+                      FROM b GROUP BY 1),
+              t AS (SELECT sum(n_tokens)::BIGINT AS t_tok,
+                           count(*)::BIGINT AS n_shards FROM per)
+              SELECT shard, n_docs, n_tokens, n_chars,
+                round((n_tokens * n_shards) / t_tok::DOUBLE, 6) AS balance
+              FROM per CROSS JOIN t""")),
+
+    Q("v_power_iteration", (s, d) =>
+      // top principal direction of the embedding cloud by 2-step power
+      // iteration — w = X^T (X v) as two corpus passes per step (per-row
+      // dot vs broadcast v, then a dim-keyed DECIMAL aggregate), never
+      // the d x d Gram matrix; the d-dim vector travels via the driver
+      // between steps (metadata-sized, the k-means-centroid posture).
+      // Dots round at 9, components at 6 per step — the oracle replays
+      // the full trajectory
+      graft.operators.Similarity.powerIteration(emb(s, d), col("vec_id"),
+        col("embedding"), dim = 64, iters = 2),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              s1 AS (SELECT vec_id, round(sum(v[i + 1] * 0.125), 9) AS s
+                     FROM e, range(64) r(i) GROUP BY vec_id),
+              w1 AS (SELECT i AS d,
+                       sum(round(s1.s * e.v[i + 1], 9)::DECIMAL(28,9))::DOUBLE AS wd
+                     FROM e JOIN s1 USING (vec_id), range(64) r(i) GROUP BY 1),
+              n1 AS (SELECT sqrt(sum(wd * wd)) AS nrm FROM w1),
+              u1 AS (SELECT d, round(wd / nrm, 6) AS vd FROM w1 CROSS JOIN n1),
+              s2 AS (SELECT vec_id, round(sum(e.v[u1.d + 1] * u1.vd), 9) AS s
+                     FROM e CROSS JOIN u1 GROUP BY vec_id),
+              w2 AS (SELECT i AS d,
+                       sum(round(s2.s * e.v[i + 1], 9)::DECIMAL(28,9))::DOUBLE AS wd
+                     FROM e JOIN s2 USING (vec_id), range(64) r(i) GROUP BY 1),
+              n2 AS (SELECT sqrt(sum(wd * wd)) AS nrm FROM w2),
+              u2 AS (SELECT d, round(wd / nrm, 6) AS vd FROM w2 CROSS JOIN n2)
+              SELECT (SELECT count(*) FROM e)::BIGINT AS n_vectors,
+                64 AS dim,
+                round((SELECT nrm FROM n2), 6) AS eigenvalue,
+                (SELECT d FROM u2 ORDER BY abs(vd) DESC, d LIMIT 1)::INT AS top_dim,
+                (SELECT vd FROM u2 WHERE d = 0) AS v0,
+                (SELECT vd FROM u2 WHERE d = 1) AS v1,
+                (SELECT vd FROM u2 WHERE d = 2) AS v2,
+                (SELECT vd FROM u2 WHERE d = 3) AS v3""")),
+
     Q("x_corpus_card", (s, d) =>
       // the per-source dataset-release report: size, token budget, mean
       // quality (DECIMAL-exact sum), predicted-English share, exact-dup

@@ -161,6 +161,33 @@ object Sampling {
       .select(col("doc_id"), col("log_w"), col("gumbel_key"))
   }
 
+  /** Deterministic corpus sharding + balance report — the last step
+    * before a training corpus leaves the engine as N physical shards:
+    * every document lands in `pmod(md5(doc_id), nShards)` (stable across
+    * runs/engines, no RNG), and the report says whether the shards came
+    * out balanced (per-shard docs/tokens/chars and `balance` = shard
+    * tokens over the all-shard mean; 1.0 = perfectly even). One hash
+    * aggregate + a one-row total broadcast; the balance ratio is a
+    * single double division of exact long cross-products.
+    *
+    * Returns (shard, n_docs, n_tokens, n_chars, balance). */
+  def shardBalance(
+      df: DataFrame, id: Column, text: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val per = df.select(
+        sampleBucket(id, "#shard", nShards).as("shard"),
+        graft.functions.TextFunctions.tokenCountWs(text).cast("long").as("__nt"),
+        length(text).cast("long").as("__nc"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+    val tot = per.agg(sum(col("n_tokens")).as("t_tok"),
+      count(lit(1)).as("n_shards"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round((col("n_tokens") * col("n_shards")) / col("t_tok"), 6).as("balance"))
+  }
+
   /** Leakage-free train/val/test assignment: the split label is a pure
     * function of the GROUP key's hash bucket (not the row's), so all rows
     * sharing a group — a source domain, a user, a document family — land

@@ -422,4 +422,56 @@ object Similarity {
           col("x.src") < col("x.dst"))
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
   }
+
+  /** Top principal direction of the embedding cloud by POWER ITERATION —
+    * distributed linear algebra without ever materializing the d x d
+    * Gram matrix: each iteration is `w = X^T (X v)` as two corpus passes
+    * (a per-row dot against the broadcast v, then a dim-keyed aggregate
+    * of s_i * x_i), normalize, repeat. The d-dim vector travels through
+    * the driver between iterations — metadata-sized, the same posture as
+    * k-means centroids / PSI edges (never corpus data).
+    *
+    * Engine-replayable by the rounding discipline: dots round at 9;
+    * the dim aggregate sums `round(s*x, 9)` as DECIMAL (exact,
+    * order-independent); the norm/normalize arithmetic is IEEE
+    * mul/div/sqrt on identical operands; components round at 6 per
+    * iteration. Starting vector is uniform 1/sqrt(dim) (deterministic,
+    * fixes the sign).
+    *
+    * Returns 1 row: (n_vectors, dim, eigenvalue, top_dim, v0..v3). */
+  def powerIteration(
+      df: DataFrame, id: Column, vec: Column, dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && iters > 0, "dim/iters must be positive")
+    val spark = df.sparkSession
+    val e = graft.Mat(df.select(id.cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(vec).as("v")))
+    val nVec = e.count()
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var eigen = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = typedLit(v.toSeq)
+      val s = round(aggregate(zip_with(col("v"), vLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 9)
+      val wdf = e.withColumn("s", s)
+        .select(col("s"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(sum(round(col("s") * col("x"), 9).cast("decimal(28,9)"))
+          .cast("double").as("wd"))
+      // dim-sized driver reads (the k-means-centroid posture): the norm,
+      // then the components — ROUNDED BY THE ENGINE's round (the
+      // cross-engine-parity operation every other query leans on)
+      val nrm = wdf.agg(sqrt(sum(col("wd") * col("wd")))).head.getDouble(0)
+      eigen = nrm
+      val vRows = wdf.select(col("d"), round(col("wd") / nrm, 6).as("vd"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+      v = vRows.map(_._2)
+    }
+    val topDim = v.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2
+    val eig = spark.range(1).select(round(lit(eigen), 6)).head.getDouble(0)
+    spark.range(1).select(
+      lit(nVec).as("n_vectors"), lit(dim).as("dim"),
+      lit(eig).as("eigenvalue"), lit(topDim).as("top_dim"),
+      lit(v(0)).as("v0"), lit(v(1)).as("v1"),
+      lit(v(2)).as("v2"), lit(v(3)).as("v3"))
+  }
 }

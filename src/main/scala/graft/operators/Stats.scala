@@ -150,6 +150,29 @@ object Stats {
           (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
   }
 
+  /** First-order Markov transition matrix of per-user event sequences —
+    * the clickstream-analysis staple (what do users do AFTER an error?).
+    * One `lead` window per user timeline (skew bounded by one user's
+    * events), one pair-count hash agg, and row-normalized probabilities
+    * as a single double division against the per-from totals (joined
+    * back from a state-space-sized frame).
+    *
+    * Returns (from_type, to_type, n, p) — p sums to 1 per from_type. */
+  def transitionMatrix(
+      df: DataFrame, user: Column, ts: Column, eventType: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"))
+    val pairs = df.select(user.as("u"), ts.as("t"), eventType.as("et"))
+      .withColumn("nxt", lead(col("et"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = pairs
+      .groupBy(col("et").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("from_type")).agg(sum(col("n")).as("__t"))
+    counts.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("__t"), 6).as("p"))
+  }
+
   /** Daily audience accounting — DAU, new users, and EXACT cumulative
     * distinct reach per day (the growth-dashboard staple that naively is
     * `count(DISTINCT user) OVER (ORDER BY day)` — quadratic and

@@ -176,4 +176,22 @@ class SamplingSpec extends SparkSpec {
     // exhausted source (C after step 1) leaves holes, never re-packs
     assert(!got.map(_._4).contains(5L)) // step 2 slot for C is empty
   }
+
+  test("shardBalance: deterministic shards, conserved totals, mean balance 1") {
+    val docs = (0 until 200).map(i => (i.toLong, ("w " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val a = Sampling.shardBalance(docs, col("doc_id"), col("text"), nShards = 8)
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("balance"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    val b = Sampling.shardBalance(docs, col("doc_id"), col("text"), nShards = 8)
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("balance"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(a == b) // content-hash sharding: no RNG, stable across runs
+    assert(a.map(_._2).sum == 200L)
+    assert(a.map(_._3).sum == docs.select(
+      sum(size(split(col("text"), " ")))).as[Long].head)
+    // balance_i = tok_i * n_shards / T, so the plain mean over shards is 1
+    val mean = a.map(_._4).sum / a.size
+    assert(math.abs(mean - 1.0) < 1e-4)
+  }
 }

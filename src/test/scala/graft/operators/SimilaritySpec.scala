@@ -268,4 +268,24 @@ class SimilaritySpec extends SparkSpec {
       (20000L / Similarity.adaptiveNlist(20000L).toDouble)
     assert(popRatio < 11.0, s"100x corpus must not mean 100x cell population: $popRatio")
   }
+
+  test("powerIteration finds the dominant axis of an axis-aligned cloud") {
+    // variance concentrated on dim 0 (values 8..12), noise ~1 elsewhere
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array((8 + i % 5).toFloat, (i % 2).toFloat,
+        (i % 3).toFloat * 0.5f, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.powerIteration(vecs, col("vec_id"), col("embedding"),
+        dim = 4, iters = 2)
+      .select(col("n_vectors"), col("dim"), col("eigenvalue"), col("top_dim"),
+        col("v0"), col("v1"), col("v2"), col("v3"))
+      .as[(Long, Int, Double, Int, Double, Double, Double, Double)].collect().head
+    assert(got._1 == 40L && got._2 == 4)
+    assert(got._3 > 0.0)                    // Rayleigh norm is positive
+    assert(got._4 == 0)                     // dominant direction = dim 0
+    assert(got._5 > 0.9, got)               // v0 carries nearly all the mass
+    val norm = math.sqrt(got._5 * got._5 + got._6 * got._6 +
+      got._7 * got._7 + got._8 * got._8)
+    assert(math.abs(norm - 1.0) < 1e-3, got) // unit eigenvector
+  }
 }

@@ -169,6 +169,27 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got == ((2.0, 1.0, 1L, 1L)))
   }
 
+  test("transitionMatrix: pair counts and row-normalized probabilities") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:02:00"), "view"),
+      (1L, t("2024-01-01 10:03:00"), "purchase"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (2L, t("2024-01-01 10:01:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Stats.transitionMatrix(ev, col("user_id"), col("ts"), col("event_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // from view: ->click x2, ->purchase x1; from click: ->view x1
+    assert(got(("view", "click")) == ((2L, 0.666667)))
+    assert(got(("view", "purchase")) == ((1L, 0.333333)))
+    assert(got(("click", "view")) == ((1L, 1.0)))
+    assert(got.size == 3) // user 2's last event emits no pair
+  }
+
   test("cumulativeReach: cum distinct = running sum of first-seen counts") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
