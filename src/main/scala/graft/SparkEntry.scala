@@ -2606,6 +2606,67 @@ object SparkEntry {
                        AS est_jaccard
               FROM cand""")),
 
+    Q("x_dedup_eval", (s, d) =>
+      // estimator-quality harness: MinHash-LSH candidates (16 hashes,
+      // 4 bands) flagged at est >= 0.5 scored against the EXACT
+      // shingle-Jaccard ground truth at 0.5 (uncapped — exhaustive for
+      // t > 0 since qualifying pairs share a shingle). One full outer
+      // join on the pair key + a one-row confusion aggregate; at corpus
+      // scale this diagnostic runs on a hash-sampled slice by design
+      Dedup.lshQualityEval(doc(s, d), col("doc_id"), col("text"),
+        shingleWords = 3, numHashes = 16, bands = 4, threshold = 0.5),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              sizes AS (SELECT doc_id, count(*)::INT AS n_sh FROM sh GROUP BY 1),
+              prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        count(*)::BIGINT AS n_common
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+              exact AS (SELECT id_a, id_b
+                        FROM prs JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                              >= 0.5),
+              h AS (SELECT doc_id, i,
+                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i)
+                           + (11 * i + 7)) % 4294967311) AS m
+                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+                    GROUP BY 1, 2),
+              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
+              banded AS (SELECT doc_id, sig,
+                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',')
+                             AS bucket
+                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sa, b.sig AS sb
+                       FROM banded a JOIN banded b
+                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              est AS (SELECT id_a, id_b,
+                        round(len(list_filter(generate_series(1, 16),
+                                              i -> sa[i] = sb[i])) / 16.0, 6) AS est
+                      FROM cand),
+              flag AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
+              fj AS (SELECT coalesce(f.one, 0)::BIGINT AS f,
+                            coalesce(e.one, 0)::BIGINT AS e
+                     FROM (SELECT id_a, id_b, 1 AS one FROM flag) f
+                     FULL JOIN (SELECT id_a, id_b, 1 AS one FROM exact) e
+                     USING (id_a, id_b)),
+              conf AS (SELECT sum(f)::BIGINT AS n_flagged, sum(e)::BIGINT AS n_true,
+                              sum(f * e)::BIGINT AS tp
+                       FROM fj)
+              SELECT (SELECT count(*) FROM est)::BIGINT AS n_candidates,
+                n_flagged, n_true, tp,
+                (n_flagged - tp)::BIGINT AS fp, (n_true - tp)::BIGINT AS fn,
+                (CASE WHEN n_flagged > 0 THEN round(tp / n_flagged::DOUBLE, 6)
+                      END) AS precision,
+                (CASE WHEN n_true > 0 THEN round(tp / n_true::DOUBLE, 6)
+                      END) AS recall
+              FROM conf""")),
+
     Q("d_simhash", (s, d) =>
       Dedup.simHashDocs(doc(s, d), col("doc_id"), col("text"), 32),
       Some {

@@ -642,6 +642,49 @@ object Dedup {
         round(col("n_removed") / col("n_segments"), 6))
       .select("doc_id", "n_segments", "n_removed", "removed_ratio", "dedup_text")
 
+  /** LSH estimator-quality evaluation — the tuning harness for the
+    * (numHashes, bands) trade-off: candidates flagged by
+    * [[minHashLshPairs]] at `est_jaccard >= threshold` scored against
+    * the EXACT shingle-Jaccard ground truth from [[ngramJaccardPairs]]
+    * at the same threshold (exhaustive for threshold > 0: any pair at
+    * or above it shares a shingle, so the shared-shingle join misses
+    * nothing). One full outer join on the pair key, then a one-row
+    * confusion aggregate.
+    *
+    * Scale note: the truth side is deliberately UNCAPPED (a df cap
+    * changes the measure being evaluated) — at corpus scale run this
+    * diagnostic on a sampled slice ([[Sampling.hashSample]]), which is
+    * how estimator tuning is done anyway; the verdict transfers because
+    * both sides see the same sample.
+    *
+    * Returns 1 row: (n_candidates, n_flagged, n_true, tp, fp, fn,
+    * precision, recall). */
+  def lshQualityEval(
+      df: DataFrame, id: Column, text: Column,
+      shingleWords: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val cand = minHashLshPairs(df, id, text, shingleWords, numHashes, bands)
+    val flagged = cand.filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
+    val truth = ngramJaccardPairs(df, id, text, shingleWords, threshold,
+        maxDf = None)
+      .select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
+    val confusion = flagged.join(truth, Seq("id_a", "id_b"), "full")
+      .select(coalesce(col("f"), lit(0L)).as("f"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .agg(sum(col("f")).as("n_flagged"), sum(col("e")).as("n_true"),
+        sum(col("f") * col("e")).as("tp"))
+    val candN = cand.agg(count(lit(1)).as("n_candidates"))
+    confusion.crossJoin(broadcast(candN))
+      .select(col("n_candidates"), col("n_flagged"), col("n_true"), col("tp"),
+        (col("n_flagged") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        when(col("n_flagged") > 0, round(col("tp") / col("n_flagged"), 6))
+          .otherwise(lit(null).cast("double")).as("precision"),
+        when(col("n_true") > 0, round(col("tp") / col("n_true"), 6))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   /** Cross-source content-overlap matrix — corpus provenance analysis
     * (how much of source A is re-hosted in source B; the "two crawls of
     * the same forum" question that decides which source to keep). For

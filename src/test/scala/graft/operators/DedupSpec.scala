@@ -298,6 +298,21 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0.333333, "c d a b")))
   }
 
+  test("lshQualityEval: identical docs are found (tp), disjoint ones are not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1 -> J = 1
+      (3L, "one two three four five six seven")    // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshQualityEval(docs, col("doc_id"), col("text"),
+        shingleWords = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select(col("n_true"), col("tp"), col("fn"), col("recall"))
+      .as[(Long, Long, Long, Double)].collect().head
+    // the (1,2) pair is the only true pair; identical signatures always
+    // collide in every band, so LSH cannot miss it
+    assert(got == ((1L, 1L, 0L, 1.0)))
+  }
+
   test("sourceOverlap: distinct shingles per source, Jaccard per pair") {
     val docs = Seq(
       (1L, "a b c d", "s1"), // s1 grams: {a b c, b c d}
