@@ -3857,6 +3857,68 @@ object SparkEntry {
               FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
                      LEFT JOIN s2 USING (user_id)""")),
 
+    Q("events_e2e_engagement", (s, d) =>
+      // events-side composite FLAGSHIP: sessionize (30-min gap) +
+      // ordered funnel (view->click->purchase) + week-1 retention +
+      // DECIMAL-exact monetization, reported per acquisition-cohort
+      // week. Every stage joins on user_id (partitioning reused); the
+      // final aggregate is cohort-week-sized
+      graft.operators.Engagement.cohortEngagement(ev(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("value"), gapSeconds = 1800L,
+        funnelStages = Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, ts, event_type, value FROM events),
+              g AS (SELECT user_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              ns AS (SELECT user_id, sum(brk)::BIGINT AS n_sessions FROM g GROUP BY 1),
+              uc AS (SELECT user_id,
+                       date_trunc('week', min(ts::DATE))::DATE AS cohort_week
+                     FROM e GROUP BY 1),
+              aw AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts::DATE)::DATE AS wk FROM e),
+              w1 AS (SELECT DISTINCT uc.user_id, 1 AS r
+                     FROM uc JOIN aw USING (user_id)
+                     WHERE aw.wk = uc.cohort_week + 7),
+              s0 AS (SELECT user_id, min(ts) AS t_0 FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              s1 AS (SELECT e.user_id, min(e.ts) AS t_1 FROM e
+                     JOIN s0 ON s0.user_id = e.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s0.t_0 GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM e
+                     JOIN s1 ON s1.user_id = e.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s1.t_1 GROUP BY 1),
+              fs AS (SELECT uc.user_id,
+                       (CASE WHEN s2.t_2 IS NOT NULL THEN 3
+                             WHEN s1.t_1 IS NOT NULL THEN 2
+                             WHEN s0.t_0 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage
+                     FROM uc LEFT JOIN s0 USING (user_id)
+                             LEFT JOIN s1 USING (user_id)
+                             LEFT JOIN s2 USING (user_id)),
+              pv AS (SELECT user_id, sum(round(value, 6)::DECIMAL(18,6)) AS pval
+                     FROM e WHERE event_type = 'purchase' GROUP BY 1),
+              rep AS (SELECT uc.cohort_week, count(*)::BIGINT AS n_users,
+                        sum(coalesce(ns.n_sessions, 0))::BIGINT AS n_sessions,
+                        sum(CASE WHEN fs.stage >= 3 THEN 1 ELSE 0 END)::BIGINT
+                          AS n_converted,
+                        sum(CASE WHEN w1.r IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                          AS wk1_retained,
+                        sum(coalesce(pv.pval, 0::DECIMAL(18,6))) AS val_dec
+                      FROM uc LEFT JOIN ns USING (user_id)
+                              LEFT JOIN fs USING (user_id)
+                              LEFT JOIN w1 USING (user_id)
+                              LEFT JOIN pv USING (user_id)
+                      GROUP BY 1)
+              SELECT cohort_week, n_users, n_sessions,
+                round(n_sessions / n_users::DOUBLE, 6) AS sessions_per_user,
+                n_converted,
+                round(n_converted * 100.0 / n_users, 6) AS conv_pct,
+                wk1_retained,
+                round(wk1_retained * 100.0 / n_users, 6) AS wk1_retention_pct,
+                val_dec::DOUBLE AS conv_value
+              FROM rep""")),
+
     Q("a15_zscore", (s, d) =>
       // per-type z-score outliers on the event stream: group stats from
       // one aggregate joined back (no corpus-sized window partitions)
