@@ -423,6 +423,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("event-stats invariants: transitions, reach, MAD vs replay (3 seeds)") {
+    val gen = for {
+      n <- Gen.choose(10, 80)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        sec <- Gen.choose(0L, 10L * 86400L)
+        et <- Gen.oneOf("view", "click", "purchase")
+        v <- Gen.choose(-500, 500)
+      } yield (u, sec, et, v / 10.0))
+    } yield evs
+    (91L to 93L).foreach { seed =>
+      val evs = sample(gen, seed)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toList // unique (u, sec)
+      val df = evs.map { case (u, sec, et, v) =>
+        (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), et, v)
+      }.toDF("user_id", "ts", "event_type", "value")
+      // transitionMatrix: probabilities sum to 1 per from_type; pair
+      // count conservation (n_pairs = n_events - n_users)
+      val tm = graft.operators.Stats.transitionMatrix(df, col("user_id"),
+          col("ts"), col("event_type"))
+        .select(col("from_type"), col("n"), col("p"))
+        .as[(String, Long, Double)].collect()
+      tm.groupBy(_._1).values.foreach { rs =>
+        assert(math.abs(rs.map(_._3).sum - 1.0) < 1e-4, s"seed=$seed row-norm")
+      }
+      val nUsers = evs.map(_._1).distinct.size
+      assert(tm.map(_._2).sum == evs.size - nUsers, s"seed=$seed pair count")
+      // cumulativeReach: monotone cum, final = distinct users, dau >= n_new
+      val cr = graft.operators.Stats.cumulativeReach(df, col("user_id"), col("ts"))
+        .select(col("day").cast("string"), col("dau"), col("n_new"), col("cum_users"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+      assert(cr.last._4 == nUsers, s"seed=$seed final reach")
+      cr.foreach { r => assert(r._2 >= r._3, s"seed=$seed dau >= n_new") }
+      assert(cr.map(_._3).sum == nUsers, s"seed=$seed n_new conservation")
+      // madOutliers vs a sorted sequential replay (lower median contract)
+      val xs = evs.map(_._4).sorted
+      def lowerMedian(v: List[Double]) = {
+        val s = v.sorted
+        s((v.size - 1) / 2) // smallest x with cum*2 >= n
+      }
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      val nOut = xs.count(x => math.abs(x - med) > 3.0 * mad)
+      val got = graft.operators.Stats.madOutliers(df.select(col("value")),
+          col("value"), 3.0)
+        .select(col("median"), col("mad"), col("n_outliers"))
+        .as[(Double, Double, Long)].collect().head
+      assert(got == ((med, mad, nOut.toLong)), s"seed=$seed MAD replay")
+    }
+  }
+
   test("curationFunnel counts are monotone down the funnel (3 seeds)") {
     val gen = for {
       nDocs <- Gen.choose(2, 25)
