@@ -448,23 +448,30 @@ object Similarity {
     val nVec = e.count()
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var eigen = 0.0
+    val native = spark.catalog.functionExists("dot_product")
     for (_ <- 1 to iters) {
       val vLit = typedLit(v.toSeq)
-      val s = round(aggregate(zip_with(col("v"), vLit, (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x), 9)
-      val wdf = e.withColumn("s", s)
-        .select(col("s"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(sum(round(col("s") * col("x"), 9).cast("decimal(28,9)"))
-          .cast("double").as("wd"))
-      // dim-sized driver reads (the k-means-centroid posture): the norm,
+      val s = round(
+        if (native) call_function("dot_product", col("v"), vLit)
+        else aggregate(zip_with(col("v"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 9)
+      // X^T s as ONE aggregate with dim columns (sum(round(s*x_d, 9)) as
+      // DECIMAL per dimension): no explode, no dim-keyed shuffle — each
+      // partition collapses to a single partial row before the exchange
+      val aggs = (0 until dim).map(dd =>
+        sum(round(col("s") * get(col("v"), lit(dd)), 9).cast("decimal(28,9)"))
+          .cast("double").as(s"w$dd"))
+      val row = e.withColumn("s", s).agg(aggs.head, aggs.tail: _*).head
+      val w = (0 until dim).map(row.getDouble).toArray
+      // dim-sized driver hops (the k-means-centroid posture): the norm,
       // then the components — ROUNDED BY THE ENGINE's round (the
       // cross-engine-parity operation every other query leans on)
-      val nrm = wdf.agg(sqrt(sum(col("wd") * col("wd")))).head.getDouble(0)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
       eigen = nrm
-      val vRows = wdf.select(col("d"), round(col("wd") / nrm, 6).as("vd"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
-      v = vRows.map(_._2)
+      val wLit = typedLit(w.toSeq)
+      v = spark.range(1)
+        .select(transform(wLit, x => round(x / nrm, 6)).as("v"))
+        .head.getSeq[Double](0).toArray
     }
     val topDim = v.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2
     val eig = spark.range(1).select(round(lit(eigen), 6)).head.getDouble(0)
