@@ -5171,6 +5171,30 @@ object SparkEntry {
                      f_n AS fold_rows
               FROM pf JOIN pc ON pf.cat = pc.cat""")),
 
+    Q("s16_partitioned_scan", (s, d) => {
+      // hive-style partitioned layout + PARTITION PRUNING: write the
+      // docs partitionBy(source), then scan with a source filter — the
+      // filter must resolve at PLANNING time against directory names
+      // (PartitionFilters, zero data files of other sources touched;
+      // plan-guarded in PlanQualitySpec). The oracle computes the same
+      // aggregate from the original parquet, so layout round-trip
+      // fidelity is value-proven too
+      val tag  = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_part_$tag"
+      doc(s, d).write.mode("overwrite").partitionBy("source").parquet(base)
+      s.read.parquet(base)
+        .filter(col("source").isin("src1", "src2", "src3"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS n_chars,
+                count(DISTINCT lang)::BIGINT AS n_langs
+              FROM documents
+              WHERE source IN ('src1', 'src2', 'src3')
+              GROUP BY 1""")),
+
     Q("s12_format_roundtrip", (s, d) => {
       // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
       // with an explicit schema -> write ORC -> read -> aggregate. The

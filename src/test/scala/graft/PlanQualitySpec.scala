@@ -334,6 +334,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(pw.contains("Generate"), pw) // the posexplode, not a join fan-out
   }
 
+  test("partitioned scan prunes at planning time (PartitionFilters)") {
+    val p = plan("s16_partitioned_scan")
+    // the source filter must land in PartitionFilters (directory-level
+    // pruning), NOT as a post-scan data filter over all partitions
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"), p)
+  }
+
   test("source overlap pairs join on the shingle, never sources x content") {
     val p = plan("d_source_overlap")
     assert(!p.contains("CartesianProduct"), p)
