@@ -5195,6 +5195,59 @@ object SparkEntry {
               WHERE source IN ('src1', 'src2', 'src3')
               GROUP BY 1""")),
 
+    Q("s17_column_stats", (s, d) => {
+      // ANALYZE-style table statistics in ONE scan: per profiled column
+      // the exact NDV, null fraction, and min/max — the CBO-feeding
+      // stats collection every engine ships. count(DISTINCT a), ...,
+      // count(DISTINCT b) in a single aggregate expands to Spark's
+      // multi-distinct EXPAND plan (one pass over the data, one
+      // row-multiplying projection — the standard shape); output is
+      // unpivoted to one row per column
+      val l = li(s, d)
+      val stats = l.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("ndv_ok"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn_ok"),
+        min(col("l_orderkey")).cast("double").as("min_ok"),
+        max(col("l_orderkey")).cast("double").as("max_ok"),
+        countDistinct(col("l_quantity")).as("ndv_qty"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_qty"),
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        countDistinct(col("l_returnflag")).as("ndv_rf"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn_rf"))
+      stats.select(explode(array(
+        struct(lit("l_orderkey").as("column"), col("n"),
+          col("ndv_ok").as("ndv"), col("nn_ok").as("n_nulls"),
+          col("min_ok").as("min_val"), col("max_ok").as("max_val")),
+        struct(lit("l_quantity").as("column"), col("n"),
+          col("ndv_qty").as("ndv"), col("nn_qty").as("n_nulls"),
+          col("min_qty").as("min_val"), col("max_qty").as("max_val")),
+        struct(lit("l_returnflag").as("column"), col("n"),
+          col("ndv_rf").as("ndv"), col("nn_rf").as("n_nulls"),
+          lit(null).cast("double").as("min_val"),
+          lit(null).cast("double").as("max_val")))).as("r"))
+        .select(col("r.column").as("column"), col("r.n").as("n_rows"),
+          col("r.ndv").as("ndv"), col("r.n_nulls").as("n_nulls"),
+          col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
+    },
+      Some("""WITH a AS (SELECT count(*)::BIGINT AS n,
+                count(DISTINCT l_orderkey)::BIGINT AS ndv_ok,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_ok,
+                min(l_orderkey)::DOUBLE AS min_ok, max(l_orderkey)::DOUBLE AS max_ok,
+                count(DISTINCT l_quantity)::BIGINT AS ndv_qty,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_qty,
+                min(l_quantity)::DOUBLE AS min_qty, max(l_quantity)::DOUBLE AS max_qty,
+                count(DISTINCT l_returnflag)::BIGINT AS ndv_rf,
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_rf
+              FROM lineitem)
+              SELECT 'l_orderkey' AS column, n AS n_rows, ndv_ok AS ndv,
+                     nn_ok AS n_nulls, min_ok AS min_val, max_ok AS max_val FROM a
+              UNION ALL
+              SELECT 'l_quantity', n, ndv_qty, nn_qty, min_qty, max_qty FROM a
+              UNION ALL
+              SELECT 'l_returnflag', n, ndv_rf, nn_rf, NULL, NULL FROM a""")),
+
     Q("s12_format_roundtrip", (s, d) => {
       // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
       // with an explicit schema -> write ORC -> read -> aggregate. The
