@@ -4010,6 +4010,102 @@ object SparkEntry {
                 round(n_new / dau::DOUBLE, 6) AS pct_new
               FROM j""")),
 
+    Q("a35_grouping_sets", (s, d) => {
+      // explicit GROUPING SETS — the arbitrary-set sibling of a12
+      // rollup / a21 cube: ((rf, ls), (rf), ()) with grouping_id so
+      // consumers can tell a real NULL from a superaggregate row. One
+      // EXPAND pass, same as rollup/cube
+      val l = li(s, d)
+      l.createOrReplaceTempView("graft_a35_lineitem")
+      s.sql("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+                      CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                      count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+               FROM graft_a35_lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())""")
+    },
+      Some("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+                     grouping_id(l_returnflag, l_linestatus)::INT AS gid,
+                     count(*)::BIGINT AS n,
+                     sum(l_quantity::DECIMAL(12,2))::DOUBLE AS qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                      (l_returnflag), ())""")),
+
+    Q("a36_gap_fill", (s, d) =>
+      // dense calendar spine + gap fill: every day between min and max
+      // appears, zero-filled where the stream is silent — the
+      // time-series prerequisite (a window over a gappy series is
+      // silently wrong). The spine is sequence(min, max) exploded from
+      // a ONE-ROW aggregate (spine length is range-bounded, not
+      // row-bounded), left-joined to the daily aggregate
+      {
+        val daily = ev(s, d).select(to_date(col("ts")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+            when(col("n").isNull, 1).otherwise(0).as("is_gap"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
+                             FROM events GROUP BY 1),
+              bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+              spine AS (SELECT unnest(generate_series(lo, hi,
+                                 INTERVAL 1 DAY))::DATE AS day FROM bounds)
+              SELECT spine.day, coalesce(daily.n, 0)::BIGINT AS n_events,
+                     (CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
+              FROM spine LEFT JOIN daily ON spine.day = daily.day""")),
+
+    Q("a37_conversion_lag", (s, d) =>
+      // time-to-convert distribution: per converting user the minutes
+      // from first view to first subsequent purchase (the funnel's own
+      // ordered t_0 -> t_2 contract), then EXACT lower-median / p90 via
+      // the integer half-count contracts (cum*2 >= n, cum*10 >= n*9)
+      // over a per-minute-value count frame — no quantile_cont libm
+      {
+        val f = graft.operators.Stats.funnel(
+          ev(s, d).select(col("user_id"), col("ts"), col("event_type")),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        val lags = f.filter(col("t_2").isNotNull)
+          .select((floor((unix_micros(col("t_2")) - unix_micros(col("t_0")))
+            / 60000000L)).cast("long").as("lag_min"))
+        val per = lags.groupBy(col("lag_min")).agg(count(lit(1)).as("c"))
+        val cum = graft.operators.Windows.globalRunningSums(
+          per, "lag_min", Nil, Seq(col("c") -> "cum"))
+        val tot = per.agg(sum(col("c")).as("n"))
+        val med = cum.crossJoin(broadcast(tot)).filter(col("cum") * 2 >= col("n"))
+          .agg(min(col("lag_min")).as("median_lag_min"))
+        val p90 = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") * 10 >= col("n") * 9)
+          .agg(min(col("lag_min")).as("p90_lag_min"))
+        tot.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+          .select(col("n").as("n_converted"), col("median_lag_min"),
+            col("p90_lag_min"))
+      },
+      Some("""WITH s0 AS (SELECT user_id, min(ts) AS t_0 FROM events
+                          WHERE event_type = 'view' GROUP BY 1),
+              s1 AS (SELECT e.user_id, min(e.ts) AS t_1 FROM events e
+                     JOIN s0 ON s0.user_id = e.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s0.t_0 GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+                     JOIN s1 ON s1.user_id = e.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s1.t_1 GROUP BY 1),
+              lag AS (SELECT ((epoch_us(s2.t_2) - epoch_us(s0.t_0)) // 60000000)
+                        ::BIGINT AS lag_min
+                      FROM s2 JOIN s0 USING (user_id)),
+              per AS (SELECT lag_min, count(*)::BIGINT AS c FROM lag GROUP BY 1),
+              cum AS (SELECT lag_min, sum(c) OVER (ORDER BY lag_min) AS cum,
+                             sum(c) OVER () AS n FROM per),
+              med AS (SELECT min(lag_min) AS m FROM cum WHERE cum * 2 >= n),
+              p90 AS (SELECT min(lag_min) AS p FROM cum WHERE cum * 10 >= n * 9),
+              t AS (SELECT sum(c)::BIGINT AS n FROM per)
+              SELECT t.n AS n_converted, med.m AS median_lag_min,
+                     p90.p AS p90_lag_min
+              FROM t CROSS JOIN med CROSS JOIN p90""")),
+
     Q("a34_markov_transitions", (s, d) =>
       // first-order Markov transition matrix of per-user event sequences
       // (clickstream analysis): one lead window per user timeline, one

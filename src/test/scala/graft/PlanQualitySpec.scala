@@ -271,7 +271,7 @@ class PlanQualitySpec extends SparkSpec {
     // totals aggregate exchanges one partial row per partition.)
     for (q <- Seq("a17_equidepth", "a24_woe_binning", "x_vocab_coverage",
         "a27_psi_drift", "a28_ks_drift", "a30_mad_outliers", "x_zipf_slope",
-        "a31_attribution", "a32_cumulative_reach")) {
+        "a31_attribution", "a32_cumulative_reach", "a37_conversion_lag")) {
       val p = plan(q)
       assert(!p.contains("ntile"), s"$q:\n$p")
       val wlines = p.linesIterator
