@@ -4010,6 +4010,36 @@ object SparkEntry {
                 round(n_new / dau::DOUBLE, 6) AS pct_new
               FROM j""")),
 
+    Q("a38_incremental_join", (s, d) =>
+      // incremental JOIN maintenance (the join sibling of a18's
+      // aggregate-state merge): a materialized orders |x| lineitem
+      // result is maintained under a delta batch via the join-delta
+      // identity  new = old UNION (delta_A |x| B)  — the base is NEVER
+      // rescanned against the full join. The oracle computes the FULL
+      // join from scratch, so the identity itself is what's verified.
+      // Delta = orders with o_orderkey % 10 = 0 (a tenth of the table)
+      {
+        val o = ord(s, d)
+        val l = li(s, d)
+        val base  = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        def joined(oo: org.apache.spark.sql.DataFrame) =
+          oo.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_orderstatus"), col("l_returnflag"),
+              col("l_extendedprice"))
+        // "old" materialized state + the delta increment, then one
+        // compacting aggregate (the consumer-facing rollup)
+        graft.Mat(joined(base)).unionByName(joined(delta))
+          .groupBy(col("o_orderstatus"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2)
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, l_returnflag, count(*)::BIGINT AS n,
+                     round(sum(l_extendedprice::DECIMAL(14,2)), 2)::DOUBLE AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2""")),
+
     Q("a35_grouping_sets", (s, d) => {
       // explicit GROUPING SETS — the arbitrary-set sibling of a12
       // rollup / a21 cube: ((rf, ls), (rf), ()) with grouping_id so
