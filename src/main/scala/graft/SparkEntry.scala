@@ -803,6 +803,30 @@ object SparkEntry {
                              ORDER BY o_orderdate, o_orderkey))::VARCHAR AS label
               FROM orders""")),
 
+    Q("w8_forward_fill", (s, d) =>
+      // LOCF forward fill (the time-series staple Spark spells
+      // last(col, ignoreNulls) OVER): every event carries the user's
+      // most recent purchase value so far — null until the first
+      // purchase. One per-user window, skew bounded by a user's events
+      ev(s, d)
+        .withColumn("__pv",
+          when(col("event_type") === "purchase", round(col("value"), 6)))
+        .withColumn("last_purchase_value",
+          last(col("__pv"), ignoreNulls = true).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("last_purchase_value")),
+      Some("""SELECT event_id, user_id, event_type,
+                last_value(CASE WHEN event_type = 'purchase'
+                                THEN round(value, 6) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_value
+              FROM events""")),
+
     Q("w7_rank_family", (s, d) => {
       // the full SQL ranking family in one pass: rank/dense_rank/
       // percent_rank/cume_dist over a TIES-bearing order (month — tie
