@@ -3043,6 +3043,58 @@ object SparkEntry {
                         ORDER BY score DESC, cdoc))::INT AS rank
               FROM s QUALIFY rank <= 3""")),
 
+    Q("v_embedding_drift", (s, d) =>
+      // embedding-space drift monitor between the stream's two halves
+      // (did the encoder / data distribution move?): per-dimension
+      // centroid deltas via ONE aggregate with dim DECIMAL sum columns
+      // (the powerIteration posture — no explode), then centroid
+      // cosine, centroid L2 distance, and mean-norm delta. Output is
+      // one scalar row; halves split by vec_id parity
+      {
+        val e = emb(s, d).select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"),
+          pmod(col("vec_id"), lit(2)).as("half"))
+        val dim = 64
+        def sums(h: Int) = (0 until dim).map(dd =>
+          sum(when(col("half") === h,
+            round(get(col("v"), lit(dd)), 9).cast("decimal(28,9)")))
+            .cast("double").as(s"s${h}_$dd"))
+        val aggs = sums(0) ++ sums(1) ++ Seq(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        val r = e.agg(aggs.head, aggs.tail: _*)
+        val c0 = (0 until dim).map(dd => col(s"s0_$dd") / col("n0"))
+        val c1 = (0 until dim).map(dd => col(s"s1_$dd") / col("n1"))
+        val dot = c0.zip(c1).map { case (a, b) => a * b }.reduce(_ + _)
+        val n0sq = c0.map(a => a * a).reduce(_ + _)
+        val n1sq = c1.map(a => a * a).reduce(_ + _)
+        val l2sq = c0.zip(c1).map { case (a, b) => (a - b) * (a - b) }
+          .reduce(_ + _)
+        r.select(col("n0"), col("n1"),
+          round(dot / (sqrt(n0sq) * sqrt(n1sq)), 6).as("centroid_cos"),
+          round(sqrt(l2sq), 6).as("centroid_l2"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                                vec_id % 2 AS half FROM embeddings),
+              cells AS (SELECT half, i AS d,
+                          sum(round(v[i + 1], 9)::DECIMAL(28,9))::DOUBLE AS s,
+                          count(*)::BIGINT AS n
+                        FROM e, range(64) r(i) GROUP BY 1, 2),
+              c AS (SELECT d, max(CASE WHEN half = 0 THEN s / n END) AS c0,
+                           max(CASE WHEN half = 1 THEN s / n END) AS c1
+                    FROM cells GROUP BY 1),
+              t AS (SELECT sum(c0 * c1) AS dot, sum(c0 * c0) AS n0sq,
+                           sum(c1 * c1) AS n1sq,
+                           sum((c0 - c1) * (c0 - c1)) AS l2sq
+                    FROM c),
+              nn AS (SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                            sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+                     FROM (SELECT DISTINCT vec_id, half FROM e))
+              SELECT nn.n0, nn.n1,
+                     round(t.dot / (sqrt(t.n0sq) * sqrt(t.n1sq)), 6) AS centroid_cos,
+                     round(sqrt(t.l2sq), 6) AS centroid_l2
+              FROM t CROSS JOIN nn""")),
+
     Q("v_norm", (s, d) =>
       // native l2_norm expression (fused loop); sequential accumulation
       // matches DuckDB's list comprehension fold
@@ -4234,6 +4286,46 @@ object SparkEntry {
                 (SELECT vd FROM u2 WHERE d = 1) AS v1,
                 (SELECT vd FROM u2 WHERE d = 2) AS v2,
                 (SELECT vd FROM u2 WHERE d = 3) AS v3""")),
+
+    Q("x_langid_eval", (s, d) =>
+      // language-ID EVALUATION against the labeled corpus: the
+      // (label, prediction) confusion matrix with per-cell recall share
+      // — the model-quality harness for the x_lang_id heuristic (same
+      // family as x_dedup_eval for LSH). Two hash aggs, state-space
+      // sized output
+      {
+        val p = doc(s, d).select(col("lang"),
+          TextFunctions.langId(col("text")).as("pred"))
+        val cells = p.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+        cells.join(tot, Seq("lang"))
+          .select(col("lang"), col("pred"), col("n"),
+            round(col("n") / col("__t"), 6).as("share"),
+            when(col("lang") === col("pred"), 1).otherwise(0).as("is_correct"))
+      },
+      Some("""WITH p AS (SELECT lang,
+                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                     ELSE 'und' END AS pred
+              FROM (SELECT lang,
+                      len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|is|was|that|with)\b')) AS s_en,
+                      len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
+                      len(regexp_extract_all(lower(text),
+                        '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
+                      len(regexp_extract_all(lower(text),
+                        '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
+                    FROM documents)),
+              cells AS (SELECT lang, pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+              t AS (SELECT lang, sum(n)::BIGINT AS tt FROM cells GROUP BY 1)
+              SELECT cells.lang, pred, n,
+                     round(n / t.tt::DOUBLE, 6) AS share,
+                     (CASE WHEN cells.lang = pred THEN 1 ELSE 0 END)::INT AS is_correct
+              FROM cells JOIN t USING (lang)""")),
 
     Q("x_corpus_card", (s, d) =>
       // the per-source dataset-release report: size, token budget, mean
