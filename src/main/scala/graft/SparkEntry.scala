@@ -3980,7 +3980,9 @@ object SparkEntry {
                           AS n_converted,
                         sum(CASE WHEN w1.r IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                           AS wk1_retained,
-                        sum(coalesce(pv.pval, 0::DECIMAL(18,6))) AS val_dec
+                        sum(CASE WHEN fs.stage >= 3
+                                 THEN coalesce(pv.pval, 0::DECIMAL(18,6))
+                                 ELSE 0::DECIMAL(18,6) END) AS val_dec
                       FROM uc LEFT JOIN ns USING (user_id)
                               LEFT JOIN fs USING (user_id)
                               LEFT JOIN w1 USING (user_id)

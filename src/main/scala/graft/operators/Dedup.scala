@@ -703,13 +703,16 @@ object Dedup {
   def sourceOverlap(
       df: DataFrame, text: Column, source: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val ssh = df.select(source.as("src"), split(trim(text), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("src"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*))))
-        .as("sh"))
-      .distinct()
+    // materialized: feeds three consumers (per-source counts + both
+    // self-join sides) — without this the explode+distinct recomputes 3x
+    val ssh = graft.Mat(
+      df.select(source.as("src"), split(trim(text), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("src"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*))))
+          .as("sh"))
+        .distinct())
     val per = ssh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
     val pairs = ssh.as("a")
       .join(ssh.as("b"),

@@ -14,7 +14,10 @@ object Engagement {
   /** Per acquisition-cohort week (ISO Monday of each user's first-seen
     * day): users, gap-sessions, ordered-funnel conversions
     * (`funnelStages`, last stage = the conversion event whose `value`
-    * monetizes), week-1 retention, and converted value.
+    * monetizes), week-1 retention, and converted value. `conv_value`
+    * sums conversion-event revenue of FUNNEL-COMPLETING users only
+    * (stage >= funnelStages.size) — purchases by users who skipped an
+    * earlier stage are excluded, matching the column's name.
     *
     * Scale shape: one per-user session window (skew bounded by a user's
     * events), the stage-per-user funnel joins (all keyed on user_id —
@@ -59,7 +62,12 @@ object Engagement {
         sum(when(col("stage") >= funnelStages.size, 1L).otherwise(0L))
           .as("n_converted"),
         sum(coalesce(col("retained"), lit(0L))).as("wk1_retained"),
-        sum(coalesce(col("pval"), lit(0).cast("decimal(18,6)"))).as("__val"))
+        // conv_value means what it says: revenue of users who COMPLETED
+        // the ordered funnel — a purchase without the full view→click
+        // path does not monetize the cohort row
+        sum(when(col("stage") >= funnelStages.size,
+            coalesce(col("pval"), lit(0).cast("decimal(18,6)")))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("__val"))
       .select(col("cohort_week"), col("n_users"), col("n_sessions"),
         round(col("n_sessions") / col("n_users"), 6).as("sessions_per_user"),
         col("n_converted"),

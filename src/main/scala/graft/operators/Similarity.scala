@@ -475,10 +475,11 @@ object Similarity {
     }
     val topDim = v.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2
     val eig = spark.range(1).select(round(lit(eigen), 6)).head.getDouble(0)
-    spark.range(1).select(
+    // report min(dim, 4) leading components — a dim<4 input narrows the
+    // output rather than throwing on v(1)..v(3)
+    val comps = (0 until math.min(dim, 4)).map(i => lit(v(i)).as(s"v$i"))
+    spark.range(1).select(Seq(
       lit(nVec).as("n_vectors"), lit(dim).as("dim"),
-      lit(eig).as("eigenvalue"), lit(topDim).as("top_dim"),
-      lit(v(0)).as("v0"), lit(v(1)).as("v1"),
-      lit(v(2)).as("v2"), lit(v(3)).as("v3"))
+      lit(eig).as("eigenvalue"), lit(topDim).as("top_dim")) ++ comps: _*)
   }
 }

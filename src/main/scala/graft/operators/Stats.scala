@@ -157,6 +157,11 @@ object Stats {
     * as a single double division against the per-from totals (joined
     * back from a state-space-sized frame).
     *
+    * CONTRACT: (user, ts) pairs must be unique — the per-user `lead`
+    * orders by timestamp alone, so duplicate timestamps within one user
+    * make the successor nondeterministic. Pre-dedup or pass a composite
+    * ts (e.g. `ts * 1000 + event_id % 1000`) if the stream has ties.
+    *
     * Returns (from_type, to_type, n, p) — p sums to 1 per from_type. */
   def transitionMatrix(
       df: DataFrame, user: Column, ts: Column, eventType: Column): DataFrame = {
@@ -215,6 +220,11 @@ object Stats {
     *
     * Scale: two window passes partitioned BY USER (skew bounded by one
     * user's event count) + one global channel-sized aggregate.
+    *
+    * CONTRACT: (user, ts) pairs must be unique — both window frames
+    * order by timestamp alone, so a touch and a conversion sharing one
+    * user-timestamp make the rows-based last-touch frame
+    * nondeterministic. Pre-dedup or disambiguate ties upstream.
     *
     * Returns one row per channel (+ 'none'):
     * (channel, n_last_touch, last_touch_rev, linear_rev). */

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * be broken by suffixed words (lang-id markers, stopword ratios).
   */
 object ScaleGen {
+  /** max(key)+1 with a descriptive failure on an empty/all-null table
+    * (a bare getLong(0) NPEs with no context). */
+  private def shiftBase(
+      df: org.apache.spark.sql.DataFrame, key: String, table: String): Long = {
+    val row = df.agg(max(key)).head
+    require(!row.isNullAt(0),
+      s"ScaleGen: table '$table' is empty or '$key' is all-null — " +
+        "cannot derive a key shift; regenerate the source scale factor")
+    row.getLong(0) + 1
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
@@ -30,8 +41,8 @@ object ScaleGen {
 
     val o = spark.read.parquet(s"$src/orders.parquet")
     val l = spark.read.parquet(s"$src/lineitem.parquet")
-    val oShift = o.agg(max("o_orderkey")).head.getLong(0) + 1
-    val cShift = o.agg(max("o_custkey")).head.getLong(0) + 1
+    val oShift = shiftBase(o, "o_orderkey", "orders")
+    val cShift = shiftBase(o, "o_custkey", "orders")
 
     val cSeq = explode(sequence(lit(0L), lit(copies - 1L))).as("__c")
     o.select(col("*"), cSeq)
@@ -50,7 +61,7 @@ object ScaleGen {
     // original — the honest linear-scaling baseline for dedup operators
     // (replicating texts verbatim would grow pair counts quadratically)
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val dShift = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val dShift = shiftBase(docs, "doc_id", "documents")
     val docsScaled = docs.select(col("*"), cSeq)
       .withColumn("doc_id", col("doc_id") + col("__c") * dShift)
     (if (verbatimDocs) docsScaled
@@ -64,7 +75,7 @@ object ScaleGen {
     // Shift modulo the dimension: copies beyond dim wrap (slice length
     // must stay >= 0 — at copies > dim the raw offset went negative)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val eShift = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val eShift = shiftBase(emb, "vec_id", "embeddings")
     emb.select(col("*"), cSeq)
       .withColumn("vec_id", col("vec_id") + col("__c") * eShift)
       .withColumn("__s", pmod(col("__c").cast("int"), size(col("embedding"))))
@@ -80,8 +91,8 @@ object ScaleGen {
     // preserved, per-user densities constant). Loaded via Tables.events
     // so either ts encoding round-trips.
     val evt = graft.Tables.events(spark, src)
-    val evShift = evt.agg(max("event_id")).head.getLong(0) + 1
-    val uShift = evt.agg(max("user_id")).head.getLong(0) + 1
+    val evShift = shiftBase(evt, "event_id", "events")
+    val uShift = shiftBase(evt, "user_id", "events")
     evt.select(col("*"), cSeq)
       .withColumn("event_id", col("event_id") + col("__c") * evShift)
       .withColumn("user_id", col("user_id") + col("__c") * uShift)

@@ -38,7 +38,7 @@ class EngagementSpec extends SparkSpec {
     assert(w1._9 == 25.0)                    // user 1's purchase value
     val w2 = got("2024-01-08")
     assert((w2._2, w2._3, w2._5) == ((1L, 1L, 0L))) // ordered funnel: no prefix
-    assert(w2._9 == 10.0)  // conversion VALUE counts purchase events regardless
+    assert(w2._9 == 0.0)  // not funnel-converted -> purchase doesn't monetize
     assert((w2._7, w2._8) == ((0L, 0.0)))
   }
 }
