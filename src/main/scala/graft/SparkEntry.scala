@@ -2306,6 +2306,57 @@ object SparkEntry {
               SELECT *, TRY_CAST(regexp_replace(broker_ext_id, '^P', '') AS BIGINT) AS broker_id
               FROM (SELECT * FROM roster UNION ALL SELECT * FROM ph) u""")),
 
+    Q("g_broker_name_backfill", (s, d) => {
+      // 06z (sql/transforms/06z-update-proposal-broker-names.sql:17-31):
+      // post-proposal broker-name backfill — null/blank/'Broker {id}'
+      // placeholder names take the roster name when non-blank; the rest
+      // keep their value and twin the script's still-missing report
+      val o = ord(s, d)
+      val props = o.select(
+        concat(lit("PR-"), col("o_orderkey")).as("proposal_id"),
+        when(pmod(col("o_orderkey"), lit(23)) === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("o_custkey"), lit(2000))).as("broker_id"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+          .when(pmod(col("o_orderkey"), lit(5)) === 1, lit("  "))
+          .when(pmod(col("o_orderkey"), lit(5)) === 2,
+            concat(lit("Broker "), pmod(col("o_custkey"), lit(2000))))
+          .otherwise(concat(lit("Kept "), col("o_orderkey"))).as("broker_name"))
+      val roster = cst(s, d).filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey").as("broker_id"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit("  "))
+            .otherwise(concat(lit(" "), col("c_name"), lit(" "))).as("name"))
+      graft.domain.CoreTransforms.backfillBrokerNames(props, roster)
+    },
+      Some("""WITH props AS (SELECT 'PR-' || o_orderkey::VARCHAR AS proposal_id,
+                       CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                            ELSE o_custkey % 2000 END::BIGINT AS broker_id,
+                       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                            WHEN o_orderkey % 5 = 1 THEN '  '
+                            WHEN o_orderkey % 5 = 2
+                              THEN 'Broker ' || (o_custkey % 2000)::VARCHAR
+                            ELSE 'Kept ' || o_orderkey::VARCHAR END AS broker_name
+                     FROM orders),
+              roster AS (SELECT c_custkey::BIGINT AS broker_id,
+                       NULLIF(trim(CASE WHEN c_custkey % 7 = 0 THEN '  '
+                                        ELSE ' ' || c_name || ' ' END), '') AS bname
+                     FROM customer WHERE c_custkey % 3 <> 0),
+              j AS (SELECT p.*, r.bname,
+                      (p.broker_id IS NOT NULL AND
+                        (p.broker_name IS NULL OR trim(p.broker_name) = ''
+                         OR p.broker_name = 'Broker ' || p.broker_id::VARCHAR)
+                        AND r.bname IS NOT NULL) AS fixed
+                    FROM props p LEFT JOIN roster r USING (broker_id)),
+              fin AS (SELECT proposal_id, broker_id,
+                        CASE WHEN fixed THEN bname ELSE broker_name END AS broker_name,
+                        fixed AS was_backfilled
+                      FROM j)
+              SELECT proposal_id, broker_id, broker_name, was_backfilled,
+                     (broker_id IS NOT NULL AND
+                       (broker_name IS NULL OR trim(broker_name) = ''
+                        OR broker_name = 'Broker ' || broker_id::VARCHAR))
+                       AS still_missing
+              FROM fin""")),
+
     Q("g_groups_transform", (s, d) => {
       // 02-groups (sql/transforms/02-groups.sql:31-33,107-121): per-group
       // best-non-empty conditional aggregates, perf > premium > cert

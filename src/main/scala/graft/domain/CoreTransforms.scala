@@ -48,6 +48,36 @@ object CoreTransforms {
       .withColumn("broker_id", Cleaning.externalToInternalId(col("broker_ext_id")))
   }
 
+  /** Broker-name backfill (`sql/transforms/06z-update-proposal-broker-names.sql:17-31`):
+    * proposals whose broker_name is null, blank, or the `'Broker {id}'`
+    * placeholder take the roster name when it is non-blank; rows without
+    * a usable roster name keep their value (placeholder included) and
+    * are flagged still-missing, twinning the script's follow-up report
+    * (`:37-42`). One left join against the roster dim (AQE broadcasts
+    * it — never forced, roster cardinality is data-dependent).
+    *
+    * `proposals`: (proposal_id, broker_id, broker_name);
+    * `brokers`: (broker_id, name). Returns the proposals frame with
+    * broker_name rewritten + (was_backfilled, still_missing). */
+  def backfillBrokerNames(proposals: DataFrame, brokers: DataFrame): DataFrame = {
+    val placeholder = concat(lit("Broker "), col("broker_id"))
+    val needsFix = col("broker_id").isNotNull &&
+      (col("broker_name").isNull || trim(col("broker_name")) === "" ||
+        col("broker_name") === placeholder)
+    val roster = brokers.select(col("broker_id").as("__bid"),
+      Cleaning.cleanStr(col("name")).as("__bname"))
+    proposals
+      .join(roster, col("broker_id") === col("__bid"), "left")
+      .withColumn("__fixed", needsFix && col("__bname").isNotNull)
+      .withColumn("broker_name",
+        when(col("__fixed"), col("__bname")).otherwise(col("broker_name")))
+      .withColumn("was_backfilled", col("__fixed"))
+      .withColumn("still_missing", col("broker_id").isNotNull &&
+        (col("broker_name").isNull || trim(col("broker_name")) === "" ||
+          col("broker_name") === placeholder))
+      .drop("__bid", "__bname", "__fixed")
+  }
+
   /** License date-correction rules (`sql/transforms/01-brokers.sql:199-239`):
     * null effective date <- expiration date; expired-but-Active ->
     * sentinel '2027-01-01'. */
