@@ -2686,12 +2686,20 @@ object SparkEntry {
       // 4 bands) flagged at est >= 0.5 scored against the EXACT
       // shingle-Jaccard ground truth at 0.5 (uncapped — exhaustive for
       // t > 0 since qualifying pairs share a shingle). One full outer
-      // join on the pair key + a one-row confusion aggregate; at corpus
-      // scale this diagnostic runs on a hash-sampled slice by design
+      // join on the pair key + a one-row confusion aggregate. Above
+      // maxTruthDocs documents the WHOLE eval runs on an enforced
+      // deterministic hash slice (k = ceil(n/maxTruthDocs), reported as
+      // slice_k) — the truth join stays bounded at any corpus scale
       Dedup.lshQualityEval(doc(s, d), col("doc_id"), col("text"),
-        shingleWords = 3, numHashes = 16, bands = 4, threshold = 0.5),
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                            FROM documents),
+        shingleWords = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        maxTruthDocs = 400L),
+      Some("""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+              kk AS (SELECT greatest(1, ceil(n / 400.0))::BIGINT AS k FROM nn),
+              docs AS (SELECT d.* FROM documents d, kk
+                       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#lsheval'),
+                              1, 8))::BIGINT % kk.k = 0),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM docs),
               sh AS (SELECT doc_id,
                        unnest(list_distinct([array_to_string(w[i:i+2], ' ')
                                              for i in generate_series(1, len(w) - 2)])) AS s
@@ -2733,7 +2741,9 @@ object SparkEntry {
               conf AS (SELECT sum(f)::BIGINT AS n_flagged, sum(e)::BIGINT AS n_true,
                               sum(f * e)::BIGINT AS tp
                        FROM fj)
-              SELECT (SELECT count(*) FROM est)::BIGINT AS n_candidates,
+              SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs_scored,
+                (SELECT k FROM kk) AS slice_k,
+                (SELECT count(*) FROM est)::BIGINT AS n_candidates,
                 n_flagged, n_true, tp,
                 (n_flagged - tp)::BIGINT AS fp, (n_true - tp)::BIGINT AS fn,
                 (CASE WHEN n_flagged > 0 THEN round(tp / n_flagged::DOUBLE, 6)

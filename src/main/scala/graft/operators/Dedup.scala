@@ -652,21 +652,32 @@ object Dedup {
     * confusion aggregate.
     *
     * Scale note: the truth side is deliberately UNCAPPED (a df cap
-    * changes the measure being evaluated) — at corpus scale run this
-    * diagnostic on a sampled slice ([[Sampling.hashSample]]), which is
-    * how estimator tuning is done anyway; the verdict transfers because
-    * both sides see the same sample.
+    * changes the measure being evaluated), so the corpus-scale posture
+    * is ENFORCED here, not advisory: above `maxTruthDocs` documents the
+    * whole evaluation runs on a deterministic hash slice of the corpus
+    * (`pmod(md5(id+salt), k) = 0` with `k = ceil(n / maxTruthDocs)`) —
+    * the standard estimator-tuning practice, and the verdict transfers
+    * because BOTH the LSH and the exact-truth side see the same slice.
+    * The slice denominator is reported (`slice_k`, 1 = exhaustive) so a
+    * sampled verdict is never mistaken for a full-corpus one.
     *
-    * Returns 1 row: (n_candidates, n_flagged, n_true, tp, fp, fn,
-    * precision, recall). */
+    * Returns 1 row: (n_docs_scored, slice_k, n_candidates, n_flagged,
+    * n_true, tp, fp, fn, precision, recall). */
   def lshQualityEval(
       df: DataFrame, id: Column, text: Column,
       shingleWords: Int, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
-    val cand = minHashLshPairs(df, id, text, shingleWords, numHashes, bands)
+      threshold: Double, maxTruthDocs: Long = 2000000L): DataFrame = {
+    require(maxTruthDocs > 0, "maxTruthDocs must be positive")
+    val n = df.count()
+    val k = math.max(1L, math.ceil(n.toDouble / maxTruthDocs).toLong)
+    val base =
+      if (k > 1) df.filter(Sampling.sampleBucket(id, "#lsheval", k.toInt) === 0)
+      else df
+    val nScored = base.count()
+    val cand = minHashLshPairs(base, id, text, shingleWords, numHashes, bands)
     val flagged = cand.filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
-    val truth = ngramJaccardPairs(df, id, text, shingleWords, threshold,
+    val truth = ngramJaccardPairs(base, id, text, shingleWords, threshold,
         maxDf = None)
       .select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
     val confusion = flagged.join(truth, Seq("id_a", "id_b"), "full")
@@ -676,7 +687,8 @@ object Dedup {
         sum(col("f") * col("e")).as("tp"))
     val candN = cand.agg(count(lit(1)).as("n_candidates"))
     confusion.crossJoin(broadcast(candN))
-      .select(col("n_candidates"), col("n_flagged"), col("n_true"), col("tp"),
+      .select(lit(nScored).as("n_docs_scored"), lit(k).as("slice_k"),
+        col("n_candidates"), col("n_flagged"), col("n_true"), col("tp"),
         (col("n_flagged") - col("tp")).as("fp"),
         (col("n_true") - col("tp")).as("fn"),
         when(col("n_flagged") > 0, round(col("tp") / col("n_flagged"), 6))

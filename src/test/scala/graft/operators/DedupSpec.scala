@@ -313,6 +313,18 @@ class DedupSpec extends SparkSpec {
     assert(got == ((1L, 1L, 0L, 1.0)))
   }
 
+  test("lshQualityEval: enforced hash slice activates above maxTruthDocs") {
+    val docs = (1L to 40L).map(i => (i, s"w$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshQualityEval(docs, col("doc_id"), col("text"),
+        shingleWords = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        maxTruthDocs = 10L)
+      .select(col("n_docs_scored"), col("slice_k"))
+      .as[(Long, Long)].collect().head
+    assert(got._2 == 4L)                  // ceil(40 / 10)
+    assert(got._1 > 0L && got._1 < 40L)   // a strict, non-empty slice scored
+  }
+
   test("sourceOverlap: distinct shingles per source, Jaccard per pair") {
     val docs = Seq(
       (1L, "a b c d", "s1"), // s1 grams: {a b c, b c d}
