@@ -79,7 +79,9 @@ object CalcProfile {
     phase("4 explodeSplits")     { s8 = mat(Calc.explodeSplits(p, splits)); s8.count() }
     phase("5 resolveHierVersion"){ v = mat(Calc.resolveHierarchyVersion(s8, versions)); v.count() }
     phase("6 explodeParticipants"){ x = mat(Calc.explodeParticipants(v, participants)); x.count() }
-    phase("7 lookupRate")        { r = mat(Calc.lookupRate(x, rates)); r.count() }
+    phase("7 lookupRate")        { r = mat(Calc.lookupRate(x, rates,
+      rowKey = Seq(col("premium_id"), col("proposal_id"), col("__sseq"),
+        col("version_id"), col("__pseq")))); r.count() }
     phase("8 compute+assign")    { fin = mat(Calc.applyAssignments(Calc.compute(r), assignments)); fin.count() }
     phase("gl projection")       { Calc.glEntries(fin).count() }
     spark.stop()

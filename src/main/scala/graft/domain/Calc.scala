@@ -53,10 +53,20 @@ object Calc {
   /** Stage 4: explode the proposal's split configuration — 1:N fan-out
     * (`run-calculation.sql:125-147`). split_premium = round(amount*pct/100, 2)
     * — round-then-aggregate, replicated exactly (:139). */
-  def explodeSplits(withProposal: DataFrame, splits: DataFrame): DataFrame =
-    withProposal.join(splits, Seq("proposal_id"))
+  def explodeSplits(withProposal: DataFrame, splits: DataFrame): DataFrame = {
+    // deterministic in-proposal ordinal on the config-sized dim side:
+    // split_seq alone is NOT a safe discriminator (the synthetic data's
+    // l_linenumber duplicates within an order, and nothing in the
+    // contract forbids duplicate split rows) — `__sseq` makes each
+    // exploded row addressable by lineage key alone
+    val ordCols = splits.columns.map(c => col(c).asc_nulls_first)
+    val sp = splits.withColumn("__sseq", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("proposal_id")).orderBy(ordCols: _*)))
+    withProposal.join(sp, Seq("proposal_id"))
       .withColumn("split_premium",
         round(col("amount").cast("decimal(18,2)") * col("split_pct").cast("decimal(7,4)") / 100, 2))
+  }
 
   /** Stage 5: resolve the hierarchy version active at the transaction
     * date (`run-calculation.sql:162-179`). */
@@ -67,27 +77,44 @@ object Calc {
       .drop(hierarchyVersions("hierarchy_id")).drop("eff_from", "eff_to")
 
   /** Stage 6: explode hierarchy participants — second 1:N fan-out
-    * (`run-calculation.sql:194-217`). */
-  def explodeParticipants(withVersion: DataFrame, participants: DataFrame): DataFrame =
-    withVersion.join(participants, Seq("version_id"))
+    * (`run-calculation.sql:194-217`). The dim side gets a deterministic
+    * in-version ordinal (`__pseq`, row_number over ALL participant
+    * columns on the config-sized frame — negligible): combined with the
+    * fact lineage key it makes every exploded row uniquely addressable
+    * without tagging the big side, which [[lookupRate]]'s rank-1
+    * restoration needs (duplicate participants fan out twice and must
+    * not collapse, run-calculation.sql:194). */
+  def explodeParticipants(withVersion: DataFrame, participants: DataFrame): DataFrame = {
+    val ordCols = participants.columns.map(c => col(c).asc_nulls_first)
+    val p = participants.withColumn("__pseq", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("version_id")).orderBy(ordCols: _*)))
+    withVersion.join(p, Seq("version_id"))
+  }
 
   /** Stage 7: three-level rate resolution with band lookup
     * (`run-calculation.sql:232-297`): certificate rate (when > 0) beats
     * participant rate beats schedule lookup (equi on schedule+product+
     * state with wildcard rows and a group-size band, :293-297); rate
     * source is tracked for traceability (:249-260). */
-  def lookupRate(exploded: DataFrame, scheduleRates: DataFrame): DataFrame = {
+  def lookupRate(exploded: DataFrame, scheduleRates: DataFrame,
+      rowKey: Seq[Column] = Nil): DataFrame = {
     // specificity is a property of the RULE row (exact product beats exact
     // state beats double wildcard), so it must be computed on the rules side
     // BEFORE the join drops sr's product_code/state copies
     val sr = scheduleRates.withColumn("__spec",
       when(col("product_code") =!= "*", 0).otherwise(2) +
         when(col("state") =!= "*", 0).otherwise(1))
-    // surrogate row id BEFORE the join: the rank-1 window must restore one
-    // output per input participant row — a composite business key would
-    // silently collapse legitimate duplicate participants (same broker
-    // listed twice in a version fans out twice, run-calculation.sql:194)
-    val tagged = exploded.withColumn("__rid", monotonically_increasing_id())
+    // the rank-1 window must restore one output per input participant
+    // row. Callers that know a unique composite key (the domain pipeline
+    // threads premium/proposal/split/version/__pseq lineage) pass it as
+    // `rowKey` — zero tagging cost; otherwise a deterministic content
+    // surrogate is derived (retry-safe, unlike monotonically_increasing_id,
+    // at the cost of one extra hash shuffle of the exploded frame)
+    val (tagged, keys) =
+      if (rowKey.nonEmpty) (exploded, rowKey)
+      else (graft.operators.Joins.deterministicRowKey(exploded),
+        Seq(col("__rh"), col("__ro")))
     val joined = tagged.join(sr,
       tagged("schedule_code") === sr("schedule_code") &&
         (sr("product_code") === "*" || sr("product_code") === tagged("product_code")) &&
@@ -96,7 +123,7 @@ object Calc {
           (tagged("group_size") >= sr("size_from") && tagged("group_size") <= sr("size_to"))),
       "left")
       .drop(sr("schedule_code")).drop(sr("product_code")).drop(sr("state"))
-    resolveBest(joined)
+    resolveBest(joined, keys)
   }
 
   /** Scale path for stage 7: [[expandScheduleRates]] + a FULL 3-part equi
@@ -108,9 +135,13 @@ object Calc {
     * facts with NON-NULL product/state — a null fact key matches nothing
     * here, while the wildcard path lets it match `'*'` rows; coalesce
     * fact keys to a sentinel before using this path. */
-  def lookupRateExpanded(exploded: DataFrame, expandedRates: DataFrame): DataFrame = {
+  def lookupRateExpanded(exploded: DataFrame, expandedRates: DataFrame,
+      rowKey: Seq[Column] = Nil): DataFrame = {
     val er = expandedRates
-    val tagged = exploded.withColumn("__rid", monotonically_increasing_id())
+    val (tagged, keys) =
+      if (rowKey.nonEmpty) (exploded, rowKey)
+      else (graft.operators.Joins.deterministicRowKey(exploded),
+        Seq(col("__rh"), col("__ro")))
     val joined = tagged.join(er,
       tagged("schedule_code") === er("schedule_code") &&
         tagged("product_code") === er("product_code") &&
@@ -119,7 +150,7 @@ object Calc {
           (tagged("group_size") >= er("size_from") && tagged("group_size") <= er("size_to"))),
       "left")
       .drop(er("schedule_code")).drop(er("product_code")).drop(er("state"))
-    resolveBest(joined)
+    resolveBest(joined, keys)
   }
 
   /** Expand wildcard rule rows over the OBSERVED product/state domains so
@@ -147,12 +178,12 @@ object Calc {
   /** Several rules may match one participant row: keep the most specific
     * (exact product > exact state > double wildcard), deterministically,
     * then resolve the three-level rate priority. Expects the caller's
-    * `__rid` surrogate and the rules-side `__spec` rank. */
-  private def resolveBest(joined: DataFrame): DataFrame = {
+    * caller's per-row key and the rules-side `__spec` rank. */
+  private def resolveBest(joined: DataFrame, keys: Seq[Column]): DataFrame = {
     val best = Joins.top1PerGroup(
       joined.withColumn("__spec", coalesce(col("__spec"), lit(9))),
-      Seq(col("__rid")), Seq(col("__spec").asc, col("rate").desc_nulls_last))
-      .drop("__spec", "__rid")
+      keys, Seq(col("__spec").asc, col("rate").desc_nulls_last))
+      .drop("__spec", "__rh", "__ro")
     best.withColumn("resolved_rate",
         when(col("real_rate").isNotNull && col("real_rate") > 0, col("real_rate"))
           .when(col("participant_rate").isNotNull, col("participant_rate"))
@@ -243,7 +274,12 @@ object Calc {
     val s = explodeSplits(p, in.splits)
     val v = resolveHierarchyVersion(s, in.hierarchyVersions)
     val x = explodeParticipants(v, in.participants)
-    val r = lookupRate(x, in.scheduleRates)
+    // unique by construction: proposals/versions resolve as-of among
+    // non-overlapping intervals, split_seq keys the split fan-out and
+    // __pseq the participant fan-out — no tagging pass needed
+    val r = lookupRate(x, in.scheduleRates, rowKey = Seq(
+      col("premium_id"), col("proposal_id"), col("__sseq"),
+      col("version_id"), col("__pseq"))).drop("__pseq", "__sseq")
     applyAssignments(compute(r), in.assignments)
   }
 }

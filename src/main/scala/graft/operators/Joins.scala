@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Deterministic per-row surrogate key, the retry-safe replacement for
+    * `monotonically_increasing_id`: `__rh` = xxhash64 over every column,
+    * `__ro` = ordinal among identical rows (row_number over the duplicate
+    * group — groups are duplicate-sized so the window is skew-free, and
+    * the ordinal assignment among indistinguishable rows is arbitrary but
+    * cannot affect any downstream result). Unlike monotonic ids, a task
+    * retry or AQE replan re-derives the same (multi)set of keys, so a
+    * rank-1 window keyed on (__rh, __ro) restores exactly one output per
+    * input row under any execution history. Costs one hash shuffle of the
+    * tagged frame (the downstream rank-1 window shuffles anyway — on
+    * these same keys, so the exchange is reused). */
+  private[graft] def deterministicRowKey(df: DataFrame): DataFrame =
+    // positional star expansion: post-join frames may carry duplicate
+    // column NAMES, which name-resolved references would trip over
+    df.withColumn("__rh", xxhash64(struct(col("*"))))
+      .withColumn("__ro",
+        row_number().over(Window.partitionBy(col("__rh")).orderBy(lit(1))))
+
   /** Temporal as-of / range join (J3, reference
     * `sql/calc/run-calculation.sql:107-110`): resolve each fact row to the
     * dim version whose [from, to] interval covers `ts`; a null `to` means
@@ -124,18 +142,19 @@ object Joins {
           payload.map(col) :+ lit(tier).as("__tier"): _*)
     }
     val allTiers = tiers.reduce(_ unionByName _)
-    // tag each fact row with a surrogate id so duplicate fact rows each keep
-    // their own match (a window keyed on all fact columns would collapse
-    // them) and the rank-1 window partitions on one narrow long column
-    val tagged = fact.withColumn("__fid", monotonically_increasing_id())
+    // tag each fact row with a deterministic surrogate so duplicate fact
+    // rows each keep their own match (a window keyed on all fact columns
+    // would collapse them) and a task retry re-derives the same keys
+    val tagged = deterministicRowKey(fact)
     val cond = keyCols.map { case (fc, rc) =>
       col(s"__r.$rc") === "*" || col(s"__r.$rc") === tagged(fc)
     }.reduce(_ && _)
     val joined = tagged.join(broadcast(allTiers.alias("__r")), cond, "left")
     // first (lowest-tier) hit per fact row wins
-    val w = Window.partitionBy(col("__fid")).orderBy(col("__tier").asc_nulls_last)
+    val w = Window.partitionBy(col("__rh"), col("__ro"))
+      .orderBy(col("__tier").asc_nulls_last)
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__tier", "__fid")
+      .drop("__rn", "__tier", "__rh", "__ro")
   }
 
   /** Blocked record linkage (Fellegi–Sunter-shaped): candidate pairs come
