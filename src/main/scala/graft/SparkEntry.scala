@@ -2875,10 +2875,11 @@ object SparkEntry {
               GROUP BY 1""")),
 
     Q("d_components", (s, d) => {
-      // pairs -> clusters: min-label propagation over the near-dup pair
-      // graph; component = smallest member id, node==component marks the
-      // canonical survivor. The oracle computes the same components via a
-      // recursive CTE over the identical pair list
+      // pairs -> clusters: large-star/small-star contraction over the
+      // near-dup pair graph (O(log n) rounds); component = smallest
+      // member id, node==component marks the canonical survivor. The
+      // oracle computes the same components via a recursive CTE over the
+      // identical pair list
       val pairs = Dedup.embeddingNearDupPairs(
         emb(s, d), col("vec_id"), col("embedding"), threshold = 0.35, nlist = 16)
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")

@@ -8,13 +8,12 @@ import org.apache.spark.sql.functions._
   * become CLUSTERS, and one canonical representative survives per
   * cluster.
   *
-  * Algorithm: iterative min-label propagation (each node repeatedly
-  * adopts the smallest label among itself and its neighbors) — the
-  * standard shuffle-based formulation for graphs too big for one machine.
-  * Each round is one join + one hash aggregate keyed on node id;
-  * convergence takes O(component diameter) rounds, and near-dup graphs
-  * are piles of small dense clusters, so a handful. The per-round driver
-  * `count()` reads ONE aggregated number (convergence check), not data.
+  * Algorithm: alternating large-star/small-star contraction — the
+  * shuffle-based formulation for graphs too big for one machine, with
+  * O(log n) round convergence (vs O(diameter) for plain min-label
+  * propagation). Each half-round is one hash aggregate + one equi join
+  * keyed on node id; the per-round driver read is ONE aggregated
+  * signature row (convergence check), not data.
   */
 object Components {
 
@@ -63,41 +62,73 @@ object Components {
     * representative. Nodes not present in any pair are absent (singleton
     * clusters are the identity mapping; callers left-join and coalesce).
     *
-    * Per-round label frames route through [[graft.Mat]]: the single-JVM
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * each round rewrites the edge set toward stars rooted at component
+    * minima and converges in O(log n) rounds, vs O(diameter) for plain
+    * min-label propagation (a 1M-node chain: ~20 rounds, not 1M). Each
+    * half-round is one hash aggregate (per-node min) + one equi join of
+    * the edge frame; the driver reads one (count, hash-sum) signature
+    * row per round for the fixed-point check — never data.
+    *
+    * Per-round edge frames route through [[graft.Mat]]: the single-JVM
     * default is localCheckpoint, but on a real cluster set
     * `SPARK_GRAFT_MAT=persist` — a localCheckpoint block lost with its
     * executor cannot be recomputed (it IS the lineage root), so one
     * executor failure mid-convergence would kill the whole run. */
   def connectedComponents(
-      pairs: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-    val sym = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = graft.Mat(sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
-    var converged = false
+      pairs: DataFrame, a: String, b: String, maxIter: Int = 30): DataFrame = {
+    val edges0 = pairs
+      .select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    def symmetrize(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // order-independent edge-set signature: (n_edges, sum of per-edge
+    // hashes) — equal signatures across a round = fixed point reached
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      // hash-sum in DECIMAL: a long sum of ~2^63-scale hashes overflows
+      // under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      if (r.isNullAt(1)) (0L, BigDecimal(0))
+      else (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var e = graft.Mat(symmetrize(edges0))
+    var sig: (Long, BigDecimal) = signature(e)
+    var converged = sig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
-      val prev = labels
-      val next = graft.Mat(labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (col("nbr") < col("label")).as("__chg")))
-      converged = {
-        val r = next.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
-        r.isNullAt(0) || r.getLong(0) == 0L // null sum = empty graph
-      }
-      prev.unpersist(false) // next is materialized; drop the old round's blocks
-      labels = next.drop("__chg")
+      // LARGE-STAR: connect every neighbor larger than u to
+      // m(u) = min(Γ(u) ∪ {u}) — detaches big nodes from deep chains
+      val lm = e.groupBy(col("u"))
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("m"))
+      val eL = graft.Mat(symmetrize(
+        e.join(lm, Seq("u")).filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))))
+      e.unpersist(false)
+      // SMALL-STAR: connect u and all its SMALLER neighbors to their
+      // minimum — flattens the remaining downward chains
+      val sm = eL.filter(col("v") < col("u"))
+      val smin = sm.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val eS = graft.Mat(symmetrize(
+        sm.join(smin, Seq("u")).filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(smin.select(col("u"), col("m").as("v")))))
+      eL.unpersist(false)
+      val nextSig = signature(eS)
+      converged = nextSig == sig
+      sig = nextSig
+      e = eS
       i += 1
     }
-    sym.unpersist(false)
-    labels.withColumnRenamed("label", "component")
+    // at the fixed point the graph is a union of stars rooted at each
+    // component's minimum: label = min(node, min neighbor)
+    val out = e.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("__mv"))
+      .select(col("node"), least(col("node"), col("__mv")).as("component"))
+    out
   }
 
   /** Per-vertex triangle counts by degree-ordered orientation (the
