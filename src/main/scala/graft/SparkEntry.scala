@@ -5402,10 +5402,9 @@ object SparkEntry {
       // equi-depth bins over a TOTAL order via the scalable two-pass
       // global rank (see a17_equidepth — no single-partition sort),
       // per-bin event rate and WOE = ln(event_share / nonevent_share)
-      // the global-rank machinery drives THREE actions over this frame
-      // (quantile probe, bucket counts, the ranked window itself) —
-      // materialize the 4-column projection once instead of re-scanning
-      // parquet per action
+      // materialize the 4-column projection once: it feeds `tot` AND the
+      // global-rank machinery (which detects the already-materialized
+      // frame and shares the same blocks across its three actions)
       val l = graft.Mat(li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(12,2)").as("x"),
         (col("l_returnflag") === "R").cast("long").as("y")))

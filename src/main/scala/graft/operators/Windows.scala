@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 /** Window-function operators covering SURVEY.md §2.5 (W1–W6). */
 object Windows {
 
+  /** Materialize once, but never re-checkpoint a frame the caller already
+    * materialized (a localCheckpoint of a localCheckpoint copies every
+    * block) or cached. */
+  private def matOnce(df: DataFrame): DataFrame = {
+    val isLeaf = df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    if (isLeaf || df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else graft.Mat(df)
+  }
+
   /** Date-range normalization via LEAD (W4,
     * `sql/transforms/06g-normalize-proposal-date-ranges.sql:24-60`):
     * close each effective-dated row at the next row's start minus one day;
@@ -80,16 +90,16 @@ object Windows {
     withGlobalRank(df, leadKey, tiebreaks) { (b, rank, total) =>
       // integral `div`, not `/`: Spark's `/` is double division, whose
       // rounding could cross an integer boundary for huge rank*k products
-      b.withColumn("__gr_rn", rank)
+      b.withColumn("__gr_rn", rank).withColumn("__gr_tt", total)
         .withColumn(outName,
-          expr(s"CAST(((__gr_rn - 1L) * ${k}L) div ${total}L AS INT) + 1"))
-        .drop("__gr_rn")
+          expr(s"CAST(((__gr_rn - 1L) * ${k}L) div __gr_tt AS INT) + 1"))
+        .drop("__gr_rn", "__gr_tt")
     }
 
   /** Exact global running sums over a total order, same two-pass bucket
     * machinery as [[globalRowNumber]] (approxQuantile edges → per-bucket
-    * partial sums read driver-side, metadata-sized → within-bucket
-    * window + offset) — the scalable form of
+    * partial-sum offsets computed in-plan over the bucket-sized frame,
+    * broadcast back → within-bucket window + offset) — the scalable form of
     * `sum(v) OVER (ORDER BY key)`, which as written funnels the table
     * through ONE task. Each `(valueCol, outName)` pair gets its own
     * cumulative column in the same single pass; values must be LONG
@@ -101,17 +111,20 @@ object Windows {
       df: DataFrame, leadKey: String, tiebreaks: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
     require(values.nonEmpty, "need at least one value column")
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // one materialized scan feeds all three actions (see withGlobalRank)
+    val m = matOnce(df)
+    val n = m.sparkSession.sessionState.conf.numShufflePartitions
     val probes = (1 until n).map(_.toDouble / n).toArray
     val edges =
       if (probes.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
+      else m.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
     val bucketCol =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => e < col(leadKey).cast("double")))
     val named = values.zipWithIndex.map { case ((v, out), i) => (v, out, s"__gs_v$i") }
-    val bucketed = df.withColumn("__gs_b", bucketCol)
-    // metadata-sized driver read: one partial-sum row per bucket
+    val bucketed = m.withColumn("__gs_b", bucketCol)
+    // metadata-sized driver read off the same materialized blocks: one
+    // partial-sum row per bucket; literal offsets, no extra join
     val partials = bucketed.groupBy(col("__gs_b"))
       .agg(sum(named.head._1.cast("long")).as(named.head._3),
         named.tail.map { case (v, _, tmp) => sum(v.cast("long")).as(tmp) }: _*)
@@ -136,19 +149,25 @@ object Windows {
   }
 
   private def withGlobalRank(df: DataFrame, leadKey: String, tiebreaks: Seq[Column])(
-      build: (DataFrame, Column, Long) => DataFrame): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      build: (DataFrame, Column, Column) => DataFrame): DataFrame = {
+    // ONE materialized scan feeds all three actions (quantile probe,
+    // bucket counts, the ranked window itself) — riders like WOE
+    // binning/MAD outliers used to re-derive this frame's lineage 3x
+    val m = matOnce(df)
+    val n = m.sparkSession.sessionState.conf.numShufflePartitions
     val probes = (1 until n).map(_.toDouble / n).toArray
     val edges =
       if (probes.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
+      else m.stat.approxQuantile(leadKey, probes, 0.001).distinct.sorted
     // bucket = #edges strictly below the key: ties on an edge value all
     // land in the same bucket, null keys land in bucket 0 (nulls-first)
     val bucketCol =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => e < col(leadKey).cast("double")))
-    val bucketed = df.withColumn("__gr_b", bucketCol)
-    // metadata-sized driver read: one (bucket, count) row per edge gap
+    val bucketed = m.withColumn("__gr_b", bucketCol)
+    // metadata-sized driver read off the SAME materialized blocks: one
+    // (bucket, count) row per edge gap; literal offsets keep the final
+    // plan a pure projection (no extra join in the hot job)
     val counts = bucketed.groupBy(col("__gr_b")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -158,7 +177,8 @@ object Windows {
       else element_at(typedLit(offsets), col("__gr_b"))
     val sortCols = col(leadKey) +: tiebreaks
     val w = Window.partitionBy(col("__gr_b")).orderBy(sortCols: _*)
-    build(bucketed, row_number().over(w).cast("long") + offCol, math.max(acc, 1L))
+    build(bucketed, row_number().over(w).cast("long") + offCol,
+      lit(math.max(acc, 1L)))
       .drop("__gr_b")
   }
 
