@@ -4723,6 +4723,72 @@ object SparkEntry {
               md5(md5(i::VARCHAR)) AS content_md5
               FROM (SELECT unnest(generate_series(0, 49)) AS i) t""")),
 
+    Q("m_real_meta", (s, d) =>
+      // REAL image-header metadata (not a stub): binaryFile scan over the
+      // committed PNG/GIF/JPEG/BMP/junk fixtures, then the codegen'd
+      // image_meta kernel — signature detection + dimension extraction,
+      // including the JPEG length-prefixed segment walk to the SOF frame
+      // header. The oracle replays the same header arithmetic in DuckDB
+      // over the same committed bytes (read_blob + hex offsets, with a
+      // recursive CTE for the JPEG walk)
+      graft.operators.Multimodal.imageMeta(
+        s.read.format("binaryFile").load(s"$repoRoot/fixtures/media"),
+        col("content"))
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("int").as("img_id"),
+          col("length").as("n_bytes"),
+          col("format"), col("width"), col("height")),
+      Some(s"""WITH RECURSIVE b AS (SELECT
+                 regexp_extract(filename, 'img_(\\d+)\\.', 1)::INT AS img_id,
+                 size::BIGINT AS n_bytes, hex(content) AS hx
+               FROM read_blob('$repoRoot/fixtures/media/*')),
+              png AS (SELECT img_id, n_bytes, 'png' AS format,
+                        ('0x' || substr(hx, 33, 8))::INT AS width,
+                        ('0x' || substr(hx, 41, 8))::INT AS height
+                      FROM b WHERE substr(hx, 1, 16) = '89504E470D0A1A0A'),
+              gif AS (SELECT img_id, n_bytes, 'gif' AS format,
+                        ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INT AS width,
+                        ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::INT AS height
+                      FROM b
+                      WHERE substr(hx, 1, 12) IN ('474946383761', '474946383961')),
+              bmp AS (SELECT img_id, n_bytes, 'bmp' AS format,
+                        ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+                          || substr(hx, 39, 2) || substr(hx, 37, 2))::INT AS width,
+                        abs(('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+                          || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT)::INT
+                          AS height
+                      FROM b WHERE substr(hx, 1, 4) = '424D'),
+              jbase AS (SELECT img_id, n_bytes, hx FROM b
+                        WHERE substr(hx, 1, 4) = 'FFD8'),
+              walk AS (
+                SELECT img_id, hx, 2 AS pos FROM jbase
+                UNION ALL
+                SELECT img_id, hx,
+                       pos + 2 + ('0x' || substr(hx, pos * 2 + 5, 4))::INT AS pos
+                FROM walk
+                WHERE substr(hx, pos * 2 + 1, 2) = 'FF'
+                  AND substr(hx, pos * 2 + 3, 2) NOT IN
+                    ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB',
+                     'CD','CE','CF','D9','DA')
+                  AND (pos * 2 + 8) <= len(hx)),
+              sof AS (SELECT w.img_id, min(w.pos) AS pos
+                      FROM walk w
+                      WHERE substr(w.hx, w.pos * 2 + 3, 2) IN
+                        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB',
+                         'CD','CE','CF')
+                      GROUP BY 1),
+              jpg AS (SELECT j.img_id, j.n_bytes, 'jpeg' AS format,
+                        ('0x' || substr(j.hx, s.pos * 2 + 15, 4))::INT AS width,
+                        ('0x' || substr(j.hx, s.pos * 2 + 11, 4))::INT AS height
+                      FROM jbase j LEFT JOIN sof s USING (img_id)),
+              known AS (SELECT * FROM png UNION ALL SELECT * FROM gif
+                        UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM jpg)
+              SELECT * FROM known
+              UNION ALL
+              SELECT img_id, n_bytes, 'unknown' AS format,
+                     NULL::INT AS width, NULL::INT AS height
+              FROM b WHERE img_id NOT IN (SELECT img_id FROM known)""")),
+
     Q("m_media_meta", (s, d) =>
       Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.mime").as("mime"),

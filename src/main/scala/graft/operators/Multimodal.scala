@@ -7,13 +7,27 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with per-partition decode/feature-extract stages.
   *
-  * The Spark-side contract is real (schema, batch iteration, partition
-  * parallelism, deterministic outputs); the codec itself is a STUB — this
-  * container has no image/audio libraries, so `decodeStub` derives a
-  * deterministic fake feature vector from the payload bytes. Swapping in a
-  * real decoder changes only the function body, not the plumbing.
+  * Header-level metadata extraction is REAL: [[imageMeta]] parses
+  * PNG/GIF/BMP/JPEG container headers (signature + dimensions, including
+  * the JPEG segment walk to the SOF frame header) via the codegen'd
+  * `image_meta` kernel — no image library needed. Only the pixel-level
+  * stages (`decodeStub`/`resizeStub`) remain deterministic stand-ins for
+  * a codec this container doesn't ship; swapping a real decoder in
+  * changes only the function body, not the plumbing.
   */
 object Multimodal {
+
+  /** Real header parsing over a binary payload column: appends
+    * (format, width, height) from the container header bytes — see
+    * [[graft.sql.ImageMetaKernel]]. Row-local codegen'd projection;
+    * scales as a scan. */
+  def imageMeta(media: DataFrame, payload: Column): DataFrame = {
+    val m = call_function("image_meta", payload)
+    media
+      .withColumn("format", m.getField("format"))
+      .withColumn("width", m.getField("width"))
+      .withColumn("height", m.getField("height"))
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

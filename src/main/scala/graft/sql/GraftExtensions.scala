@@ -82,6 +82,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SlidingMin(arr, w)
       }))
     ext.injectFunction((
+      FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "image_meta expects 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.BinaryType
+        val c = children.head
+        ImageMeta(if (c.dataType == BinaryType) c else Cast(c, BinaryType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
