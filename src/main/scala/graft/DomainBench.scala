@@ -88,6 +88,17 @@ object DomainBench {
     * storage, while an eagerly-counted persist(MEMORY_AND_DISK) survives
     * recompute from lineage. */
   def glPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val fin = graft.Mat(Calc.run(glInputs(spark, sfDir)))
+    Calc.glEntries(fin)
+  }
+
+  /** The flagship's full input set (synth certificates -> hashing ->
+    * routing -> proposals -> versioned hierarchies + premiums/rates) as
+    * a reusable [[Calc.CalcInputs]] — the substrate for both the one-shot
+    * flagship run and the incremental (base + delta batch) maintenance
+    * twin, which must share EXACT inputs for the batch-identity oracle
+    * to hold. */
+  def glInputs(spark: SparkSession, sfDir: String): Calc.CalcInputs = {
     def mat(df: DataFrame): DataFrame = graft.Mat(df)
     val certs = mat(synthCertificates(spark, sfDir))
     // Fused one-shuffle hash build is the DEFAULT (bit-equal to the
@@ -142,12 +153,11 @@ object DomainBench {
       Seq.empty[(String, String, Double, java.sql.Date, java.sql.Date)]
         .toDF("broker_id", "recipient_id", "assigned_pct", "eff_from", "eff_to")
     }
-    val fin = mat(Calc.run(Calc.CalcInputs(
+    Calc.CalcInputs(
       premiums, calcCerts,
       props.select(col("proposal_id"), col("group_id"),
         col("eff_from").cast("date").as("eff_from"), col("eff_to").cast("date").as("eff_to")),
-      splits, versions.drop("hierarchy_hash"), participants, rates, assignments)))
-    Calc.glEntries(fin)
+      splits, versions.drop("hierarchy_hash"), participants, rates, assignments)
   }
 
   def main(args: Array[String]): Unit = {

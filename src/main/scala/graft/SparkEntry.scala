@@ -97,6 +97,132 @@ object SparkEntry {
     * add a separate oracle-side override here. */
   private val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
 
+  /** Full-lineage DuckDB replica of the flagship GL (hashing -> routing ->
+    * proposals -> versioned hierarchies -> 8-stage calc -> GL) — shared by
+    * `domain_e2e_gl` and the incremental-maintenance twin
+    * `g_incremental_gl`, whose batch-identity contract is exactly "equals
+    * this from-scratch result". */
+  private val domainGlOracleSql: String = """WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
+                FROM lineitem),
+              c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
+              rows0 AS (
+                SELECT l_orderkey AS cert_id,
+                       'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
+                       l_linenumber AS split_seq,
+                       l_shipdate::DATE AS eff_date,
+                       (CASE WHEN rn < cnt THEN base_pct
+                             ELSE round(100.0 - base_pct * (cnt - 1), 2) END
+                        + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
+                         AS split_pct,
+                       '0001:P' || l_suppkey::VARCHAR || ':SCHED'
+                         || (l_suppkey % 50)::VARCHAR AS item,
+                       'P' || l_suppkey::VARCHAR AS broker_id,
+                       l_suppkey % 50 AS sched_k
+                FROM c0),
+              hh AS (
+                SELECT cert_id, group_id, split_seq, split_pct,
+                       upper(sha256(group_id || '!' || split_pct::VARCHAR || '!' ||
+                         string_agg(item, '|' ORDER BY item))) AS hierarchy_hash
+                FROM rows0 GROUP BY 1, 2, 3, 4),
+              cfg AS (
+                SELECT cert_id, group_id,
+                       upper(sha256(string_agg(
+                         split_pct::VARCHAR || ':' || hierarchy_hash, '|'
+                         ORDER BY split_pct::VARCHAR || ':' || hierarchy_hash)))
+                         AS config_hash,
+                       abs(sum(split_pct) - 100.0) > 0.001 AS nonconformant
+                FROM hh GROUP BY 1, 2),
+              certdates AS (SELECT l_orderkey AS cert_id, min(l_shipdate::DATE) AS eff_date
+                            FROM lineitem GROUP BY 1),
+              props0 AS (
+                SELECT c.group_id, c.config_hash, min(d.eff_date) AS eff_from
+                FROM cfg c JOIN certdates d USING (cert_id)
+                WHERE NOT c.nonconformant GROUP BY 1, 2),
+              props1 AS (
+                SELECT *, 'PROP-' || group_id || '-' ||
+                       row_number() OVER (PARTITION BY group_id
+                         ORDER BY eff_from, config_hash)::VARCHAR AS proposal_id
+                FROM props0),
+              props AS (
+                SELECT *, lead(eff_from) OVER (PARTITION BY group_id
+                         ORDER BY eff_from, proposal_id) - 1 AS eff_to
+                FROM props1),
+              rep AS (
+                SELECT group_id, config_hash, min(cert_id) AS cert_id
+                FROM cfg WHERE NOT nonconformant GROUP BY 1, 2),
+              splits AS (
+                SELECT p.proposal_id, round(h.split_pct * 100)::BIGINT AS pct_c,
+                       ('0x' || substr(sha256(h.group_id || '#' || h.split_seq::VARCHAR),
+                         1, 15))::BIGINT AS hierarchy_id
+                FROM props p
+                JOIN rep r ON p.group_id = r.group_id AND p.config_hash = r.config_hash
+                JOIN hh h ON h.cert_id = r.cert_id),
+              sig AS (
+                SELECT group_id || '#' || split_seq::VARCHAR AS bkey,
+                       eff_date AS observed_at,
+                       string_agg(item, '|' ORDER BY item) AS signature
+                FROM rows0 GROUP BY 1, 2),
+              vf AS (
+                SELECT *, CASE WHEN lag(signature) OVER w IS NULL
+                                 OR lag(signature) OVER w <> signature
+                               THEN 1 ELSE 0 END AS chg
+                FROM sig
+                WINDOW w AS (PARTITION BY bkey ORDER BY observed_at, signature)),
+              vs AS (
+                SELECT *, sum(chg) OVER (PARTITION BY bkey
+                            ORDER BY observed_at, signature
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+                FROM vf),
+              vg AS (SELECT bkey, version_seq, signature, min(observed_at) AS eff_from
+                     FROM vs GROUP BY 1, 2, 3),
+              vers AS (
+                SELECT ('0x' || substr(sha256(bkey), 1, 15))::BIGINT AS hierarchy_id,
+                       ('0x' || substr(sha256(bkey || '#' || version_seq::VARCHAR),
+                         1, 15))::BIGINT AS version_id,
+                       signature, eff_from,
+                       coalesce(lead(eff_from) OVER (PARTITION BY bkey
+                                  ORDER BY eff_from, version_seq) - 1,
+                                DATE '2099-01-01') AS eff_to
+                FROM vg),
+              vp AS (
+                SELECT version_id, split_part(itm, ':', 2) AS broker_id,
+                       50 + (substr(split_part(itm, ':', 3), 6)::BIGINT % 10) * 5 AS rate_m10
+                FROM (SELECT version_id, unnest(string_split(signature, '|')) AS itm
+                      FROM vers)),
+              prem AS (
+                SELECT o_orderkey AS premium_id,
+                       'G' || (o_orderkey % 3079)::VARCHAR AS group_id,
+                       round(o_totalprice * 100)::BIGINT AS amount_c,
+                       o_orderdate::DATE + 400 AS txn_date
+                FROM orders
+                WHERE o_totalprice > 0
+                  AND o_orderkey IN (SELECT l_orderkey FROM lineitem)),
+              wp AS (
+                SELECT pr.premium_id, pr.amount_c, pr.txn_date, p.proposal_id
+                FROM prem pr JOIN props p ON p.group_id = pr.group_id
+                  AND pr.txn_date >= p.eff_from
+                  AND (p.eff_to IS NULL OR pr.txn_date <= p.eff_to)),
+              ws AS (
+                SELECT w.premium_id, w.txn_date,
+                       (w.amount_c * s.pct_c + 5000) // 10000 AS sp_c,
+                       s.hierarchy_id
+                FROM wp w JOIN splits s USING (proposal_id)),
+              wv AS (
+                SELECT w.premium_id, w.sp_c, v.version_id
+                FROM ws w JOIN vers v ON v.hierarchy_id = w.hierarchy_id
+                  AND w.txn_date >= v.eff_from AND w.txn_date <= v.eff_to),
+              gl AS (
+                SELECT w.premium_id, p.broker_id,
+                       (w.sp_c * p.rate_m10 + 500) // 1000 AS comm_c
+                FROM wv w JOIN vp p USING (version_id))
+              SELECT premium_id, broker_id, 'Original' AS entry_type,
+                     comm_c / 100.0 AS amount
+              FROM gl WHERE comm_c <> 0"""
+
   // -------------------------------------------------------------- the queries
 
   private lazy val defs: Seq[Q] = Seq(
@@ -2469,126 +2595,33 @@ object SparkEntry {
       graft.DomainBench.glPipeline(s, d)
         .select(col("premium_id"), col("broker_id"), col("entry_type"),
           col("amount").cast("double").as("amount")),
-      Some("""WITH li AS (
-                SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
-                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
-                       row_number() OVER (PARTITION BY l_orderkey
-                         ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
-                FROM lineitem),
-              c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
-              rows0 AS (
-                SELECT l_orderkey AS cert_id,
-                       'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
-                       l_linenumber AS split_seq,
-                       l_shipdate::DATE AS eff_date,
-                       (CASE WHEN rn < cnt THEN base_pct
-                             ELSE round(100.0 - base_pct * (cnt - 1), 2) END
-                        + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
-                         AS split_pct,
-                       '0001:P' || l_suppkey::VARCHAR || ':SCHED'
-                         || (l_suppkey % 50)::VARCHAR AS item,
-                       'P' || l_suppkey::VARCHAR AS broker_id,
-                       l_suppkey % 50 AS sched_k
-                FROM c0),
-              hh AS (
-                SELECT cert_id, group_id, split_seq, split_pct,
-                       upper(sha256(group_id || '!' || split_pct::VARCHAR || '!' ||
-                         string_agg(item, '|' ORDER BY item))) AS hierarchy_hash
-                FROM rows0 GROUP BY 1, 2, 3, 4),
-              cfg AS (
-                SELECT cert_id, group_id,
-                       upper(sha256(string_agg(
-                         split_pct::VARCHAR || ':' || hierarchy_hash, '|'
-                         ORDER BY split_pct::VARCHAR || ':' || hierarchy_hash)))
-                         AS config_hash,
-                       abs(sum(split_pct) - 100.0) > 0.001 AS nonconformant
-                FROM hh GROUP BY 1, 2),
-              certdates AS (SELECT l_orderkey AS cert_id, min(l_shipdate::DATE) AS eff_date
-                            FROM lineitem GROUP BY 1),
-              props0 AS (
-                SELECT c.group_id, c.config_hash, min(d.eff_date) AS eff_from
-                FROM cfg c JOIN certdates d USING (cert_id)
-                WHERE NOT c.nonconformant GROUP BY 1, 2),
-              props1 AS (
-                SELECT *, 'PROP-' || group_id || '-' ||
-                       row_number() OVER (PARTITION BY group_id
-                         ORDER BY eff_from, config_hash)::VARCHAR AS proposal_id
-                FROM props0),
-              props AS (
-                SELECT *, lead(eff_from) OVER (PARTITION BY group_id
-                         ORDER BY eff_from, proposal_id) - 1 AS eff_to
-                FROM props1),
-              rep AS (
-                SELECT group_id, config_hash, min(cert_id) AS cert_id
-                FROM cfg WHERE NOT nonconformant GROUP BY 1, 2),
-              splits AS (
-                SELECT p.proposal_id, round(h.split_pct * 100)::BIGINT AS pct_c,
-                       ('0x' || substr(sha256(h.group_id || '#' || h.split_seq::VARCHAR),
-                         1, 15))::BIGINT AS hierarchy_id
-                FROM props p
-                JOIN rep r ON p.group_id = r.group_id AND p.config_hash = r.config_hash
-                JOIN hh h ON h.cert_id = r.cert_id),
-              sig AS (
-                SELECT group_id || '#' || split_seq::VARCHAR AS bkey,
-                       eff_date AS observed_at,
-                       string_agg(item, '|' ORDER BY item) AS signature
-                FROM rows0 GROUP BY 1, 2),
-              vf AS (
-                SELECT *, CASE WHEN lag(signature) OVER w IS NULL
-                                 OR lag(signature) OVER w <> signature
-                               THEN 1 ELSE 0 END AS chg
-                FROM sig
-                WINDOW w AS (PARTITION BY bkey ORDER BY observed_at, signature)),
-              vs AS (
-                SELECT *, sum(chg) OVER (PARTITION BY bkey
-                            ORDER BY observed_at, signature
-                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
-                FROM vf),
-              vg AS (SELECT bkey, version_seq, signature, min(observed_at) AS eff_from
-                     FROM vs GROUP BY 1, 2, 3),
-              vers AS (
-                SELECT ('0x' || substr(sha256(bkey), 1, 15))::BIGINT AS hierarchy_id,
-                       ('0x' || substr(sha256(bkey || '#' || version_seq::VARCHAR),
-                         1, 15))::BIGINT AS version_id,
-                       signature, eff_from,
-                       coalesce(lead(eff_from) OVER (PARTITION BY bkey
-                                  ORDER BY eff_from, version_seq) - 1,
-                                DATE '2099-01-01') AS eff_to
-                FROM vg),
-              vp AS (
-                SELECT version_id, split_part(itm, ':', 2) AS broker_id,
-                       50 + (substr(split_part(itm, ':', 3), 6)::BIGINT % 10) * 5 AS rate_m10
-                FROM (SELECT version_id, unnest(string_split(signature, '|')) AS itm
-                      FROM vers)),
-              prem AS (
-                SELECT o_orderkey AS premium_id,
-                       'G' || (o_orderkey % 3079)::VARCHAR AS group_id,
-                       round(o_totalprice * 100)::BIGINT AS amount_c,
-                       o_orderdate::DATE + 400 AS txn_date
-                FROM orders
-                WHERE o_totalprice > 0
-                  AND o_orderkey IN (SELECT l_orderkey FROM lineitem)),
-              wp AS (
-                SELECT pr.premium_id, pr.amount_c, pr.txn_date, p.proposal_id
-                FROM prem pr JOIN props p ON p.group_id = pr.group_id
-                  AND pr.txn_date >= p.eff_from
-                  AND (p.eff_to IS NULL OR pr.txn_date <= p.eff_to)),
-              ws AS (
-                SELECT w.premium_id, w.txn_date,
-                       (w.amount_c * s.pct_c + 5000) // 10000 AS sp_c,
-                       s.hierarchy_id
-                FROM wp w JOIN splits s USING (proposal_id)),
-              wv AS (
-                SELECT w.premium_id, w.sp_c, v.version_id
-                FROM ws w JOIN vers v ON v.hierarchy_id = w.hierarchy_id
-                  AND w.txn_date >= v.eff_from AND w.txn_date <= v.eff_to),
-              gl AS (
-                SELECT w.premium_id, p.broker_id,
-                       (w.sp_c * p.rate_m10 + 500) // 1000 AS comm_c
-                FROM wv w JOIN vp p USING (version_id))
-              SELECT premium_id, broker_id, 'Original' AS entry_type,
-                     comm_c / 100.0 AS amount
-              FROM gl WHERE comm_c <> 0""")),
+      Some(domainGlOracleSql)),
+
+    Q("g_incremental_gl", (s, d) => {
+      // BATCH incremental maintenance of the flagship GL (the batch twin
+      // of streaming incrementalGlSink, same identity): premiums split
+      // into a 'yesterday' base ledger (premium_id % 7 != 0, materialized
+      // once) and a 'today' delta batch; the delta runs the full 8-stage
+      // calc over ONLY its premiums against the shared reference frames,
+      // then upserts into the ledger by the GL natural key. The oracle is
+      // the from-scratch full-corpus GL — the maintained ledger must
+      // equal what one batch over all premiums produces, which is the
+      // whole point of the identity (the base is never rescanned)
+      val in = graft.DomainBench.glInputs(s, d)
+      val base = in.copy(premiums =
+        in.premiums.filter(pmod(col("premium_id"), lit(7)) =!= 0))
+      val delta = in.copy(premiums =
+        in.premiums.filter(pmod(col("premium_id"), lit(7)) === 0))
+      val ledger = graft.Mat(
+        graft.domain.Calc.glEntries(graft.domain.Calc.run(base)))
+      val deltaGl = graft.domain.Calc.glEntries(graft.domain.Calc.run(delta))
+      val fresh = graft.domain.Export.upsertCandidates(deltaGl, ledger,
+        Seq("premium_id", "broker_id", "entry_type"))
+      ledger.unionByName(fresh)
+        .select(col("premium_id"), col("broker_id"), col("entry_type"),
+          col("amount").cast("double").as("amount"))
+    },
+      Some(domainGlOracleSql)),
 
     // ===== D: dedup (beyond-parity corpus ops) =====
 
