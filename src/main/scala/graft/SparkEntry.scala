@@ -2623,6 +2623,97 @@ object SparkEntry {
     },
       Some(domainGlOracleSql)),
 
+    Q("g_shadow_compare", (s, d) => {
+      // Shadow-compare report (docs/TESTING-GUIDE.md:220-252): the
+      // reference validates its SQL and TypeScript builders by comparing
+      // per-entity staging counts within a ±5% tolerance. The engine's
+      // twin compares its two REAL implementation variants of the
+      // proposal build — the two-phase hierarchy->config hash aggregation
+      // vs the fused one-pass build (DomainBench's default) — through to
+      // built proposals, adding row-level natural-key reconciliation on
+      // top of the reference's count-only tolerance. The oracle computes
+      // each entity once (SQL has a single formulation) and asserts the
+      // all-zero verdict: any divergence between the variants shows up as
+      // nonzero a_only/b_only/mismatched counts and turns the row red.
+      import graft.domain.Proposals
+      import graft.operators.ShadowCompare
+      val certs = graft.Mat(graft.DomainBench.synthCertificates(s, d))
+      val hhA = Proposals.hierarchyHashes(certs)
+      val cfgA = Proposals.flagNonConformant(Proposals.configHashes(hhA))
+        .withColumn("route_pha", col("nonconformant"))
+      val propsA = Proposals.buildProposals(cfgA, certs)
+      val fused = graft.Mat(Proposals.fusedHashes(certs))
+      val hhB = Proposals.fusedSplitRows(fused)
+      val cfgB = Proposals.flagNonConformant(fused.select(col("cert_id"),
+          col("group_id"), col("config_hash"), col("total_split_pct"),
+          col("n_splits")))
+        .withColumn("route_pha", col("nonconformant"))
+      val propsB = Proposals.buildProposals(cfgB, certs)
+      def hhCols(df: DataFrame) = df.select(col("cert_id"), col("split_seq"),
+        col("group_id"), col("split_pct"), col("hierarchy_hash"))
+      def cfgCols(df: DataFrame) = df.select(col("cert_id"), col("group_id"),
+        col("config_hash"), col("n_splits"))
+      def propCols(df: DataFrame) = df.select(col("group_id"),
+        col("proposal_id"), col("config_hash"), col("eff_from"), col("n_certs"))
+      ShadowCompare.report(Seq(
+        ShadowCompare.Entity("split_hashes", hhCols(hhA), hhCols(hhB),
+          Seq("cert_id", "split_seq"),
+          Seq("group_id", "split_pct", "hierarchy_hash")),
+        ShadowCompare.Entity("configs", cfgCols(cfgA), cfgCols(cfgB),
+          Seq("cert_id"), Seq("group_id", "config_hash", "n_splits")),
+        ShadowCompare.Entity("proposals", propCols(propsA), propCols(propsB),
+          Seq("group_id", "proposal_id"),
+          Seq("config_hash", "eff_from", "n_certs"))))
+    },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
+                FROM lineitem),
+              c0 AS (SELECT *, floor(10000 / cnt) / 100.0 AS base_pct FROM li),
+              rows0 AS (
+                SELECT l_orderkey AS cert_id,
+                       'G' || (l_orderkey % 3079)::VARCHAR AS group_id,
+                       l_linenumber AS split_seq,
+                       (CASE WHEN rn < cnt THEN base_pct
+                             ELSE round(100.0 - base_pct * (cnt - 1), 2) END
+                        + CASE WHEN l_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END)
+                         AS split_pct,
+                       '0001:P' || l_suppkey::VARCHAR || ':SCHED'
+                         || (l_suppkey % 50)::VARCHAR AS item
+                FROM c0),
+              hh AS (
+                SELECT cert_id, group_id, split_seq, split_pct,
+                       upper(sha256(group_id || '!' || split_pct::VARCHAR || '!' ||
+                         string_agg(item, '|' ORDER BY item))) AS hierarchy_hash
+                FROM rows0 GROUP BY 1, 2, 3, 4),
+              cfg AS (
+                SELECT cert_id, group_id,
+                       upper(sha256(string_agg(
+                         split_pct::VARCHAR || ':' || hierarchy_hash, '|'
+                         ORDER BY split_pct::VARCHAR || ':' || hierarchy_hash)))
+                         AS config_hash,
+                       abs(sum(split_pct) - 100.0) > 0.001 AS nonconformant
+                FROM hh GROUP BY 1, 2),
+              props0 AS (
+                SELECT group_id, config_hash
+                FROM cfg WHERE NOT nonconformant GROUP BY 1, 2),
+              n AS (SELECT (SELECT count(*) FROM hh) AS hh_n,
+                           (SELECT count(*) FROM cfg) AS cfg_n,
+                           (SELECT count(*) FROM props0) AS props_n)
+              SELECT 'split_hashes' AS entity, hh_n AS a_count, hh_n AS b_count,
+                     0::BIGINT AS a_only_keys, 0::BIGINT AS b_only_keys,
+                     0::BIGINT AS mismatched_keys, 0::BIGINT AS diff,
+                     0.0::DOUBLE AS pct_diff, true AS within_tol,
+                     true AS identical FROM n
+              UNION ALL
+              SELECT 'configs', cfg_n, cfg_n, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+                     0::BIGINT, 0.0::DOUBLE, true, true FROM n
+              UNION ALL
+              SELECT 'proposals', props_n, props_n, 0::BIGINT, 0::BIGINT,
+                     0::BIGINT, 0::BIGINT, 0.0::DOUBLE, true, true FROM n""")),
+
     // ===== D: dedup (beyond-parity corpus ops) =====
 
     Q("d_exact_dedup", (s, d) =>
