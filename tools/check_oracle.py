@@ -2,41 +2,77 @@
 """Local stand-in for the driver's correctness gate: compare graft.Verify
 parquet dumps against DuckDB runs of SparkEntry.oracleSql.
 
-Usage: tools/check_oracle.py [sfDir] [verifyOut]
+Usage: tools/check_oracle.py [sfDir] [verifyOut] [jsonArtifact]
+
+With a third argument, also writes a CORRECTNESS-style per-query JSON
+artifact (rows_match / schema_match / value_match / row counts / err) so
+scale-replica sweeps land in the repo in the same shape the driver's
+gate emits.
 """
 import sys, json, glob, os
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+artifact = sys.argv[3] if len(sys.argv) > 3 else None
+# When rerunning a subset (e.g. after an oracle-side OOM at a scale
+# replica), merge into the existing artifact instead of clobbering it.
+report = {}
+if artifact and os.path.exists(artifact):
+    report = json.load(open(artifact)).get("queries", {})
+
+# ORACLE_ONLY=q1,q2 restricts the compare; ORACLE_PRAGMAS are DuckDB
+# statements run at connect (memory tuning for 60M-row replays, e.g.
+# "SET preserve_insertion_order=false; SET threads=8").
+only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
+pragmas = [p for p in os.environ.get("ORACLE_PRAGMAS", "").split(";") if p.strip()]
 
 con = duckdb.connect()
+for p in pragmas:
+    con.execute(p)
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # ScaleGen replicas are Spark-style DIRECTORIES of part files; the
+    # driver testdata is single-file parquet — handle both
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 fails, okays = [], []
+def rec(name, rows_match=None, schema_match=None, value_match=None,
+        spark_rows=None, oracle_rows=None, err=None):
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "value_match": value_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
+
 for name, sql in sorted(oracles.items()):
+    if only and name not in only:
+        continue
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
         fails.append((name, "NO SPARK OUTPUT"))
+        rec(name, err="NO SPARK OUTPUT")
         continue
     try:
         got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
         want = con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"SQL ERROR: {e}"))
+        rec(name, err=f"SQL ERROR: {e}")
         continue
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         fails.append((name, f"COLUMNS got={gc} want={wc}"))
+        rec(name, schema_match=False, spark_rows=len(got), oracle_rows=len(want),
+            err=f"columns got={gc} want={wc}")
         continue
     got, want = got[gc], want[wc]
     gt = [str(t) for t in got.dtypes]
     wt = [str(t) for t in want.dtypes]
     if len(got) != len(want):
         fails.append((name, f"ROWS got={len(got)} want={len(want)}"))
+        rec(name, rows_match=False, schema_match=True,
+            spark_rows=len(got), oracle_rows=len(want))
         continue
     # sort rows for order-insensitive compare; tuple-ize array cells so
     # list columns are hashable/sortable
@@ -71,11 +107,24 @@ for name, sql in sorted(oracles.items()):
                 break
     if mismatch:
         fails.append((name, mismatch + f" [types got={gt} want={wt}]"))
+        rec(name, rows_match=True, schema_match=True, value_match=False,
+            spark_rows=len(got), oracle_rows=len(want), err=mismatch)
     else:
         note = "" if gt == wt else f" (dtype diff: got={gt} want={wt})"
         okays.append((name, f"OK {len(got)} rows{note}"))
+        rec(name, rows_match=True, schema_match=True, value_match=True,
+            spark_rows=len(got), oracle_rows=len(want))
 
 for n, m in okays: print(f"  PASS {n}: {m}")
 for n, m in fails: print(f"  FAIL {n}: {m}")
+if artifact:
+    ok_n = sum(1 for r in report.values()
+               if r.get("rows_match") and r.get("schema_match")
+               and r.get("value_match") and not r.get("err"))
+    with open(artifact, "w") as f:
+        json.dump({"sf_dir": sf, "n_pass": ok_n,
+                   "n_fail": len(report) - ok_n,
+                   "queries": report}, f, indent=1, sort_keys=True)
+    print(f"wrote {artifact}")
 print(f"\n{len(okays)} pass, {len(fails)} fail")
 sys.exit(1 if fails else 0)

@@ -14,7 +14,8 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
  --add-opens java.base/sun.security.action=ALL-UNNAMED \
  --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 rm -rf "$OUT"
-exec java $ADD_OPENS -Xmx8g \
+# GRAFT_XMX: raise for ScaleGen replica sweeps (100x needs ~32g headroom)
+exec java $ADD_OPENS -Xmx${GRAFT_XMX:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT"
