@@ -4913,6 +4913,127 @@ object SparkEntry {
                      NULL::INT AS width, NULL::INT AS height
               FROM b WHERE img_id NOT IN (SELECT img_id FROM known)""")),
 
+    Q("m_audio_meta", (s, d) =>
+      // REAL audio-header metadata — the audio twin of m_real_meta:
+      // binaryFile scan over committed WAV/FLAC/MP3/junk fixtures, then
+      // the codegen'd audio_meta kernel (RIFF chunk walk to `fmt `, FLAC
+      // STREAMINFO bit unpacking, MP3 ID3v2 skip + frame-header decode).
+      // The oracle replays the same byte arithmetic in DuckDB over the
+      // same committed bytes (read_blob + hex offsets, recursive CTE for
+      // the RIFF walk)
+      graft.operators.Multimodal.audioMeta(
+        s.read.format("binaryFile").load(s"$repoRoot/fixtures/audio"),
+        col("content"))
+        .select(
+          regexp_extract(col("path"), "aud_(\\d+)\\.", 1).cast("int").as("aud_id"),
+          col("length").as("n_bytes"),
+          col("format"), col("channels"), col("sample_rate"),
+          col("bits_per_sample")),
+      Some(s"""WITH RECURSIVE b AS (SELECT
+                 regexp_extract(filename, 'aud_(\\d+)\\.', 1)::INT AS aud_id,
+                 size::BIGINT AS n_bytes, hex(content) AS hx
+               FROM read_blob('$repoRoot/fixtures/audio/*')),
+              wbase AS (SELECT * FROM b
+                        WHERE substr(hx, 1, 8) = '52494646'
+                          AND substr(hx, 17, 8) = '57415645'),
+              wwalk AS (
+                SELECT aud_id, hx, 12 AS pos FROM wbase
+                UNION ALL
+                SELECT aud_id, hx, pos + 8 + sz + (sz % 2) AS pos
+                FROM (SELECT aud_id, hx, pos,
+                        ('0x' || substr(hx, (pos+7)*2+1, 2) || substr(hx, (pos+6)*2+1, 2)
+                              || substr(hx, (pos+5)*2+1, 2) || substr(hx, (pos+4)*2+1, 2))::BIGINT AS sz,
+                        substr(hx, pos*2+1, 8) AS cid
+                      FROM wwalk WHERE (pos + 8) * 2 <= len(hx))
+                WHERE cid <> '666D7420'),
+              wfmt AS (SELECT aud_id, min(pos) AS pos
+                       FROM wwalk
+                       WHERE (pos + 8) * 2 <= len(hx)
+                         AND substr(hx, pos*2+1, 8) = '666D7420'
+                       GROUP BY 1),
+              wav AS (SELECT wb.aud_id, wb.n_bytes, 'wav' AS format,
+                        CASE WHEN ok THEN ('0x' || substr(hx, (pos+11)*2+1, 2)
+                               || substr(hx, (pos+10)*2+1, 2))::INT END AS channels,
+                        CASE WHEN ok THEN ('0x' || substr(hx, (pos+15)*2+1, 2)
+                               || substr(hx, (pos+14)*2+1, 2) || substr(hx, (pos+13)*2+1, 2)
+                               || substr(hx, (pos+12)*2+1, 2))::INT END AS sample_rate,
+                        CASE WHEN ok THEN ('0x' || substr(hx, (pos+23)*2+1, 2)
+                               || substr(hx, (pos+22)*2+1, 2))::INT END AS bits_per_sample
+                      FROM (SELECT wb0.*, f.pos,
+                              f.pos IS NOT NULL AND (f.pos + 24) * 2 <= len(wb0.hx)
+                              AND ('0x' || substr(wb0.hx, (f.pos+7)*2+1, 2)
+                                || substr(wb0.hx, (f.pos+6)*2+1, 2)
+                                || substr(wb0.hx, (f.pos+5)*2+1, 2)
+                                || substr(wb0.hx, (f.pos+4)*2+1, 2))::BIGINT >= 16 AS ok
+                            FROM wbase wb0 LEFT JOIN wfmt f USING (aud_id)) wb),
+              fbase AS (SELECT *,
+                          CASE WHEN len(hx) >= 44
+                            THEN ('0x' || substr(hx, 9, 2))::INT % 128 = 0
+                            ELSE false END AS ok,
+                          CASE WHEN len(hx) >= 44
+                            THEN ('0x' || substr(hx, 41, 2))::INT END AS b20
+                        FROM b WHERE substr(hx, 1, 8) = '664C6143'),
+              flac AS (SELECT aud_id, n_bytes, 'flac' AS format,
+                         CASE WHEN ok THEN (b20 // 2) % 8 + 1 END AS channels,
+                         CASE WHEN ok THEN ('0x' || substr(hx, 37, 2))::INT * 4096
+                              + ('0x' || substr(hx, 39, 2))::INT * 16 + b20 // 16
+                         END AS sample_rate,
+                         CASE WHEN ok THEN (b20 % 2) * 16
+                              + ('0x' || substr(hx, 43, 2))::INT // 16 + 1
+                         END AS bits_per_sample
+                       FROM fbase),
+              mraw AS (SELECT *,
+                         len(hx) >= 20 AND substr(hx, 1, 6) = '494433' AS has_id3
+                       FROM b
+                       WHERE aud_id NOT IN (SELECT aud_id FROM wbase)
+                         AND aud_id NOT IN (SELECT aud_id FROM fbase)),
+              mpos AS (SELECT *,
+                         CASE WHEN has_id3 THEN 10
+                           + ('0x' || substr(hx, 13, 2))::BIGINT * 2097152
+                           + ('0x' || substr(hx, 15, 2))::BIGINT * 16384
+                           + ('0x' || substr(hx, 17, 2))::BIGINT * 128
+                           + ('0x' || substr(hx, 19, 2))::BIGINT
+                         ELSE 0 END AS st
+                       FROM mraw),
+              msync AS (SELECT *,
+                          CASE WHEN (st + 4) * 2 <= len(hx)
+                            THEN substr(hx, st*2+1, 2) = 'FF'
+                             AND ('0x' || substr(hx, st*2+3, 2))::INT // 32 = 7
+                            ELSE false END AS sync
+                        FROM mpos),
+              mfld AS (SELECT *,
+                         ('0x' || substr(hx, st*2+3, 2))::INT AS b1,
+                         ('0x' || substr(hx, st*2+5, 2))::INT AS b2,
+                         ('0x' || substr(hx, st*2+7, 2))::INT AS b3
+                       FROM msync WHERE sync),
+              mp3 AS (SELECT aud_id, n_bytes, 'mp3' AS format,
+                        CASE WHEN ok THEN
+                          CASE WHEN (b3 // 64) % 4 = 3 THEN 1 ELSE 2 END
+                        END AS channels,
+                        CASE WHEN ok THEN
+                          CASE (b1 // 8) % 4
+                            WHEN 3 THEN ([44100, 48000, 32000])[(b2 // 4) % 4 + 1]
+                            WHEN 2 THEN ([22050, 24000, 16000])[(b2 // 4) % 4 + 1]
+                            WHEN 0 THEN ([11025, 12000, 8000])[(b2 // 4) % 4 + 1]
+                          END
+                        END AS sample_rate,
+                        NULL::INT AS bits_per_sample
+                      FROM (SELECT *,
+                              (b1 // 8) % 4 <> 1 AND (b1 // 2) % 4 <> 0
+                              AND (b2 // 4) % 4 <> 3 AS ok
+                            FROM mfld)
+                      UNION ALL
+                      SELECT aud_id, n_bytes, 'mp3', NULL, NULL, NULL
+                      FROM msync WHERE has_id3 AND NOT sync),
+              known AS (SELECT * FROM wav UNION ALL SELECT * FROM flac
+                        UNION ALL SELECT * FROM mp3)
+              SELECT * FROM known
+              UNION ALL
+              SELECT aud_id, n_bytes, 'unknown' AS format,
+                     NULL::INT AS channels, NULL::INT AS sample_rate,
+                     NULL::INT AS bits_per_sample
+              FROM b WHERE aud_id NOT IN (SELECT aud_id FROM known)""")),
+
     Q("m_media_meta", (s, d) =>
       Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.mime").as("mime"),

@@ -29,6 +29,20 @@ object Multimodal {
       .withColumn("height", m.getField("height"))
   }
 
+  /** Real audio-header parsing over a binary payload column: appends
+    * (format, channels, sample_rate, bits_per_sample) from the container
+    * header bytes — WAV chunk walk, FLAC STREAMINFO bit unpacking, MP3
+    * ID3v2-skip + frame-header decode; see [[graft.sql.AudioMetaKernel]].
+    * Row-local codegen'd projection; scales as a scan. */
+  def audioMeta(media: DataFrame, payload: Column): DataFrame = {
+    val m = call_function("audio_meta", payload)
+    media
+      .withColumn("format", m.getField("format"))
+      .withColumn("channels", m.getField("channels"))
+      .withColumn("sample_rate", m.getField("sample_rate"))
+      .withColumn("bits_per_sample", m.getField("bits_per_sample"))
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),

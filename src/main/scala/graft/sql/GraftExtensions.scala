@@ -92,6 +92,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ImageMeta(if (c.dataType == BinaryType) c else Cast(c, BinaryType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "audio_meta expects 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.BinaryType
+        val c = children.head
+        AudioMeta(if (c.dataType == BinaryType) c else Cast(c, BinaryType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
