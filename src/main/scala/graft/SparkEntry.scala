@@ -5034,6 +5034,187 @@ object SparkEntry {
                      NULL::INT AS bits_per_sample
               FROM b WHERE aud_id NOT IN (SELECT aud_id FROM known)""")),
 
+    Q("m_video_meta", (s, d) =>
+      // REAL video-header metadata — completes the image/audio/video
+      // header-parsing triad: binaryFile scan over committed MP4/AVI/junk
+      // fixtures, then the codegen'd video_meta kernel (ISO-BMFF sibling
+      // box walks ftyp->moov->mvhd/trak->tkhd with v0/v1 and 64-bit
+      // largesize handling; AVI RIFF walk to LIST hdrl/avih). The oracle
+      // replays the same byte arithmetic in DuckDB over the same
+      // committed bytes — one recursive CTE per walk level
+      graft.operators.Multimodal.videoMeta(
+        s.read.format("binaryFile").load(s"$repoRoot/fixtures/video"),
+        col("content"))
+        .select(
+          regexp_extract(col("path"), "vid_(\\d+)\\.", 1).cast("int").as("vid_id"),
+          col("length").as("n_bytes"),
+          col("format"), col("width"), col("height"), col("duration_ms")),
+      Some(s"""WITH RECURSIVE b AS (SELECT
+                 regexp_extract(filename, 'vid_(\\d+)\\.', 1)::INT AS vid_id,
+                 size::BIGINT AS n_bytes, hex(content) AS hx,
+                 size::BIGINT AS n
+               FROM read_blob('$repoRoot/fixtures/video/*')),
+              mbase AS (SELECT * FROM b
+                        WHERE n >= 12 AND substr(hx, 9, 8) = '66747970'),
+              twalk AS (
+                SELECT vid_id, hx, n, 0::BIGINT AS pos FROM mbase
+                UNION ALL
+                SELECT vid_id, hx, n, pos + sz AS pos
+                FROM (SELECT vid_id, hx, n, pos,
+                        CASE WHEN raw = 1 THEN
+                               CASE WHEN (pos+16) <= n THEN
+                                 ('0x' || substr(hx, (pos+8)*2+1, 16))::BIGINT END
+                             WHEN raw = 0 THEN n - pos
+                             ELSE raw END AS sz,
+                        substr(hx, (pos+4)*2+1, 8) AS tag
+                      FROM (SELECT vid_id, hx, n, pos,
+                              ('0x' || substr(hx, pos*2+1, 8))::BIGINT AS raw
+                            FROM twalk WHERE pos + 8 <= n))
+                WHERE tag <> '6D6F6F76' AND sz >= 8),
+              moov AS (SELECT vid_id, min(pos) AS mpos FROM twalk
+                       WHERE pos + 8 <= n
+                         AND substr(hx, (pos+4)*2+1, 8) = '6D6F6F76'
+                       GROUP BY 1),
+              moovb AS (SELECT m.vid_id, x.hx, x.n, m.mpos,
+                          least(x.n, CASE WHEN raw = 1 THEN
+                              CASE WHEN m.mpos + 16 <= x.n THEN m.mpos +
+                                ('0x' || substr(x.hx, (m.mpos+8)*2+1, 16))::BIGINT
+                              ELSE m.mpos + 8 END
+                            WHEN raw = 0 THEN x.n
+                            ELSE m.mpos + raw END) AS mend
+                        FROM (SELECT m0.*,
+                                ('0x' || substr(x0.hx, m0.mpos*2+1, 8))::BIGINT AS raw
+                              FROM moov m0 JOIN mbase x0 USING (vid_id)) m
+                        JOIN mbase x USING (vid_id)),
+              mwalk AS (
+                SELECT vid_id, hx, mend, mpos + 8 AS pos FROM moovb
+                UNION ALL
+                SELECT vid_id, hx, mend, pos + sz AS pos
+                FROM (SELECT vid_id, hx, mend, pos,
+                        CASE WHEN raw = 1 THEN
+                               CASE WHEN (pos+16) <= mend THEN
+                                 ('0x' || substr(hx, (pos+8)*2+1, 16))::BIGINT END
+                             WHEN raw = 0 THEN mend - pos
+                             ELSE raw END AS sz
+                      FROM (SELECT vid_id, hx, mend, pos,
+                              ('0x' || substr(hx, pos*2+1, 8))::BIGINT AS raw
+                            FROM mwalk WHERE pos + 8 <= mend))
+                WHERE sz >= 8),
+              mvhd AS (SELECT vid_id, min(pos) AS vpos FROM mwalk
+                       WHERE pos + 8 <= mend
+                         AND substr(hx, (pos+4)*2+1, 8) = '6D766864'
+                       GROUP BY 1),
+              trak AS (SELECT vid_id, min(pos) AS tpos FROM mwalk
+                       WHERE pos + 8 <= mend
+                         AND substr(hx, (pos+4)*2+1, 8) = '7472616B'
+                       GROUP BY 1),
+              trakb AS (SELECT t.vid_id, x.hx, x.n, t.tpos,
+                          least(x.n, t.tpos +
+                            ('0x' || substr(x.hx, t.tpos*2+1, 8))::BIGINT) AS tend
+                        FROM trak t JOIN mbase x USING (vid_id)),
+              kwalk AS (
+                SELECT vid_id, hx, tend, tpos + 8 AS pos FROM trakb
+                UNION ALL
+                SELECT vid_id, hx, tend, pos + sz AS pos
+                FROM (SELECT vid_id, hx, tend, pos,
+                        CASE WHEN raw = 1 THEN
+                               CASE WHEN (pos+16) <= tend THEN
+                                 ('0x' || substr(hx, (pos+8)*2+1, 16))::BIGINT END
+                             WHEN raw = 0 THEN tend - pos
+                             ELSE raw END AS sz
+                      FROM (SELECT vid_id, hx, tend, pos,
+                              ('0x' || substr(hx, pos*2+1, 8))::BIGINT AS raw
+                            FROM kwalk WHERE pos + 8 <= tend))
+                WHERE sz >= 8),
+              tkhd AS (SELECT vid_id, min(pos) AS kpos FROM kwalk
+                       WHERE pos + 8 <= tend
+                         AND substr(hx, (pos+4)*2+1, 8) = '746B6864'
+                       GROUP BY 1),
+              mp4dur AS (SELECT x.vid_id,
+                           CASE
+                             WHEN v.vpos IS NULL OR v.vpos + 9 > x.n THEN NULL
+                             WHEN substr(x.hx, (v.vpos+8)*2+1, 2) = '00'
+                                  AND v.vpos + 28 <= x.n
+                                  AND ('0x' || substr(x.hx, (v.vpos+20)*2+1, 8))::BIGINT > 0
+                               THEN ('0x' || substr(x.hx, (v.vpos+24)*2+1, 8))::BIGINT * 1000
+                                 // ('0x' || substr(x.hx, (v.vpos+20)*2+1, 8))::BIGINT
+                             WHEN substr(x.hx, (v.vpos+8)*2+1, 2) = '01'
+                                  AND v.vpos + 40 <= x.n
+                                  AND ('0x' || substr(x.hx, (v.vpos+28)*2+1, 8))::BIGINT > 0
+                               THEN ('0x' || substr(x.hx, (v.vpos+32)*2+1, 16))::BIGINT * 1000
+                                 // ('0x' || substr(x.hx, (v.vpos+28)*2+1, 8))::BIGINT
+                           END AS duration_ms
+                         FROM mbase x LEFT JOIN mvhd v USING (vid_id)),
+              mp4dim AS (SELECT x.vid_id,
+                           CASE WHEN ok THEN
+                             ('0x' || substr(x.hx, (k.kpos + 8 + off)*2+1, 8))::BIGINT // 65536
+                           END::INT AS width,
+                           CASE WHEN ok THEN
+                             ('0x' || substr(x.hx, (k.kpos + 12 + off)*2+1, 8))::BIGINT // 65536
+                           END::INT AS height
+                         FROM mbase x
+                         LEFT JOIN (SELECT t.vid_id, t.kpos,
+                                      CASE WHEN substr(x0.hx, (t.kpos+8)*2+1, 2) = '01'
+                                        THEN 88 ELSE 76 END AS off,
+                                      t.kpos + 9 <= x0.n AS hasv
+                                    FROM tkhd t JOIN mbase x0 USING (vid_id)) k
+                           USING (vid_id)
+                         CROSS JOIN LATERAL (SELECT k.kpos IS NOT NULL AND k.hasv
+                           AND k.kpos + 16 + k.off <= x.n AS ok)),
+              mp4 AS (SELECT x.vid_id, x.n_bytes, 'mp4' AS format,
+                        dm.width, dm.height, du.duration_ms
+                      FROM mbase x
+                      JOIN mp4dim dm USING (vid_id)
+                      JOIN mp4dur du USING (vid_id)),
+              abase AS (SELECT * FROM b
+                        WHERE substr(hx, 1, 8) = '52494646'
+                          AND substr(hx, 17, 8) = '41564920'),
+              awalk AS (
+                SELECT vid_id, hx, n, 12::BIGINT AS pos FROM abase
+                UNION ALL
+                SELECT vid_id, hx, n, pos + 8 + sz + (sz % 2) AS pos
+                FROM (SELECT vid_id, hx, n, pos,
+                        ('0x' || substr(hx, (pos+7)*2+1, 2) || substr(hx, (pos+6)*2+1, 2)
+                              || substr(hx, (pos+5)*2+1, 2) || substr(hx, (pos+4)*2+1, 2))::BIGINT AS sz,
+                        substr(hx, pos*2+1, 8) AS cid,
+                        substr(hx, (pos+8)*2+1, 8) AS sub
+                      FROM awalk WHERE pos + 8 <= n)
+                WHERE NOT (cid = '4C495354' AND sub = '6864726C')),
+              hdrl AS (SELECT vid_id, min(pos) AS lpos FROM awalk
+                       WHERE pos + 8 <= n
+                         AND substr(hx, pos*2+1, 8) = '4C495354'
+                         AND substr(hx, (pos+8)*2+1, 8) = '6864726C'
+                       GROUP BY 1),
+              avi AS (SELECT x.vid_id, x.n_bytes, 'avi' AS format,
+                        CASE WHEN ok THEN
+                          ('0x' || substr(hx, (c+43)*2+1, 2) || substr(hx, (c+42)*2+1, 2)
+                                || substr(hx, (c+41)*2+1, 2) || substr(hx, (c+40)*2+1, 2))::INT
+                        END AS width,
+                        CASE WHEN ok THEN
+                          ('0x' || substr(hx, (c+47)*2+1, 2) || substr(hx, (c+46)*2+1, 2)
+                                || substr(hx, (c+45)*2+1, 2) || substr(hx, (c+44)*2+1, 2))::INT
+                        END AS height,
+                        CASE WHEN ok THEN
+                          ('0x' || substr(hx, (c+11)*2+1, 2) || substr(hx, (c+10)*2+1, 2)
+                                || substr(hx, (c+9)*2+1, 2) || substr(hx, (c+8)*2+1, 2))::BIGINT
+                          * ('0x' || substr(hx, (c+27)*2+1, 2) || substr(hx, (c+26)*2+1, 2)
+                                  || substr(hx, (c+25)*2+1, 2) || substr(hx, (c+24)*2+1, 2))::BIGINT
+                          // 1000
+                        END AS duration_ms
+                      FROM abase x
+                      LEFT JOIN hdrl h USING (vid_id)
+                      CROSS JOIN LATERAL (SELECT h.lpos + 12 AS c)
+                      CROSS JOIN LATERAL (SELECT h.lpos IS NOT NULL
+                        AND c + 48 <= x.n
+                        AND substr(x.hx, c*2+1, 8) = '61766968' AS ok)),
+              known AS (SELECT * FROM mp4 UNION ALL SELECT * FROM avi)
+              SELECT * FROM known
+              UNION ALL
+              SELECT vid_id, n_bytes, 'unknown' AS format,
+                     NULL::INT AS width, NULL::INT AS height,
+                     NULL::BIGINT AS duration_ms
+              FROM b WHERE vid_id NOT IN (SELECT vid_id FROM known)""")),
+
     Q("m_media_meta", (s, d) =>
       Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.mime").as("mime"),

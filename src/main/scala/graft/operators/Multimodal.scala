@@ -43,6 +43,21 @@ object Multimodal {
       .withColumn("bits_per_sample", m.getField("bits_per_sample"))
   }
 
+  /** Real video-header parsing over a binary payload column: appends
+    * (format, width, height, duration_ms) from the container header
+    * bytes — MP4 ISO-BMFF box walk (ftyp/moov/mvhd/tkhd, v0/v1 and
+    * 64-bit largesize) and AVI RIFF `LIST hdrl`/`avih`; see
+    * [[graft.sql.VideoMetaKernel]]. Row-local codegen'd projection;
+    * scales as a scan. */
+  def videoMeta(media: DataFrame, payload: Column): DataFrame = {
+    val m = call_function("video_meta", payload)
+    media
+      .withColumn("format", m.getField("format"))
+      .withColumn("width", m.getField("width"))
+      .withColumn("height", m.getField("height"))
+      .withColumn("duration_ms", m.getField("duration_ms"))
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),

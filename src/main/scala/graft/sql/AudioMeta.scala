@@ -61,16 +61,19 @@ object AudioMetaKernel {
     val n = bytes.length
     // WAV: RIFF container, walk word-aligned chunks to `fmt `
     if (n >= 12 && isTag(bytes, 0, "RIFF") && isTag(bytes, 8, "WAVE")) {
-      var pos = 12
+      var pos = 12L
       while (pos + 8 <= n) {
-        val size = le32(bytes, pos + 4)
-        if (isTag(bytes, pos, "fmt ")) {
+        val p = pos.toInt
+        val size = le32(bytes, p + 4)
+        if (isTag(bytes, p, "fmt ")) {
           if (pos + 8 + 16 <= n && size >= 16)
-            return row(FmtWav, le16(bytes, pos + 10),
-              le32(bytes, pos + 12).toInt, le16(bytes, pos + 22))
+            return row(FmtWav, le16(bytes, p + 10),
+              le32(bytes, p + 12).toInt, le16(bytes, p + 22))
           return row(FmtWav, null, null, null)
         }
-        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // word-aligned chunk advance in LONG math — a bogus size near
+        // 2^32 must overshoot the buffer, never truncate to a no-op
+        pos += 8L + size + (size & 1L)
       }
       return row(FmtWav, null, null, null)
     }

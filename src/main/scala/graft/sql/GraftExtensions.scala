@@ -102,6 +102,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         AudioMeta(if (c.dataType == BinaryType) c else Cast(c, BinaryType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "video_meta expects 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.BinaryType
+        val c = children.head
+        VideoMeta(if (c.dataType == BinaryType) c else Cast(c, BinaryType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
