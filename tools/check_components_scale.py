@@ -27,27 +27,64 @@ con.execute("SET preserve_insertion_order=false")
 emb = f"{sf}/embeddings.parquet"
 src = f"{emb}/*.parquet" if os.path.isdir(emb) else emb
 
-# Pair derivation: byte-for-byte the gate oracle's e/cent/asg/prs CTEs
-# (SparkEntry d_components) — only the recursive `reach` is replaced.
-PAIRS = f"""
+# Pair derivation, two phases for 60M-row feasibility:
+#  1. cell assignment — byte-for-byte the gate oracle's e/cent/asg CTEs
+#     (SparkEntry d_components), evaluated in DuckDB;
+#  2. within-cell pairs — a NumPy/BLAS cosine PREFILTER with a margin
+#     三 orders wider than any double-rounding drift (DuckDB's
+#     list_cosine_similarity and the BLAS dot differ only in summation
+#     order, ~1e-12 relative; the margin is 1e-3), then the exact
+#     DuckDB predicate round(list_cosine_similarity, 6) >= t re-applied
+#     to the surviving candidates only. The accepted pair set is
+#     therefore IDENTICAL to the gate oracle's `prs` CTE — BLAS only
+#     prunes pairs that are provably below threshold.
+THRESHOLD, MARGIN = 0.35, 1e-3
+con.execute(f"""
+CREATE TEMP TABLE asg AS
 WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM '{src}'),
      cent AS (SELECT m.cell, e.v AS centroid
               FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
                     FROM e GROUP BY 1) m
-              JOIN e ON e.vid = m.mvid),
-     asg AS (SELECT vid, v, cell FROM (
-               SELECT e.vid, e.v, c.cell,
-                      row_number() OVER (PARTITION BY e.vid
-                        ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
-                                 c.cell) AS rn
-               FROM e CROSS JOIN cent c) WHERE rn = 1)
-SELECT a.vid AS id_a, b.vid AS id_b
-FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
-"""
-pairs = con.execute(PAIRS).fetchnumpy()
+              JOIN e ON e.vid = m.mvid)
+SELECT vid, v, cell FROM (
+  SELECT e.vid, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vid
+           ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                    c.cell) AS rn
+  FROM e CROSS JOIN cent c) WHERE rn = 1
+""")
+import numpy as np
+cand_a, cand_b = [], []
+cells = [r[0] for r in con.execute("SELECT DISTINCT cell FROM asg ORDER BY 1").fetchall()]
+for cell in cells:
+    rows = con.execute(
+        "SELECT vid, v FROM asg WHERE cell = ? ORDER BY vid", [cell]).fetchall()
+    vids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    # blockwise Mn @ Mn.T to bound memory at ~2k x n doubles
+    B = 2048
+    for s0 in range(0, len(vids), B):
+        sim = Mn[s0:s0 + B] @ Mn.T
+        ii, jj = np.nonzero(sim >= THRESHOLD - MARGIN)
+        keep = (ii + s0) < jj  # upper triangle: vid_a < vid_b (vid-sorted)
+        cand_a.append(vids[ii[keep] + s0])
+        cand_b.append(vids[jj[keep]])
+ca = np.concatenate(cand_a) if cand_a else np.array([], dtype=np.int64)
+cb = np.concatenate(cand_b) if cand_b else np.array([], dtype=np.int64)
+print(f"BLAS prefilter: {len(ca)} candidates")
+import pandas as pd
+cand_df = pd.DataFrame({"id_a": ca, "id_b": cb})
+con.register("cand", cand_df)
+pairs = con.execute(f"""
+SELECT c.id_a, c.id_b
+FROM cand c JOIN asg a ON a.vid = c.id_a JOIN asg b ON b.vid = c.id_b
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {THRESHOLD}
+""").fetchnumpy()
 ia, ib = pairs["id_a"], pairs["id_b"]
-print(f"derived {len(ia)} candidate pairs")
+print(f"derived {len(ia)} exact pairs")
 
 parent = {}
 def find(x):

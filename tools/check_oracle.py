@@ -27,7 +27,11 @@ if artifact and os.path.exists(artifact):
 only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
 pragmas = [p for p in os.environ.get("ORACLE_PRAGMAS", "").split(";") if p.strip()]
 
-con = duckdb.connect()
+# ORACLE_DB=/path/file.db backs the session with an on-disk database so
+# large intermediates can evict (DuckDB 1.0 spills more operators when
+# the catalog is disk-backed); default stays in-memory.
+db = os.environ.get("ORACLE_DB", ":memory:")
+con = duckdb.connect(db)
 for p in pragmas:
     con.execute(p)
 for p in glob.glob(f"{sf}/*.parquet"):
@@ -38,6 +42,78 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+# ORACLE_MATERIALIZE=1: mechanically rewrite a non-recursive WITH chain
+# into CREATE TABLE stages (same SQL text per stage, bodies unchanged —
+# earlier CTE names resolve to the materialized tables). With ORACLE_DB
+# pointing at a disk file this bounds peak memory to one stage instead
+# of the whole pipeline: DuckDB 1.0's window operator cannot spill, so
+# the 60M-row full-lineage GL replays OOM as a single query but pass
+# staged. Purely an execution strategy — results are identical.
+materialize = os.environ.get("ORACLE_MATERIALIZE") == "1"
+
+def split_ctes(sql):
+    """Parse 'WITH a AS (...), b AS (...) SELECT ...' into
+    ([(name, body), ...], final_select); None if not applicable."""
+    s = sql.strip()
+    if not s[:5].upper().startswith("WITH ") or "RECURSIVE" in s[:16].upper():
+        return None
+    i, n, ctes = 4, len(s), []
+    while True:
+        while i < n and s[i] in " \t\r\n,":
+            i += 1
+        j = i
+        while j < n and (s[j].isalnum() or s[j] == "_"):
+            j += 1
+        name = s[i:j]
+        k = j
+        while k < n and s[k] in " \t\r\n":
+            k += 1
+        if s[k:k+2].upper() != "AS":
+            return None
+        k += 2
+        while k < n and s[k] in " \t\r\n":
+            k += 1
+        if s[k] != "(":
+            return None
+        depth, p, quoted = 0, k, False
+        while p < n:
+            ch = s[p]
+            if quoted:
+                if ch == "'":
+                    quoted = False
+            elif ch == "'":
+                quoted = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        if depth != 0:
+            return None
+        ctes.append((name, s[k+1:p]))
+        i = p + 1
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        if i < n and s[i] == ",":
+            continue
+        return ctes, s[i:]
+
+def run_staged(con, sql):
+    parts = split_ctes(sql)
+    if parts is None:
+        return con.execute(sql).fetchdf()
+    ctes, final = parts
+    for name, body in ctes:
+        con.execute(f'DROP TABLE IF EXISTS "{name}"')
+        con.execute(f'CREATE TABLE "{name}" AS {body}')
+    try:
+        return con.execute(final).fetchdf()
+    finally:
+        for name, _ in reversed(ctes):
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
 fails, okays = [], []
 def rec(name, rows_match=None, schema_match=None, value_match=None,
         spark_rows=None, oracle_rows=None, err=None):
@@ -55,7 +131,7 @@ for name, sql in sorted(oracles.items()):
         continue
     try:
         got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
-        want = con.execute(sql).fetchdf()
+        want = run_staged(con, sql) if materialize else con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"SQL ERROR: {e}"))
         rec(name, err=f"SQL ERROR: {e}")
