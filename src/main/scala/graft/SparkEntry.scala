@@ -5215,6 +5215,74 @@ object SparkEntry {
                      NULL::BIGINT AS duration_ms
               FROM b WHERE vid_id NOT IN (SELECT vid_id FROM known)""")),
 
+    Q("m_media_scale", (s, d) => {
+      // CORPUS-SCALE audio-kernel round-trip: synthesize REAL header
+      // bytes per document (WAV fmt chunk with little-endian fields,
+      // FLAC STREAMINFO with the 20/3/5-bit packed parameter word, MP3
+      // frame header — format and parameters derived from doc_id),
+      // parse them back with the codegen'd audio_meta kernel, aggregate.
+      // Everything is a row-local codegen'd projection (hex -> unhex ->
+      // kernel), so this scales as a scan — the fixture-driven
+      // m_audio_meta pins the absolute byte layout against an
+      // independent hex replay; this query proves the kernel at corpus
+      // row counts. The oracle derives the identical aggregate from the
+      // parameters directly (synth -> parse must be the identity)
+      import org.apache.spark.sql.Column
+      def beHex(c: Column, nBytes: Int): Column =
+        lpad(lower(conv(c.cast("string"), 10, 16)), nBytes * 2, "0")
+      def leHex(c: Column, nBytes: Int): Column = {
+        val be = beHex(c, nBytes)
+        concat((0 until nBytes).reverse.map(i =>
+          substring(be, i * 2 + 1, 2)): _*)
+      }
+      val base = doc(s, d).select(col("doc_id"),
+        (col("doc_id") % 3).as("kind"),
+        (lit(1) + col("doc_id") % 8).cast("int").as("p_ch"),
+        (lit(8000) * (lit(1) + col("doc_id") % 6)).cast("long").as("p_rate"),
+        (lit(8) * (lit(1) + col("doc_id") % 4)).cast("int").as("p_bits"))
+      val wavHex = concat(lit("52494646"), leHex(lit(36L), 4),
+        lit("57415645666d7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+        leHex(col("p_ch"), 2), leHex(col("p_rate"), 4),
+        leHex((col("p_rate") * col("p_ch") * col("p_bits") / 8).cast("long"), 4),
+        leHex((col("p_ch") * col("p_bits") / 8).cast("long"), 2),
+        leHex(col("p_bits"), 2))
+      val flacPacked = shiftleft(col("p_rate"), 44) +
+        shiftleft((col("p_ch") - 1).cast("long"), 41) +
+        shiftleft((col("p_bits") - 1).cast("long"), 36) + lit(4096L)
+      val flacHex = concat(lit("664c6143"), lit("80000022"),
+        lit("04000400000000000000"), beHex(flacPacked, 8),
+        lit("00000000000000000000000000000000"))
+      // MP3: V1 Layer-3 sync word; rate index from doc_id % 3, mono/stereo
+      // from doc_id % 2 (V1 rates: idx 0 -> 44100, 1 -> 48000, 2 -> 32000)
+      val rateIdx = (col("doc_id") % 7 % 3).cast("int")
+      val mono = (col("doc_id") % 2 === 0)
+      val mp3B2 = lit(0x90) + rateIdx * 4
+      val mp3Hex = concat(lit("fffb"), beHex(mp3B2, 1),
+        when(mono, lit("c0")).otherwise(lit("00")), lit("00010203"))
+      val payload = unhex(when(col("kind") === 0, wavHex)
+        .when(col("kind") === 1, flacHex).otherwise(mp3Hex))
+      val parsed = graft.operators.Multimodal.audioMeta(
+        base.withColumn("payload", payload), col("payload"))
+      parsed.groupBy(col("format"), col("channels"), col("bits_per_sample"))
+        .agg(count(lit(1)).as("n"), sum(col("sample_rate")).cast("long").as("rate_sum"))
+    },
+      Some("""WITH base AS (SELECT doc_id, doc_id % 3 AS kind,
+                       (1 + doc_id % 8)::INT AS p_ch,
+                       (8000 * (1 + doc_id % 6))::BIGINT AS p_rate,
+                       (8 * (1 + doc_id % 4))::INT AS p_bits
+                     FROM documents),
+              derived AS (SELECT
+                 CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END AS format,
+                 CASE WHEN kind IN (0, 1) THEN p_ch
+                      WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+                 CASE WHEN kind IN (0, 1) THEN p_rate
+                      ELSE ([44100, 48000, 32000])[(doc_id % 7 % 3)::INT + 1] END AS rate,
+                 CASE WHEN kind IN (0, 1) THEN p_bits END AS bits_per_sample
+               FROM base)
+              SELECT format, channels::INT AS channels, bits_per_sample,
+                     count(*)::BIGINT AS n, sum(rate)::BIGINT AS rate_sum
+              FROM derived GROUP BY 1, 2, 3""")),
+
     Q("m_media_meta", (s, d) =>
       Multimodal.asMediaTable(doc(s, d), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.mime").as("mime"),
