@@ -702,6 +702,62 @@ object SparkEntry {
                     FROM a JOIN b USING (blk))
               SELECT * FROM p WHERE score >= 4.0""")),
 
+    Q("j16_fuzzy_join", (s, d) => {
+      // Levenshtein fuzzy lookup: a deterministically-typo'd twin of the
+      // part catalog (delete/swap/substitute one char at a key-derived
+      // position; every 17th row reversed = unmatchable noise) resolved
+      // back to the clean name vocabulary at edit distance <= 2. The
+      // operator's scale posture is the point: corpus rows are touched by
+      // ONE distinct-aggregate; matching runs on vocabulary-sized frames
+      // over an equi length-bucket join (lossless: lev >= |len diff|)
+      val p = prt(s, d).select(col("p_partkey"), col("p_name"))
+      val name = col("p_name")
+      val len = length(name)
+      val pos = (pmod(col("p_partkey"), (len - 2).cast("long")) + 2).cast("int")
+      val kind = pmod(col("p_partkey"), lit(3))
+      val del = concat(name.substr(lit(1), pos - 1), name.substr(pos + 1, len))
+      val swp = concat(name.substr(lit(1), pos - 1),
+        name.substr(pos + 1, lit(1)), name.substr(pos, lit(1)),
+        name.substr(pos + 2, len))
+      val sub = concat(name.substr(lit(1), pos - 1), lit("x"),
+        name.substr(pos + 1, len))
+      val dirty = p.select(
+        when(pmod(col("p_partkey"), lit(17)) === 0, reverse(name))
+          .when(kind === 0, del).when(kind === 1, swp)
+          .otherwise(sub).as("dirty_name"))
+      Joins.fuzzyLookup(dirty, col("dirty_name"),
+        prt(s, d), col("p_name"), maxDist = 2)
+    },
+      Some("""WITH base AS (SELECT p_partkey, p_name,
+                       (p_partkey % (length(p_name) - 2) + 2)::INT AS pos,
+                       p_partkey % 3 AS kind FROM part),
+              dirty AS (SELECT CASE
+                  WHEN p_partkey % 17 = 0 THEN reverse(p_name)
+                  WHEN kind = 0 THEN substr(p_name, 1, pos - 1)
+                       || substr(p_name, pos + 1, length(p_name))
+                  WHEN kind = 1 THEN substr(p_name, 1, pos - 1)
+                       || substr(p_name, pos + 1, 1) || substr(p_name, pos, 1)
+                       || substr(p_name, pos + 2, length(p_name))
+                  ELSE substr(p_name, 1, pos - 1) || 'x'
+                       || substr(p_name, pos + 1, length(p_name)) END AS dirty_name
+                FROM base),
+              dn AS (SELECT dirty_name, count(*)::BIGINT AS n_rows
+                     FROM dirty GROUP BY 1),
+              vn AS (SELECT DISTINCT p_name AS match_cand FROM part),
+              cand AS (SELECT dirty_name, match_cand,
+                         levenshtein(dirty_name, match_cand)::INT AS dist
+                       FROM dn, vn
+                       WHERE abs(length(dirty_name) - length(match_cand)) <= 2),
+              c2 AS (SELECT * FROM cand WHERE dist <= 2),
+              best AS (SELECT dirty_name, min(dist) AS bd FROM c2 GROUP BY 1),
+              m AS (SELECT c.dirty_name, min(c.match_cand) AS match_name,
+                           min(c.dist)::INT AS best_dist
+                    FROM c2 c JOIN best b
+                      ON c.dirty_name = b.dirty_name AND c.dist = b.bd
+                    GROUP BY 1)
+              SELECT dn.dirty_name, m.match_name, m.best_dist, dn.n_rows
+              FROM dn LEFT JOIN m USING (dirty_name)""")),
+
     Q("j14_bloom_semi", (s, d) =>
       // bloom-prefiltered semi join must be result-identical to the plain
       // semi join (the exact join removes the bloom's false positives) —
@@ -4672,6 +4728,95 @@ object SparkEntry {
                      round(coalesce(t3.dup_frac, 0), 6) AS dup3gram_frac
               FROM documents d
               LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""")),
+
+    Q("x_kneser_ney", (s, d) =>
+      // interpolated Kneser-Ney bigram LM — every formula input is an
+      // exact integer count from three hash aggs over one bigram frame;
+      // the continuation-probability redistribution is what separates it
+      // from x_bigram_lm's MLE estimates
+      TextFunctions.kneserNeyBigram(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              p AS (SELECT doc_id, pos, w,
+                      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks WHERE w <> ''),
+              c AS (SELECT w AS w1, w2, count(*)::BIGINT AS cnt
+                    FROM p WHERE w2 IS NOT NULL GROUP BY 1, 2),
+              fw AS (SELECT w1, sum(cnt)::BIGINT AS c1, count(*)::BIGINT AS n1fw
+                     FROM c GROUP BY 1),
+              bw AS (SELECT w2, count(*)::BIGINT AS n1bw FROM c GROUP BY 1),
+              b AS (SELECT count(*)::BIGINT AS n_types FROM c)
+              SELECT c.w1, c.w2, c.cnt,
+                round(greatest(c.cnt - 0.75, 0.0) / fw.c1
+                  + 0.75 * fw.n1fw / fw.c1
+                    * round(bw.n1bw / b.n_types, 9), 6) AS p_kn
+              FROM c JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN b""")),
+
+    Q("x_gopher_rules", (s, d) =>
+      // the Gopher quality battery (Rae et al. 2021) — per-doc named-rule
+      // verdicts; docs are deterministically decorated (bullet blocks,
+      // ellipsis lines, symbol runs keyed on doc_id) so every rule fires
+      // both ways on the synthetic corpus. Integer cross-multiplication
+      // gates; fully row-local, shuffle-free (plan-guarded)
+      TextFunctions.gopherRules(
+        doc(s, d).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            repeat(lit("\n- x"), 10)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            repeat(lit("\nso more..."), 3)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            repeat(lit(" #"), 12)).otherwise(lit(""))).as("t")),
+        col("doc_id"), col("t")),
+      Some("""WITH t AS (SELECT doc_id, text
+                || CASE WHEN doc_id % 5 = 0
+                        THEN repeat(chr(10) || '- x', 10) ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN repeat(chr(10) || 'so more...', 3) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                        THEN repeat(' #', 12) ELSE '' END AS t
+              FROM documents),
+              m AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(t), '\s+'),
+                            w -> w <> '') AS words,
+                string_split(t, chr(10)) AS lines,
+                len(regexp_extract_all(t, '#|\.\.\.'))::INT AS n_sym,
+                ((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+                ) AS n_stop
+              FROM t),
+              r AS (SELECT doc_id,
+                len(words)::INT AS n_words,
+                list_sum(list_transform(words, w -> length(w))) AS n_chars,
+                n_sym,
+                len(lines)::INT AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[-*•]')))::INT AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::INT AS n_ell,
+                len(list_filter(words,
+                    l -> regexp_matches(l, '[A-Za-z]')))::INT AS n_alpha,
+                n_stop
+              FROM m),
+              v AS (SELECT doc_id, n_words,
+                CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+                CASE WHEN n_chars >= n_words * 3 AND n_chars <= n_words * 10 THEN 1 ELSE 0 END AS r_word_len,
+                CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS r_symbol,
+                CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
+                CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis,
+                CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS r_alpha,
+                CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+              FROM r)
+              SELECT *, (r_word_count * r_word_len * r_symbol * r_bullet
+                         * r_ellipsis * r_alpha * r_stop) AS passes
+              FROM v""")),
 
     Q("x_tfidf", (s, d) =>
       // TF-IDF top-3 terms per doc: one explode, two hash aggregates, a

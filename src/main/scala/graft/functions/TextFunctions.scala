@@ -205,6 +205,95 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the standard n-gram smoothing): for every
+    * observed bigram,
+    * `P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1) + D*N1+(w1,.)/c(w1) * P_cont(w2)`
+    * with the continuation probability `P_cont(w2) = N1+(.,w2) / B`
+    * (types preceding w2 over total bigram types). Unlike the MLE
+    * [[bigramLm]], mass is redistributed by how PROMISCUOUS a word's
+    * contexts are, not how frequent the word is — the "San Francisco"
+    * correction.
+    *
+    * Every input to the formula is an exact integer count (pair counts,
+    * per-w1 totals and continuation-type counts, the global type count),
+    * produced by three hash aggregates over ONE bigram-count frame — so
+    * any engine replays the arithmetic exactly. `P_cont` is rounded at 9
+    * before use and the result at 6 (the cross-engine float-parity
+    * class). The type-count frame is a 1-row aggregate broadcast into
+    * the final projection. Scale: everything downstream of the pair
+    * count is vocabulary-bounded, never corpus-bounded. */
+  def kneserNeyBigram(
+      df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"),
+        posexplode(split(trim(text), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+    val c = pairs.groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val fw = c.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("c1"), count(lit(1)).as("n1fw"))
+    val bw = c.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val b = c.agg(count(lit(1)).as("n_types"))
+    c.join(fw, Seq("w1")).join(bw, Seq("w2")).crossJoin(broadcast(b))
+      .withColumn("p_cont", round(col("n1bw") / col("n_types"), 9))
+      .withColumn("p_kn", round(
+        greatest(col("cnt") - lit(discount), lit(0.0)) / col("c1")
+          + lit(discount) * col("n1fw") / col("c1") * col("p_cont"), 6))
+      .select(col("w1"), col("w2"), col("cnt"), col("p_kn"))
+  }
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, appendix A —
+    * public heuristics): per-document pass/fail for each named rule plus
+    * the conjunction. Rules and defaults follow the paper: word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; symbol-to-word
+    * ratio ('#' or '...') <= 0.1; <= 90% of lines starting with a
+    * bullet; <= 30% of lines ending in an ellipsis; >= 80% of words
+    * containing an alphabetic character; at least 2 distinct members of
+    * the 8-word stop list present.
+    *
+    * Every ratio gate is an integer cross-multiplication (e.g. the 80%
+    * alpha rule is `5*n_alpha >= 4*n_words`), so there is no float
+    * boundary for an oracle to disagree on. Fully row-local — one
+    * projection of HOF folds and regex counts, no explode, no shuffle
+    * (plan-guarded). */
+  def gopherRules(
+      df: DataFrame, id: Column, text: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val lines = split(text, "\n")
+    val nWords = size(words)
+    val nChars = aggregate(words, lit(0),
+      (acc, x) => acc + length(x))
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val nEll = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStopPresent = stops.map(sw =>
+      when(lower(text).rlike("\\b" + sw + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val rules = Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_word_len" -> (nChars >= nWords * 3 && nChars <= nWords * 10),
+      "r_symbol" -> (nSym * 10 <= nWords),
+      "r_bullet" -> (nBullet * 10 <= nLines * 9),
+      "r_ellipsis" -> (nEll * 10 <= nLines * 3),
+      "r_alpha" -> (nAlpha * 5 >= nWords * 4),
+      "r_stop" -> (nStopPresent >= 2))
+    val out = df.select(
+      id.as("doc_id") +: nWords.as("n_words") +:
+        rules.map { case (n, c) => when(c, 1).otherwise(0).as(n) }: _*)
+    out.withColumn("passes",
+      rules.map { case (n, _) => col(n) }.reduce(_ * _))
+  }
+
   /** Perplexity-band filtering (the CCNet/ccnet-style quality filter,
     * public technique): score every document by its mean bigram negative
     * log-likelihood under the corpus LM ([[bigramLm]] trained on `lmDf` —

@@ -191,4 +191,49 @@ object Joins {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_agree"), col("score"))
   }
+
+  /** Fuzzy (edit-distance) lookup: resolve every distinct dirty string to
+    * its best vocabulary match within `maxDist` Levenshtein edits
+    * (ties broken by the lexicographically smallest candidate; dirty
+    * values with no candidate in range surface with a null match).
+    *
+    * Scale contract (the textbook fuzzy-join posture): the corpus is
+    * touched exactly once, by the distinct-aggregate that builds the
+    * dirty-value frame (`n_rows` carries the fan-back weight, so there is
+    * no corpus-sized join-back). Both match inputs are distinct-value
+    * frames — vocabulary-bounded, NOT corpus-bounded — and the candidate
+    * join is an EQUI join on a length bucket: each vocab entry is
+    * replicated to the 2*maxDist+1 lengths it could match (Levenshtein
+    * >= |len(a) - len(b)|, so the bucketing is provably lossless — the
+    * `FuzzyLookupSpec` equivalence test pins this against the unblocked
+    * cross product). Within-bucket fan-out is bounded by vocabulary
+    * size, never corpus size, and the expensive `levenshtein` kernel
+    * (with its early-exit threshold argument) runs only on banded
+    * distinct pairs. */
+  def fuzzyLookup(
+      dirty: DataFrame, dirtyName: Column,
+      vocab: DataFrame, vocabName: Column,
+      maxDist: Int): DataFrame = {
+    val dn = dirty.groupBy(dirtyName.as("dirty_name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val vn = vocab.select(vocabName.as("match_cand")).distinct()
+      .withColumn("__len_b", explode(sequence(
+        greatest(length(col("match_cand")) - maxDist, lit(1)),
+        length(col("match_cand")) + maxDist)))
+    val cand = dn
+      .join(broadcast(vn), length(col("dirty_name")) === col("__len_b"))
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("match_cand"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    val best = cand.groupBy(col("dirty_name"))
+      .agg(min(col("dist")).as("__best"))
+    val matched = cand.join(best, Seq("dirty_name"))
+      .filter(col("dist") === col("__best"))
+      .groupBy(col("dirty_name"))
+      .agg(min(col("match_cand")).as("match_name"),
+        min(col("dist")).cast("int").as("best_dist"))
+    dn.join(matched, Seq("dirty_name"), "left")
+      .select(col("dirty_name"), col("match_name"), col("best_dist"),
+        col("n_rows"))
+  }
 }

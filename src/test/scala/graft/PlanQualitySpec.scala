@@ -360,4 +360,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(pd.contains("HashAggregate"), pd)
     assert(!pd.contains("WindowExec") && !pd.contains("Window "), pd)
   }
+
+  test("gopher rule battery is a shuffle-free scan projection") {
+    // every gate is a row-local HOF fold / regex count — an Exchange
+    // would mean an aggregation crept into what must stay map-only
+    val p = plan("x_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("fuzzy lookup joins on the length bucket, never all-pairs") {
+    // the candidate join must be an equi (broadcast hash) join on the
+    // exploded length bucket; a nested loop would mean the band predicate
+    // became the join condition and fan-out went vocab x corpus
+    val p = plan("j16_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

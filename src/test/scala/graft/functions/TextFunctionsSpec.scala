@@ -294,4 +294,65 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int, String)].collect().head
     assert(got == ((3L, 2L, 0.666667, 0, "the cat dog")))
   }
+
+  test("kneserNeyBigram matches a hand-replayed tiny corpus") {
+    // corpus: "a b a b c" + "b a b" -> bigram counts (a,b):3 (b,a):2 (b,c):1
+    // fw: a -> c1=3 n1fw=1; b -> c1=3 n1fw=2. bw: every w2 has n1bw=1; B=3
+    // p_cont = round(1/3, 9) for all three continuations
+    val docs = Seq((1L, "a b a b c"), (2L, "b a b")).toDF("doc_id", "text")
+    val got = TextFunctions.kneserNeyBigram(docs, col("doc_id"), col("text"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // (a,b): (3-.75)/3 + .75*1/3*0.333333333 = 0.833333
+    // (b,a): (2-.75)/3 + .75*2/3*0.333333333 = 0.583333
+    // (b,c): (1-.75)/3 + .75*2/3*0.333333333 = 0.25
+    assert(got == Set(
+      ("a", "b", 3L, 0.833333),
+      ("b", "a", 2L, 0.583333),
+      ("b", "c", 1L, 0.25)))
+  }
+
+  test("kneserNeyBigram: per-context observed mass stays in (0, 1]") {
+    // interpolated KN sums to 1 over the FULL vocabulary; the observed
+    // bigrams can only account for at most that (plus rounding slack)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val sums = TextFunctions.kneserNeyBigram(docs, col("doc_id"), col("text"))
+      .groupBy(col("w1")).agg(sum(col("p_kn")).as("s"))
+      .as[(String, Double)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (w1, s) =>
+      assert(s > 0.0 && s <= 1.0 + 1e-4, s"$w1 -> $s")
+    }
+  }
+
+  test("gopherRules: every rule fires on its crafted violator and the clean doc passes") {
+    val good = ("the quick value and table " * 12).trim // 60 words, 2 stops
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny the and doc"),                              // word count
+      (3L, good + " aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 40), // mean len
+      (4L, good + (" #" * 8)),                               // symbol ratio
+      (5L, good + ("\n- x" * 10) + "\nplain tail" + ("\n- x" * 30)), // bullets
+      (6L, good + "\nso more...\nand more...\nyet more..."), // ellipsis
+      (7L, "the and 1 2 3 4 5 6 7 8 9 0"),                   // alpha words
+      (8L, ("zebra yak xylophone " * 20).trim))              // stopwords
+      .toDF("doc_id", "text")
+    val got = TextFunctions.gopherRules(docs, col("doc_id"), col("text"),
+        minWords = 50, maxWords = 100000)
+      .select(col("doc_id"), col("r_word_count"), col("r_word_len"),
+        col("r_symbol"), col("r_bullet"), col("r_ellipsis"), col("r_alpha"),
+        col("r_stop"), col("passes"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 1, 1, 1, 1, 1, 1, 1)))
+    assert(got(2L)._2 == 0 && got(2L)._9 == 0)  // too short
+    assert(got(3L)._3 == 0)                      // mean word length > 10
+    assert(got(4L)._4 == 0)                      // symbol-to-word > 0.1
+    assert(got(5L)._5 == 0)                      // > 90% bullet lines
+    assert(got(6L)._6 == 0)                      // > 30% ellipsis lines
+    assert(got(7L)._7 == 0)                      // < 80% alphabetic words
+    assert(got(8L)._8 == 0 && got(8L)._9 == 0)   // no stop words
+  }
 }

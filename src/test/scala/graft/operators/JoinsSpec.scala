@@ -113,4 +113,54 @@ class JoinsSpec extends SparkSpec {
     // cat/cat would score 4 but lives in different blocks -> never compared
     assert(got == Set((1L, 10L, 2, 4.0), (2L, 12L, 1, 3.0)))
   }
+
+  test("fuzzyLookup resolves dirty values to the nearest vocab entry, folds duplicates, nulls the unmatched") {
+    val dirty = Seq("cold plte", "cold plte", "larg ring", "zzzzzzzzz").toDF("n")
+    val vocab = Seq("cold plate", "large ring", "old plate").toDF("v")
+    val got = Joins.fuzzyLookup(dirty, col("n"), vocab, col("v"), 2)
+      .as[(String, Option[String], Option[Int], Long)].collect().toSet
+    // "cold plte" -> "cold plate" at dist 1 (beats "old plate" at 2);
+    // the duplicate dirty row folds into n_rows, never a second match row
+    assert(got == Set(
+      ("cold plte", Some("cold plate"), Some(1), 2L),
+      ("larg ring", Some("large ring"), Some(1), 1L),
+      ("zzzzzzzzz", None, None, 1L)))
+  }
+
+  test("fuzzyLookup breaks distance ties on the lexicographically smallest candidate") {
+    val dirty = Seq("cat").toDF("n")
+    val vocab = Seq("car", "cab", "bat").toDF("v") // all at distance 1
+    val got = Joins.fuzzyLookup(dirty, col("n"), vocab, col("v"), 2)
+      .as[(String, Option[String], Option[Int], Long)].collect().toSeq
+    assert(got == Seq(("cat", Some("bat"), Some(1), 1L)))
+  }
+
+  test("fuzzyLookup length-bucket blocking is lossless vs the unblocked cross product") {
+    // varied lengths so the band actually prunes; the blocked operator
+    // must still return exactly what an exhaustive scan returns
+    val dirtyRows = Seq("ab", "abcd", "abcdefg", "abcdefghijk", "qqqq",
+      "abce", "bcdefg", "abcdxfghijk", "zz")
+    val vocabRows = Seq("abc", "abcdef", "abcdefghij", "mmmmmmmmmmmmmmm")
+    val dirty = dirtyRows.toDF("n")
+    val vocab = vocabRows.toDF("v")
+    val maxDist = 2
+    val got = Joins.fuzzyLookup(dirty, col("n"), vocab, col("v"), maxDist)
+      .as[(String, Option[String], Option[Int], Long)].collect().toSet
+    val full = dirty.groupBy(col("n").as("dirty_name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(vocab.select(col("v").as("cand")).distinct())
+      .withColumn("dist", levenshtein(col("dirty_name"), col("cand")))
+      .filter(col("dist") <= maxDist)
+    val best = full.groupBy("dirty_name").agg(min("dist").as("bd"))
+    val expectMatched = full.join(best, Seq("dirty_name"))
+      .filter(col("dist") === col("bd"))
+      .groupBy("dirty_name")
+      .agg(min("cand").as("m"), min("dist").cast("int").as("bd2"))
+    val expect = dirty.groupBy(col("n").as("dirty_name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(expectMatched, Seq("dirty_name"), "left")
+      .select(col("dirty_name"), col("m"), col("bd2"), col("n_rows"))
+      .as[(String, Option[String], Option[Int], Long)].collect().toSet
+    assert(got == expect)
+  }
 }
