@@ -55,6 +55,94 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
   private case class Q(name: String, fn: QFn, oracle: Option[String])
 
+  /** Generated unigram-LM oracle CTEs (the x_bpe_deep pattern applied to
+    * Kudo-2018 Viterbi segmentation): head = word frequencies, substring
+    * candidates, the frequency-seeded vocab `v0`; then one CTE per prefix
+    * length replaying the DP step (extend best paths at positions
+    * `p-maxPieceLen..p-1` by the connecting vocab piece, keep the
+    * rounded-score / longest-piece winner per word). */
+  private def unigramHeadCtes(pLen: Int, vSize: Int, wLen: Int): String =
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |uw AS MATERIALIZED (SELECT * FROM (
+       |    SELECT term AS word, count(*)::BIGINT AS freq
+       |    FROM toks WHERE term <> '' GROUP BY 1)
+       |  WHERE length(word) <= $wLen),
+       |subs AS (SELECT piece, sum(freq)::BIGINT AS pfreq FROM (
+       |    SELECT freq, substr(word, st, ln) AS piece FROM uw,
+       |      LATERAL unnest(generate_series(1, length(word))) AS s(st),
+       |      LATERAL unnest(generate_series(1,
+       |        least($pLen, length(word) - st + 1))) AS l(ln))
+       |  GROUP BY 1),
+       |vsel AS MATERIALIZED (
+       |  SELECT piece, pfreq FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT * FROM (SELECT piece, pfreq FROM subs WHERE length(piece) > 1
+       |                 ORDER BY pfreq DESC, piece LIMIT $vSize)),
+       |v0 AS MATERIALIZED (SELECT piece, round(ln(pfreq / vtot), 9) AS logp
+       |  FROM vsel CROSS JOIN
+       |    (SELECT sum(pfreq)::BIGINT AS vtot FROM vsel) t)""".stripMargin
+
+  private def unigramViterbiCtes(
+      tag: String, vocabCte: String, pLen: Int, wLen: Int): String = {
+    val base = s""",
+      |${tag}0 AS (SELECT word, freq, 0 AS pos, 0.0 AS score, '' AS pieces
+      |  FROM uw)""".stripMargin
+    val steps = (1 to wLen).map { p =>
+      val lo = math.max(0, p - pLen)
+      val prev = (lo until p).map(j => s"SELECT * FROM $tag$j")
+        .mkString(" UNION ALL ")
+      s""",
+         |$tag$p AS MATERIALIZED (
+         |  SELECT word, freq, $p AS pos, score, pieces FROM (
+         |    SELECT d.word, d.freq, round(d.score + v.logp, 9) AS score,
+         |      CASE WHEN d.pieces = '' THEN v.piece
+         |           ELSE d.pieces || ' ' || v.piece END AS pieces,
+         |      row_number() OVER (PARTITION BY d.word
+         |        ORDER BY round(d.score + v.logp, 9) DESC, d.pos ASC) AS rn
+         |    FROM ($prev) d JOIN $vocabCte v
+         |      ON v.piece = substr(d.word, d.pos + 1, $p - d.pos)
+         |    WHERE length(d.word) >= $p) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val all = (1 to wLen).map(p => s"SELECT * FROM $tag$p")
+      .mkString(" UNION ALL ")
+    val fin = s""",
+      |${tag}fin AS MATERIALIZED (SELECT word, freq, score, pieces
+      |  FROM ($all) WHERE pos = length(word))""".stripMargin
+    base + steps + fin
+  }
+
+  private def unigramMStepCtes(k: Int, segTag: String): String =
+    s""",
+       |c$k AS (SELECT piece, sum(freq)::BIGINT AS uses FROM (
+       |    SELECT freq, unnest(string_split(pieces, ' ')) AS piece
+       |    FROM ${segTag}fin) GROUP BY 1),
+       |j$k AS MATERIALIZED (SELECT v.piece, coalesce(c.uses, 0)::BIGINT AS n_uses
+       |  FROM v${k - 1} v LEFT JOIN c$k c USING (piece)),
+       |v$k AS MATERIALIZED (SELECT piece, n_uses,
+       |    round(ln((n_uses + 0.5) / (tot + 0.5 * vv)), 9) AS logp,
+       |    round((n_uses + 0.5) / (tot + 0.5 * vv), 6) AS p
+       |  FROM j$k CROSS JOIN (SELECT sum(n_uses)::BIGINT AS tot,
+       |    count(*)::BIGINT AS vv FROM j$k) t)""".stripMargin
+
+  private def unigramSegmentOracle(
+      pLen: Int, vSize: Int, wLen: Int): String =
+    unigramHeadCtes(pLen, vSize, wLen) +
+      unigramViterbiCtes("s1", "v0", pLen, wLen) +
+      s"""
+         |SELECT word, freq, len(string_split(pieces, ' '))::INT AS n_pieces,
+         |  pieces AS seg, score FROM s1fin""".stripMargin
+
+  private def unigramEmOracle(
+      pLen: Int, vSize: Int, wLen: Int, emIters: Int): String = {
+    val chains = (1 to emIters).map { k =>
+      unigramViterbiCtes(s"s$k", s"v${k - 1}", pLen, wLen) +
+        unigramMStepCtes(k, s"s$k")
+    }.mkString
+    unigramHeadCtes(pLen, vSize, wLen) + chains +
+      s"\nSELECT piece, n_uses, p FROM v$emIters"
+  }
+
   /** Generated N-step BPE oracle: the same per-step CTE triple the
     * hand-written 2-step x_bpe_merges oracle uses, chained `n` times —
     * the oracle replays the full merge trajectory. */
@@ -3997,6 +4085,25 @@ object SparkEntry {
                 round(sum(cnt * length(word)) / sum(cnt * n_sym)::DOUBLE, 6)
                   AS chars_per_token
               FROM occ JOIN enc ON occ.term = enc.word GROUP BY 1""")),
+
+    Q("x_unigram_segment", (s, d) =>
+      // SentencePiece-style unigram tokenizer, Viterbi half: per-word
+      // best segmentation under the frequency-seeded piece vocab. The
+      // corpus is touched once (word counts); the DP is a static
+      // 16-step loop over vocabulary-sized frames. Oracle = generated
+      // CTE chain replaying every DP step (the x_bpe_deep pattern)
+      graft.operators.Tokenize.unigramSegment(doc(s, d), col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 40),
+      Some(unigramSegmentOracle(3, 40, 16))),
+
+    Q("x_unigram_em", (s, d) =>
+      // the EM half: two hard-EM rounds (Viterbi E-step, Laplace-smoothed
+      // count M-step) re-estimating the unigram piece probabilities —
+      // the Kudo-2018 training loop next to BPE's merge loop. Oracle
+      // replays both full Viterbi chains plus both M-steps
+      graft.operators.Tokenize.unigramVocab(doc(s, d), col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 40, emIters = 2),
+      Some(unigramEmOracle(3, 40, 16, 2))),
 
     Q("x_seq_pack", (s, d) =>
       // deterministic sequence packing: per source, docs in id order fill

@@ -102,6 +102,133 @@ object Tokenize {
     words.withColumn("seg", regexp_replace(col("seg"), " {2}", " "))
   }
 
+  /** SentencePiece-style UNIGRAM LM tokenizer (Kudo 2018) — the other
+    * major subword family next to [[bpeMerges]]. Vocabulary = all single
+    * characters (segmentability guarantee) plus the `vocabSize` most
+    * frequent multi-character substrings up to `maxPieceLen` (frequency
+    * weighted by word frequency; ties broken by piece). Initial piece
+    * log-probabilities are frequency-normalized over the selected vocab;
+    * [[unigramVocab]] then runs `emIters` hard-EM rounds (Viterbi E-step,
+    * Laplace-smoothed count M-step — +0.5 over the fixed vocab keeps every
+    * piece defined and the segmentation total).
+    *
+    * Viterbi is a STATIC `maxWordLen`-step loop over prefix lengths: step
+    * `p` extends the best path at positions `p-maxPieceLen..p-1` by the
+    * connecting substring piece (an equi join against the broadcast
+    * vocab), and the per-word winner is one deterministic
+    * `max(struct(score, -j))` aggregate — highest rounded score, then the
+    * longest last piece. Scores round at 9 every step, so both the
+    * trajectory and the argmax replay exactly in any engine (the DuckDB
+    * oracle is a generated CTE chain, one per prefix length, mirroring
+    * x_bpe_deep).
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency aggregate);
+    * everything after — candidates, vocab, every DP step — is bounded by
+    * the distinct-word frame and the vocabulary, never corpus rows. Words
+    * longer than `maxWordLen` are excluded by contract (real tokenizers
+    * route them to a byte-level fallback); the loop count is static so
+    * the oracle's CTE chain matches at every scale factor. */
+  private def unigramWords(
+      df: DataFrame, id: Column, text: Column, maxWordLen: Int): DataFrame =
+    InvertedIndex.termPairs(df, id, text)
+      .groupBy(col("term").as("word")).agg(sum(col("tf")).as("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+
+  private def unigramInitVocab(
+      words: DataFrame, maxPieceLen: Int, vocabSize: Int): DataFrame = {
+    val subs = words.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("word"))), st =>
+        transform(
+          sequence(lit(1), least(lit(maxPieceLen),
+            length(col("word")) - st + 1)),
+          ln => col("word").substr(st, ln))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("pfreq"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("pfreq").desc, col("piece").asc).limit(vocabSize)
+    val v = singles.unionByName(multi)
+    val tot = v.agg(sum(col("pfreq")).as("vtot"))
+    v.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("pfreq") / col("vtot")), 9).as("logp"))
+  }
+
+  private def unigramViterbi(
+      words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val vb = broadcast(vocab.select(col("piece"), col("logp")))
+    var dp = words.select(col("word"), col("freq"), lit(0).as("pos"),
+      lit(0.0).as("score"), lit("").as("pieces"))
+    for (p <- 1 to maxWordLen) {
+      val cands = dp
+        .filter(col("pos") >= p - maxPieceLen && col("pos") <= p - 1 &&
+          length(col("word")) >= p)
+        .withColumn("piece",
+          col("word").substr(col("pos") + 1, lit(p) - col("pos")))
+        .join(vb, Seq("piece"))
+        .withColumn("nscore", round(col("score") + col("logp"), 9))
+        .withColumn("npieces",
+          when(col("pieces") === "", col("piece"))
+            .otherwise(concat(col("pieces"), lit(" "), col("piece"))))
+      val best = cands.groupBy(col("word")).agg(
+        max(struct(col("nscore"), (-col("pos")).as("negj"), col("freq"),
+          col("npieces"))).as("b"))
+        .select(col("word"), col("b.freq").as("freq"), lit(p).as("pos"),
+          col("b.nscore").as("score"), col("b.npieces").as("pieces"))
+      dp = dp.unionByName(best)
+      if (p % 4 == 0 && p < maxWordLen) dp = graft.Mat(dp)
+    }
+    dp.filter(col("pos") === length(col("word")))
+  }
+
+  private def unigramMStep(segs: DataFrame, vocab: DataFrame): DataFrame = {
+    val counts = segs
+      .select(col("freq"), explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("uses"))
+    val joined = vocab.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .withColumn("n_uses", coalesce(col("uses"), lit(0L)))
+    val tot = joined.agg(sum(col("n_uses")).as("tot"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_uses"),
+        round(log((col("n_uses") + lit(0.5))
+          / (col("tot") + lit(0.5) * col("v"))), 9).as("logp"),
+        round((col("n_uses") + lit(0.5))
+          / (col("tot") + lit(0.5) * col("v")), 6).as("p"))
+  }
+
+  /** Per-word Viterbi segmentation under the frequency-seeded unigram
+    * vocab (no EM): (word, freq, n_pieces, seg, score). */
+  def unigramSegment(
+      df: DataFrame, id: Column, text: Column,
+      maxPieceLen: Int, vocabSize: Int, maxWordLen: Int = 16): DataFrame = {
+    val words = unigramWords(df, id, text, maxWordLen)
+    val v0 = graft.Mat(unigramInitVocab(words, maxPieceLen, vocabSize))
+    unigramViterbi(words, v0, maxPieceLen, maxWordLen)
+      .select(col("word"), col("freq"),
+        size(split(col("pieces"), " ")).as("n_pieces"),
+        col("pieces").as("seg"), col("score"))
+  }
+
+  /** The unigram vocabulary after `emIters` hard-EM rounds:
+    * (piece, n_uses, p) — usage-count re-estimated piece probabilities,
+    * Laplace-smoothed over the fixed vocab. */
+  def unigramVocab(
+      df: DataFrame, id: Column, text: Column,
+      maxPieceLen: Int, vocabSize: Int, emIters: Int,
+      maxWordLen: Int = 16): DataFrame = {
+    val words = graft.Mat(unigramWords(df, id, text, maxWordLen))
+    var v = graft.Mat(unigramInitVocab(words, maxPieceLen, vocabSize))
+    var out: DataFrame = null
+    for (_ <- 1 to emIters) {
+      val segs = unigramViterbi(words, v, maxPieceLen, maxWordLen)
+      out = graft.Mat(unigramMStep(segs, v))
+      v = out
+    }
+    out.select(col("piece"), col("n_uses"), col("p"))
+  }
+
   /** Deterministic sequence packing: within each `group` (a source, a
     * shard), documents in `orderCol` order fill fixed-budget sequences of
     * `seqLen` tokens; a document lands in the sequence its RUNNING token

@@ -270,4 +270,54 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(stats(1) == ((6L, 2.0, 2.0)))
     assert(stats(2) == ((3L, 1.0, 4.0)))
   }
+
+  test("unigramSegment: Viterbi picks the highest-probability segmentation") {
+    // words: abab (freq 2), cc (1). Piece freqs (weighted): a=4 ab=4
+    // aba=2 b=4 ba=2 bab=2 c=2 cc=1, vtot=21. "ab ab" (2 pieces at
+    // ln(4/21)) beats "a b a b" (4 pieces) and "aba b"; "cc" beats "c c"
+    val docs = Seq((1L, "abab abab cc")).toDF("doc_id", "text")
+    val got = Tokenize.unigramSegment(docs, col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 40)
+      .select(col("word"), col("freq"), col("n_pieces"), col("seg"), col("score"))
+      .as[(String, Long, Int, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("abab")._3 == 2 && got("abab")._4 == "ab ab")
+    assert(math.abs(got("abab")._5 - 2 * math.log(4.0 / 21)) < 1e-6)
+    assert(got("cc")._3 == 1 && got("cc")._4 == "cc")
+    assert(got("cc")._2 == 1L)
+  }
+
+  test("unigramSegment: segmentation is valid (pieces concatenate back to the word)") {
+    val docs = Seq(
+      (1L, "spark table query window partition shuffle"),
+      (2L, "spark sparkly tables querying windows"),
+      (3L, "partition partitions shuffled shuffles table")).toDF("doc_id", "text")
+    val bad = Tokenize.unigramSegment(docs, col("doc_id"), col("text"),
+        maxPieceLen = 4, vocabSize = 20)
+      .filter(regexp_replace(col("seg"), " ", "") =!= col("word"))
+      .count()
+    assert(bad == 0L)
+    // every word segments (all-single-chars vocab floor)
+    val n = Tokenize.unigramSegment(docs, col("doc_id"), col("text"),
+      maxPieceLen = 4, vocabSize = 20).count()
+    val distinctWords = docs.select(explode(split(col("text"), " "))).distinct.count()
+    assert(n == distinctWords)
+  }
+
+  test("unigramVocab: hard-EM counts and Laplace probabilities on a hand corpus") {
+    // after one EM round on "abab abab cc": segs are "ab ab" (freq 2)
+    // and "cc" (1) -> uses: ab=4, cc=1, everything else 0; tot=5, V=8
+    // p(ab)=(4+.5)/(5+4)=0.5, p(cc)=1.5/9, p(unused)=0.5/9
+    val docs = Seq((1L, "abab abab cc")).toDF("doc_id", "text")
+    val got = Tokenize.unigramVocab(docs, col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 40, emIters = 1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 8)
+    assert(got("ab") == (("ab", 4L, 0.5)))
+    assert(got("cc")._2 == 1L && math.abs(got("cc")._3 - 1.5 / 9) < 1e-6)
+    assert(got("ba")._2 == 0L && math.abs(got("ba")._3 - 0.5 / 9) < 1e-6)
+    // Laplace normalizes exactly: probabilities sum to 1 (mod rounding)
+    val sump = got.values.map(_._3).sum
+    assert(math.abs(sump - 1.0) < 1e-4)
+  }
 }
