@@ -156,29 +156,56 @@ object Tokenize {
   private def unigramViterbi(
       words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val vb = broadcast(vocab.select(col("piece"), col("logp")))
-    var dp = words.select(col("word"), col("freq"), lit(0).as("pos"),
-      lit(0.0).as("score"), lit("").as("pieces"))
-    for (p <- 1 to maxWordLen) {
-      val cands = dp
-        .filter(col("pos") >= p - maxPieceLen && col("pos") <= p - 1 &&
-          length(col("word")) >= p)
-        .withColumn("piece",
-          col("word").substr(col("pos") + 1, lit(p) - col("pos")))
-        .join(vb, Seq("piece"))
-        .withColumn("nscore", round(col("score") + col("logp"), 9))
-        .withColumn("npieces",
-          when(col("pieces") === "", col("piece"))
-            .otherwise(concat(col("pieces"), lit(" "), col("piece"))))
-      val best = cands.groupBy(col("word")).agg(
-        max(struct(col("nscore"), (-col("pos")).as("negj"), col("freq"),
-          col("npieces"))).as("b"))
-        .select(col("word"), col("b.freq").as("freq"), lit(p).as("pos"),
-          col("b.nscore").as("score"), col("b.npieces").as("pieces"))
-      dp = dp.unionByName(best)
-      if (p % 4 == 0 && p < maxWordLen) dp = graft.Mat(dp)
-    }
-    dp.filter(col("pos") === length(col("word")))
+    // The WHOLE Viterbi DP runs in-row: words are <= maxWordLen chars and
+    // the vocab travels as one broadcast map column, so the position
+    // recurrence is a row-local HOF fold (the winnow-kernel posture) —
+    // one shuffle-free projection per pass instead of maxWordLen
+    // sequential jobs (a 16-step frame-per-position loop measured ~8 s of
+    // pure scheduling overhead on a 31-word corpus; this shape is one
+    // job). Same math as the per-frame formulation: scores round at 9
+    // every step, winner = max by (score, -j) = highest score then the
+    // longest connecting piece, so the generated CTE-chain oracle replays
+    // it exactly.
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("logp"))))
+        .as("__vmap"))
+    val base = words.crossJoin(broadcast(vmap))
+    val dpArr = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("s"), lit(0).as("j"))),
+      (acc, p) => {
+        val js = sequence(greatest(p - maxPieceLen, lit(0)), p - 1)
+        val cands = transform(js, j => struct(
+          round(element_at(acc, j + 1).getField("s")
+            + element_at(col("__vmap"), col("word").substr(j + 1, p - j)), 9)
+            .as("s"),
+          (-j).as("negj"), j.as("j")))
+        val valid = filter(cands, c => c.getField("s").isNotNull)
+        val b = array_max(valid)
+        concat(acc, array(struct(b.getField("s").as("s"),
+          b.getField("j").as("j"))))
+      })
+    val withDp = base.withColumn("__dp", dpArr)
+    // backtrack: walk j-pointers from the full-word position; bounded by
+    // maxWordLen steps, all in-row
+    val pieces = aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      struct(length(col("word")).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val j = element_at(col("__dp"), pos + 1).getField("j")
+        when(pos > 0, struct(j.as("pos"),
+          concat(array(col("word").substr(j + 1, pos - j)),
+            acc.getField("ps")).as("ps")))
+          .otherwise(acc)
+      })
+    withDp
+      .withColumn("__bt", pieces)
+      .select(col("word"), col("freq"),
+        element_at(col("__dp"), length(col("word")) + 1).getField("s")
+          .as("score"),
+        array_join(col("__bt").getField("ps"), " ").as("pieces"))
   }
 
   private def unigramMStep(segs: DataFrame, vocab: DataFrame): DataFrame = {
