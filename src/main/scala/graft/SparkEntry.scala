@@ -4437,6 +4437,40 @@ object SparkEntry {
                 round(n_new / dau::DOUBLE, 6) AS pct_new
               FROM j""")),
 
+    Q("a39_skyline", (s, d) => {
+      // 2-D Pareto frontier of the corpus: the longest document available
+      // at each quality level, strict dominance — bucketed two-pass
+      // suffix max, no global sort (the oracle uses the plain
+      // global-window form; the bucketing is provably result-invariant)
+      val q = doc(s, d).select(
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).as("t"))
+      graft.operators.Stats.skyline2d(q, col("q"), col("t"))
+        .select(col("x").as("quality"), col("max_y").cast("int").as("max_tokens"),
+          col("n_pts"))
+    },
+      Some("""WITH b AS (SELECT
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                length(text) AS n_chars
+              FROM documents),
+              q AS (SELECT round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality,
+                n_tok_ws FROM b),
+              p AS (SELECT quality, max(n_tok_ws)::INT AS max_tokens,
+                      count(*)::BIGINT AS n_pts FROM q GROUP BY 1),
+              s AS (SELECT *, max(max_tokens) OVER (ORDER BY quality DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS suf
+                    FROM p)
+              SELECT quality, max_tokens, n_pts FROM s
+              WHERE suf IS NULL OR max_tokens > suf""")),
+
     Q("a38_incremental_join", (s, d) =>
       // incremental JOIN maintenance (the join sibling of a18's
       // aggregate-state merge): a materialized orders |x| lineitem
@@ -5754,6 +5788,46 @@ object SparkEntry {
                      (date_diff('day', greatest(a_from, b_from), least(a_to, b_to))
                       + 1)::BIGINT AS ov_days
               FROM a JOIN b ON a_from <= b_to AND b_from <= a_to""")),
+
+    Q("iv_time_weighted", (s, d) => {
+      // interval-weighted average order value per customer: each order's
+      // value holds until the customer's next order; weight = days held —
+      // the effective-dated/SCD2 "time-weighted mean" staple. Per-customer
+      // lead window (skew = one customer's orders); DECIMAL-exact weighted
+      // sums, one double division at the end
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+      val o = ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(12,2)").as("v"))
+      o.withColumn("nd", lead(col("d"), 1).over(w))
+        .filter(col("nd").isNotNull)
+        .withColumn("days", datediff(col("nd"), col("d")).cast("long"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("days")).as("total_days"),
+          sum(col("v") * col("days")).as("__wsum"))
+        .filter(col("total_days") > 0)
+        // exact integer micro-unit division (cents * 10000 div days):
+        // truncation at 1e-6 with NO float rounding boundary — a
+        // round(decimal-division) here flipped at 5e-7 between engines
+        .withColumn("__icents", (col("__wsum") * 100).cast("long"))
+        .select(col("custkey"), col("n_intervals"), col("total_days"),
+          (expr("__icents * 10000 div total_days") / lit(1000000.0))
+            .as("tw_avg"))
+    },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate::DATE AS d,
+                       o_totalprice::DECIMAL(12,2) AS v FROM orders),
+              iv AS (SELECT o_custkey, v,
+                       date_diff('day', d, lead(d) OVER (PARTITION BY o_custkey
+                         ORDER BY d, o_orderkey)) AS days
+                     FROM o),
+              g AS (SELECT o_custkey AS custkey, count(*)::BIGINT AS n_intervals,
+                      sum(days)::BIGINT AS total_days, sum(v * days) AS wsum
+                    FROM iv WHERE days IS NOT NULL GROUP BY 1)
+              SELECT custkey, n_intervals, total_days,
+                (((wsum * 100)::BIGINT * 10000) // total_days) / 1000000.0 AS tw_avg
+              FROM g WHERE total_days > 0""")),
 
     Q("iv_allen", (s, d) =>
       // Allen interval-algebra relations over co-occurring pairs — the

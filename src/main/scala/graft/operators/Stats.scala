@@ -150,6 +150,58 @@ object Stats {
           (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
   }
 
+  /** 2-D Pareto frontier (skyline) of the `(x, max-y-per-x)` staircase
+    * under strict dominance: the distinct x values whose per-x maximum y
+    * strictly exceeds every maximum at larger x — "the best y available
+    * at each x level, keeping only undominated levels" (for curation:
+    * the longest document available at each quality level).
+    *
+    * Scale shape: ONE hash aggregate collapses the corpus to the
+    * distinct-x frame; the strict suffix max over that frame is the
+    * bucketed two-pass pattern — x is range-bucketed into `buckets`
+    * cells (fixed-width over the observed [min, max], clamped), the
+    * per-bucket maxima form a `buckets`-row frame whose suffix-max
+    * window is metadata-sized, and the within-bucket strict suffix max
+    * is a window partitioned by bucket (partition = distinct-x-per-cell,
+    * never the whole axis). No global sort, no single corpus-sized
+    * window partition anywhere.
+    *
+    * Returns (x, max_y, n_pts) — frontier rows only, every expression
+    * replayable (the DuckDB oracle uses the plain global-window form). */
+  def skyline2d(
+      df: DataFrame, x: Column, y: Column, buckets: Int = 64): DataFrame = {
+    val g = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("x"))
+      .agg(max(y).as("max_y"), count(lit(1)).as("n_pts"))
+    val bounds = g.agg(min(col("x")).as("__lo"), max(col("x")).as("__hi"))
+    val gb = g.crossJoin(broadcast(bounds))
+      .withColumn("__bkt", least(greatest(
+        floor((col("x") - col("__lo")) * buckets
+          / when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise(col("__hi") - col("__lo"))).cast("long"),
+        lit(0L)), lit(buckets.toLong - 1)))
+    val gm = graft.Mat(gb.select(col("x"), col("max_y"), col("n_pts"),
+      col("__bkt")))
+    // strict suffix max from HIGHER buckets: a window over the
+    // buckets-row frame (metadata-sized)
+    val wB = Window.orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = gm.groupBy(col("__bkt")).agg(max(col("max_y")).as("__bm"))
+      .withColumn("__suf_hi", max(col("__bm")).over(wB))
+      .select(col("__bkt"), col("__suf_hi"))
+    // strict suffix max WITHIN the bucket: partition = one bucket's
+    // distinct x values
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gm.join(broadcast(bmax), Seq("__bkt"))
+      .withColumn("__suf_in", max(col("max_y")).over(wIn))
+      .withColumn("__suf", greatest(
+        coalesce(col("__suf_hi"), lit(Double.MinValue)),
+        coalesce(col("__suf_in"), lit(Double.MinValue))))
+      .filter(col("max_y") > col("__suf"))
+      .select(col("x"), col("max_y"), col("n_pts"))
+  }
+
   /** First-order Markov transition matrix of per-user event sequences —
     * the clickstream-analysis staple (what do users do AFTER an error?).
     * One `lead` window per user timeline (skew bounded by one user's

@@ -320,4 +320,30 @@ class TokenizeStatsSpec extends SparkSpec {
     val sump = got.values.map(_._3).sum
     assert(math.abs(sump - 1.0) < 1e-4)
   }
+
+  test("skyline2d matches the brute-force frontier, including x-ties and equal-y chains") {
+    // per-x maxima: 1->10 2->20 3->20 4->15 5->1. Strict staircase rule
+    // (max_y must EXCEED every max at larger x): x=2 falls to x=3's equal
+    // 20; x=1 falls to 20; x=4 survives (only 1 above it); x=5 trivially
+    val pts = Seq((1.0, 10), (2.0, 20), (2.0, 5), (3.0, 20), (4.0, 15), (5.0, 1))
+      .toDF("x", "y")
+    val got = Stats.skyline2d(pts, col("x"), col("y"), buckets = 2)
+      .as[(Double, Int, Long)].collect().toSet
+    assert(got == Set((3.0, 20, 1L), (4.0, 15, 1L), (5.0, 1, 1L)))
+  }
+
+  test("skyline2d bucketing is result-invariant (1, 3, 64 buckets agree with brute force)") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(40) / 4.0, rnd.nextInt(50))).toDF("x", "y")
+    // brute force: per-x max, keep rows strictly above every larger-x max
+    val g = pts.groupBy(col("x")).agg(max(col("y")).as("my"), count(lit(1)).as("n"))
+      .as[(Double, Int, Long)].collect()
+    val expect = g.filter { case (x, my, _) =>
+      !g.exists { case (x2, my2, _) => x2 > x && my2 >= my } }.toSet
+    for (b <- Seq(1, 3, 64)) {
+      val got = Stats.skyline2d(pts, col("x"), col("y"), buckets = b)
+        .as[(Double, Int, Long)].collect().toSet
+      assert(got == expect, s"buckets=$b")
+    }
+  }
 }
