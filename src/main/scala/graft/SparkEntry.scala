@@ -4105,6 +4105,31 @@ object SparkEntry {
         maxPieceLen = 3, vocabSize = 40, emIters = 2),
       Some(unigramEmOracle(3, 40, 16, 2))),
 
+    Q("x_unigram_encode", (s, d) =>
+      // tokenizer ECONOMICS under the EM-trained unigram vocab: per-lang
+      // fertility + chars/token — the x_bpe_encode twin for the other
+      // subword family. Encoding = one equi join of per-(lang, word)
+      // counts against the Viterbi segmentation frame
+      graft.operators.Tokenize.unigramEncodeStats(
+        doc(s, d), col("doc_id"), col("text"), col("lang"),
+        maxPieceLen = 3, vocabSize = 40, emIters = 1),
+      Some(unigramHeadCtes(3, 40, 16) +
+        unigramViterbiCtes("s1", "v0", 3, 16) + unigramMStepCtes(1, "s1") +
+        unigramViterbiCtes("s2", "v1", 3, 16) +
+        """,
+          |occ AS (SELECT lang AS grp, term, count(*)::BIGINT AS cnt FROM (
+          |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |    FROM documents) t WHERE term <> '' GROUP BY 1, 2),
+          |enc AS (SELECT word, len(string_split(pieces, ' '))::INT AS n_sym
+          |  FROM s2fin),
+          |g AS (SELECT grp, sum(cnt)::BIGINT AS n_words,
+          |    sum(cnt * n_sym)::BIGINT AS n_tokens,
+          |    sum(cnt * length(word))::BIGINT AS n_chars
+          |  FROM occ JOIN enc ON occ.term = enc.word GROUP BY 1)
+          |SELECT grp, n_words, n_tokens,
+          |  round(n_tokens / n_words, 6) AS fertility,
+          |  round(n_chars / n_tokens, 6) AS chars_per_token FROM g""".stripMargin)),
+
     Q("x_seq_pack", (s, d) =>
       // deterministic sequence packing: per source, docs in id order fill
       // 2048-token sequences by running total — one window, no per-bin

@@ -256,6 +256,41 @@ object Tokenize {
     out.select(col("piece"), col("n_uses"), col("p"))
   }
 
+  /** Tokenizer-application stats for the unigram family — the
+    * [[bpeEncodeStats]] twin: train the unigram vocab (`emIters` hard-EM
+    * rounds), Viterbi-encode the distinct-word frame under the final
+    * probabilities, and report per-`group` fertility (tokens/word) and
+    * chars/token. Corpus rows are never touched word-by-word: encoding
+    * is one equi join of per-(group, word) occurrence counts against the
+    * segmentation frame. Words longer than `maxWordLen` are outside the
+    * tokenizer's contract and drop from the stats on both sides. */
+  def unigramEncodeStats(
+      df: DataFrame, id: Column, text: Column, group: Column,
+      maxPieceLen: Int, vocabSize: Int, emIters: Int,
+      maxWordLen: Int = 16): DataFrame = {
+    val words = graft.Mat(unigramWords(df, id, text, maxWordLen))
+    var v = graft.Mat(unigramInitVocab(words, maxPieceLen, vocabSize))
+    for (_ <- 1 to emIters)
+      v = graft.Mat(unigramMStep(unigramViterbi(words, v, maxPieceLen, maxWordLen), v))
+    val enc = unigramViterbi(words, v, maxPieceLen, maxWordLen)
+      .select(col("word"), size(split(col("pieces"), " ")).as("n_sym"))
+    val occ = df.select(group.as("grp"),
+        explode(split(trim(text), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    occ.join(enc, occ("term") === enc("word"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("grp"),
+        col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
+  }
+
   /** Deterministic sequence packing: within each `group` (a source, a
     * shard), documents in `orderCol` order fill fixed-budget sequences of
     * `seqLen` tokens; a document lands in the sequence its RUNNING token

@@ -321,6 +321,22 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(math.abs(sump - 1.0) < 1e-4)
   }
 
+  test("unigramEncodeStats: fertility and chars/token from the Viterbi segmentation") {
+    // initial (freq-seeded) vocab segments abab -> "ab ab", cc -> "cc"
+    // (same corpus as the unigramSegment test). en: abab x2 -> 2 words,
+    // 4 tokens, 8 chars; fr: cc x1 -> 1 word, 1 token, 2 chars
+    val docs = Seq(
+      (1L, "abab abab", "en"),
+      (2L, "cc", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Tokenize.unigramEncodeStats(docs, col("doc_id"), col("text"),
+        col("lang"), maxPieceLen = 3, vocabSize = 40, emIters = 0)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 2L, 4L, 2.0, 2.0)))
+    assert(got("fr") == (("fr", 1L, 1L, 1.0, 2.0)))
+  }
+
   test("skyline2d matches the brute-force frontier, including x-ties and equal-y chains") {
     // per-x maxima: 1->10 2->20 3->20 4->15 5->1. Strict staircase rule
     // (max_y must EXCEED every max at larger x): x=2 falls to x=3's equal
