@@ -4496,6 +4496,37 @@ object SparkEntry {
               SELECT quality, max_tokens, n_pts FROM s
               WHERE suf IS NULL OR max_tokens > suf""")),
 
+    Q("a40_kaplan_meier", (s, d) =>
+      // Kaplan-Meier survival curve for time-to-first-purchase (right-
+      // censored at the corpus's last day): the corpus collapses to one
+      // row per user, then one per DISTINCT day-duration (calendar-
+      // bounded); both running sums ride the bucketed two-pass; the
+      // survival product is an integer fixed-point log-sum (round-9
+      // quantized before accumulation), exponentiated once at the end
+      graft.operators.Stats.kaplanMeier(ev(s, d), col("user_id"),
+        col("ts"), col("event_type"), convType = "purchase"),
+      Some("""WITH e AS (SELECT user_id AS u, ts::DATE AS day, event_type AS et FROM events),
+              sp AS (SELECT u, min(day) AS birth,
+                       min(CASE WHEN et = 'purchase' THEN day END) AS conv
+                     FROM e GROUP BY 1),
+              mx AS (SELECT max(day) AS mday FROM e),
+              d AS (SELECT date_diff('day', birth, coalesce(conv, mday))::BIGINT AS dur,
+                      (CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ev
+                    FROM sp CROSS JOIN mx),
+              g AS (SELECT dur, sum(ev)::BIGINT AS n_events,
+                      sum(1 - ev)::BIGINT AS n_censored FROM d GROUP BY 1),
+              t AS (SELECT count(*)::BIGINT AS n FROM d),
+              r AS (SELECT g.*, (t.n - sum(n_events + n_censored)
+                        OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                      + n_events + n_censored)::BIGINT AS n_risk
+                    FROM g CROSS JOIN t),
+              sx AS (SELECT *, CASE WHEN n_events < n_risk THEN
+                       CAST(round(ln((n_risk - n_events) / n_risk::DOUBLE) * 1e9, 0) AS BIGINT)
+                       ELSE -1000000000000000000 END AS fx FROM r)
+              SELECT dur AS dur_days, n_risk, n_events, n_censored,
+                round(exp(sum(fx) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)::DOUBLE / 1e9), 6) AS surv
+              FROM sx""")),
+
     Q("a38_incremental_join", (s, d) =>
       // incremental JOIN maintenance (the join sibling of a18's
       // aggregate-state merge): a materialized orders |x| lineitem

@@ -384,4 +384,67 @@ object Stats {
         col("n_high"), col("n_low"),
         round(col("n_outliers") / col("n"), 6).as("outlier_pct"))
   }
+
+  /** Kaplan–Meier survival curve for time-to-first-`convType` — the
+    * product-limit estimator over a right-censored cohort (the retention
+    * / time-to-convert staple). Each user enters at their first event
+    * (birth); the spell ends at their first `convType` event (an event)
+    * or at the corpus's last day (censored). At each whole-day duration
+    * t: n_risk = users still under observation, and
+    * S(t) = prod over t' <= t of (1 - d_t' / n_risk_t').
+    *
+    * Scale shape: two user-keyed hash aggregates collapse the corpus to
+    * one row per user, then one more to one row per DISTINCT DURATION —
+    * a calendar-bounded frame (days of corpus span, not corpus rows).
+    * Both running sums over that frame ride
+    * [[Windows.globalRunningSums]]' bucketed two-pass, so no
+    * single-partition ORDER BY exists even if the calendar ever got wide.
+    *
+    * Determinism at the engine boundary: the survival product is carried
+    * as an integer fixed-point sum of per-step logs —
+    * `round(ln((n_risk-d)/n_risk) * 1e9, 0)` cast to long (ln of an
+    * exactly-representable integer ratio, quantized before any
+    * accumulation so libm ulp differences can't reach the running sum) —
+    * and exponentiated once at the end (round 6). A terminal step where
+    * everyone remaining dies (d = n_risk) contributes a -1e18 sentinel:
+    * exp underflows to exactly 0 in any engine, and no rows can follow
+    * it, so the sentinel never double-accumulates.
+    *
+    * Returns (dur_days, n_risk, n_events, n_censored, surv),
+    * one row per distinct duration. */
+  def kaplanMeier(
+      df: DataFrame, user: Column, ts: Column, eventType: Column,
+      convType: String): DataFrame = {
+    val e = df.select(user.as("u"), ts.cast("date").as("day"),
+      eventType.as("et"))
+    val spells = e.groupBy(col("u")).agg(
+      min(col("day")).as("birth"),
+      min(when(col("et") === convType, col("day"))).as("conv"))
+    val censor = e.agg(max(col("day")).as("mday"))
+    val durs = spells.crossJoin(broadcast(censor))
+      .select(
+        datediff(coalesce(col("conv"), col("mday")), col("birth"))
+          .cast("long").as("dur"),
+        when(col("conv").isNotNull, 1L).otherwise(0L).as("ev"))
+    val g = durs.groupBy(col("dur")).agg(
+      sum(col("ev")).as("n_events"),
+      sum(lit(1L) - col("ev")).as("n_censored"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    // pass 1: inclusive running (events+censored) -> at-risk counts
+    val r = Windows.globalRunningSums(g, "dur", Nil,
+        Seq((col("n_events") + col("n_censored")) -> "__cum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n") - col("__cum") + col("n_events") + col("n_censored"))
+      .withColumn("__fx",
+        when(col("n_events") < col("n_risk"),
+          round(log((col("n_risk") - col("n_events")) / col("n_risk"))
+            * lit(1e9), 0).cast("long"))
+        .otherwise(lit(-1000000000000000000L)))
+    // pass 2: inclusive running log-sum -> survival
+    Windows.globalRunningSums(r, "dur", Nil, Seq(col("__fx") -> "__lf"))
+      .select(col("dur").as("dur_days"), col("n_risk"),
+        col("n_events"), col("n_censored"),
+        round(exp(col("__lf") / lit(1e9)), 6).as("surv"))
+  }
 }

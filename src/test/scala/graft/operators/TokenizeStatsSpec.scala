@@ -337,6 +337,38 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got("fr") == (("fr", 1L, 1L, 1.0, 2.0)))
   }
 
+  test("kaplanMeier: hand-replayed product-limit curve with censoring") {
+    // u1 buys at dur 2, u3 at dur 2, u4 at dur 0; u2 censored at the
+    // corpus max day (dur 4), u5 censored at dur 0.
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-03 00:00:00", "buy"),
+      (2L, "2024-01-01 00:00:00", "view"), (2L, "2024-01-02 00:00:00", "view"),
+      (3L, "2024-01-02 00:00:00", "view"), (3L, "2024-01-04 00:00:00", "buy"),
+      (4L, "2024-01-01 00:00:00", "buy"),
+      (5L, "2024-01-05 00:00:00", "view")
+    ).toDF("u", "ts_s", "et").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.kaplanMeier(ev, col("u"), col("ts"), col("et"), "buy")
+      .orderBy("dur_days")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // dur0: risk 5, 1 event 1 censored -> S=0.8; dur2: risk 3, 2 events
+    // -> S=0.8/3; dur4: censor only, S unchanged
+    assert(got sameElements Array(
+      (0L, 5L, 1L, 1L, 0.8),
+      (2L, 3L, 2L, 0L, 0.266667),
+      (4L, 1L, 0L, 1L, 0.266667)))
+  }
+
+  test("kaplanMeier: terminal all-events step drives survival to exactly 0") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-02 00:00:00", "buy"),
+      (2L, "2024-01-01 00:00:00", "view"), (2L, "2024-01-03 00:00:00", "buy")
+    ).toDF("u", "ts_s", "et").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.kaplanMeier(ev, col("u"), col("ts"), col("et"), "buy")
+      .orderBy("dur_days")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got sameElements Array((1L, 2L, 1L, 0L, 0.5), (2L, 1L, 1L, 0L, 0.0)))
+  }
+
   test("skyline2d matches the brute-force frontier, including x-ties and equal-y chains") {
     // per-x maxima: 1->10 2->20 3->20 4->15 5->1. Strict staircase rule
     // (max_y must EXCEED every max at larger x): x=2 falls to x=3's equal
