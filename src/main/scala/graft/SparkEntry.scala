@@ -311,6 +311,25 @@ object SparkEntry {
                      comm_c / 100.0 AS amount
               FROM gl WHERE comm_c <> 0"""
 
+  /** Generated Markov-attribution oracle iteration CTEs: one CTE per
+    * fixed-point step, replaying the driver-side absorption solve
+    * bit-for-bit (explicit floor(x*1e9+0.5)/1e9 quantization — the same
+    * IEEE multiply/floor/divide the operator uses, so no engine-rounding
+    * implementation boundary exists). `vt` must hold (rc, from_s, to_s, p)
+    * for every removal variant x transition cell. */
+  private def markovIterCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT vt.rc, vt.from_s AS st,
+         |  floor(sum(vt.p * CASE WHEN vt.to_s = 'CONV' THEN 1.0
+         |                        WHEN vt.to_s = 'NULL' THEN 0.0
+         |                        WHEN vt.to_s = vt.rc THEN 0.0
+         |                        ELSE coalesce(pv.val, 0.0) END) * 1e9 + 0.5) / 1e9 AS val
+         |  FROM vt LEFT JOIN p${k - 1} pv ON pv.rc = vt.rc AND pv.st = vt.to_s
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    steps.mkString(",\n", ",\n", "")
+  }
+
   // -------------------------------------------------------------- the queries
 
   private lazy val defs: Seq[Q] = Seq(
@@ -4526,6 +4545,55 @@ object SparkEntry {
               SELECT dur AS dur_days, n_risk, n_events, n_censored,
                 round(exp(sum(fx) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)::DOUBLE / 1e9), 6) AS surv
               FROM sx""")),
+
+    Q("a41_markov_attribution", (s, d) =>
+      // data-driven (removal-effect) attribution: per-user journeys up
+      // to first purchase -> first-order transition matrix (state-space-
+      // sized) -> absorption solve iterated ON THE DRIVER over the
+      // metadata-sized matrix with floor-quantized (1e-9) steps; each
+      // channel credited by its conversion-probability removal effect
+      graft.operators.Stats.markovAttribution(ev(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("value"),
+        channels = Seq("click", "view", "signup", "error"),
+        convType = "purchase"),
+      Some("""WITH e AS (SELECT user_id AS u, ts AS t, event_type AS et, value AS v FROM events),
+              fc AS (SELECT u, min(t) AS cus FROM e WHERE et = 'purchase' GROUP BY 1),
+              j AS MATERIALIZED (SELECT e.u, e.t, e.et, (fc.cus IS NOT NULL) AS cv
+                    FROM e LEFT JOIN fc ON e.u = fc.u
+                    WHERE e.et IN ('click','view','signup','error')
+                      AND (fc.cus IS NULL OR e.t < fc.cus)),
+              tr1 AS (SELECT et AS from_s,
+                        coalesce(lead(et) OVER (PARTITION BY u ORDER BY t),
+                          CASE WHEN cv THEN 'CONV' ELSE 'NULL' END) AS to_s FROM j),
+              rn AS (SELECT et, row_number() OVER (PARTITION BY u ORDER BY t) AS rn FROM j),
+              tr2 AS (SELECT 'START' AS from_s, et AS to_s FROM rn WHERE rn = 1),
+              au AS (SELECT u, max(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS cv
+                     FROM e GROUP BY 1),
+              ju AS (SELECT DISTINCT u FROM j),
+              tr3 AS (SELECT 'START' AS from_s,
+                        CASE WHEN au.cv = 1 THEN 'CONV' ELSE 'NULL' END AS to_s
+                      FROM au LEFT JOIN ju ON au.u = ju.u WHERE ju.u IS NULL),
+              tr AS (SELECT * FROM tr1 UNION ALL SELECT * FROM tr2 UNION ALL SELECT * FROM tr3),
+              cnt AS (SELECT from_s, to_s, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+              tt AS (SELECT from_s, sum(n)::BIGINT AS t FROM cnt GROUP BY 1),
+              tm AS MATERIALIZED (SELECT cnt.from_s, cnt.to_s, round(cnt.n / tt.t::DOUBLE, 6) AS p
+                     FROM cnt JOIN tt ON cnt.from_s = tt.from_s),
+              vr AS (SELECT rc FROM (VALUES ('__base__'),('click'),('view'),('signup'),('error')) AS x(rc)),
+              vt AS MATERIALIZED (SELECT vr.rc, tm.from_s, tm.to_s, tm.p FROM vr CROSS JOIN tm),
+              p0 AS MATERIALIZED (SELECT DISTINCT rc, from_s AS st, 0.0 AS val FROM vt)""" +
+        markovIterCtes(25) + """,
+              pb AS (SELECT val AS pbv FROM p25 WHERE rc = '__base__' AND st = 'START'),
+              re AS (SELECT rc AS channel, val AS p_removed,
+                       floor(greatest(1 - val / pb.pbv, 0) * 1e6 + 0.5) / 1e6 AS removal_effect
+                     FROM p25 CROSS JOIN pb WHERE rc <> '__base__' AND st = 'START'),
+              rv AS (SELECT coalesce(sum(round(e.v, 6)::DECIMAL(18,6)), 0)::DOUBLE AS rev
+                     FROM e JOIN fc ON e.u = fc.u AND e.t = fc.cus WHERE e.et = 'purchase'),
+              sr AS (SELECT sum(removal_effect) AS sre FROM re)
+              SELECT re.channel, re.p_removed, re.removal_effect,
+                CASE WHEN sr.sre > 0
+                     THEN floor(rv.rev * re.removal_effect / sr.sre * 1e6 + 0.5) / 1e6
+                     ELSE 0.0 END AS attributed_rev
+              FROM re CROSS JOIN rv CROSS JOIN sr""")),
 
     Q("a38_incremental_join", (s, d) =>
       // incremental JOIN maintenance (the join sibling of a18's

@@ -385,6 +385,107 @@ object Stats {
         round(col("n_outliers") / col("n"), 6).as("outlier_pct"))
   }
 
+  /** Markov-chain (removal-effect) revenue attribution — the data-driven
+    * alternative to last-touch/linear ([[attribution]]): model each
+    * user's pre-conversion touch sequence as a first-order Markov chain
+    * (START → touches → CONV/NULL), compute the chain's conversion
+    * probability, and credit each channel by how much conversion drops
+    * when that channel is removed (its states absorb to NULL).
+    *
+    * Journey contract: one journey per user — the event sequence up to
+    * (excluding) the FIRST `convType` event; non-channel, non-conversion
+    * event types are ignored; (user, ts) must be unique (same window-tie
+    * contract as [[transitionMatrix]]).
+    *
+    * Scale shape: journeys are per-user windows (skew = one user's
+    * events); the transition matrix is a state-space-sized aggregate
+    * (|channels|+3 states). The absorption solve iterates on that
+    * metadata-sized matrix ON THE DRIVER (`iters` fixed-point steps,
+    * each state value rounded HALF_UP at 9 so any engine replays the
+    * trajectory bit-for-bit) — the same documented posture as the
+    * global-rank bucket offsets: driver state is states², never corpus.
+    *
+    * Returns one row per channel:
+    * (channel, p_removed, removal_effect, attributed_rev) where
+    * removal_effect = max(0, 1 - p_removed/p_base) rounded at 6 and
+    * attributed_rev splits total first-conversion revenue pro-rata over
+    * removal effects. */
+  def markovAttribution(
+      df: DataFrame, user: Column, ts: Column, eventType: Column,
+      value: Column, channels: Seq[String], convType: String,
+      iters: Int = 25): DataFrame = {
+    require(channels.nonEmpty, "need at least one touch channel")
+    val spark = df.sparkSession
+    val base = df.select(user.as("u"), ts.as("t"), eventType.as("et"),
+      value.as("v"))
+    val fc = base.filter(col("et") === convType)
+      .groupBy(col("u")).agg(min(col("t")).as("cus"))
+    val j = graft.Mat(base.join(fc, Seq("u"), "left")
+      .filter(col("et").isin(channels: _*) &&
+        (col("cus").isNull || col("t") < col("cus")))
+      .select(col("u"), col("t"), col("et"), col("cus").isNotNull.as("cv")))
+    val w = Window.partitionBy(col("u")).orderBy(col("t"))
+    val tr1 = j
+      .withColumn("to_s", coalesce(lead(col("et"), 1).over(w),
+        when(col("cv"), lit("CONV")).otherwise(lit("NULL"))))
+      .select(col("et").as("from_s"), col("to_s"))
+    val tr2 = j.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(lit("START").as("from_s"), col("et").as("to_s"))
+    val au = base.groupBy(col("u"))
+      .agg(max(when(col("et") === convType, 1).otherwise(0)).as("cv"))
+    val tr3 = au.join(j.select(col("u")).distinct(), Seq("u"), "left_anti")
+      .select(lit("START").as("from_s"),
+        when(col("cv") === 1, lit("CONV")).otherwise(lit("NULL")).as("to_s"))
+    val cnt = tr1.unionByName(tr2).unionByName(tr3)
+      .groupBy(col("from_s"), col("to_s")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_s")).agg(sum(col("n")).as("t"))
+    // metadata-sized collect: (|channels|+1)^2 transition cells at most
+    val tmat = cnt.join(tot, Seq("from_s"))
+      .select(col("from_s"), col("to_s"), round(col("n") / col("t"), 6))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // total revenue at each user's FIRST conversion, summed as DECIMAL
+    val rev = base.filter(col("et") === convType)
+      .groupBy(col("u")).agg(min(struct(col("t"), col("v"))).as("fp"))
+      .agg(coalesce(sum(round(col("fp.v"), 6).cast("decimal(18,6)")),
+        lit(0).cast("decimal(18,6)")).as("v"))
+      .collect().head.getDecimal(0).doubleValue()
+    // explicit floor-quantization (floor(x*1eN + 0.5)/1eN) instead of an
+    // engine round(): the oracle replays the SAME IEEE multiply/floor/
+    // divide, so no engine-rounding-implementation boundary exists
+    def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val states = "START" +: channels
+    val byFrom = tmat.groupBy(_._1)
+    val noCells = Array.empty[(String, String, Double)]
+    def solve(removed: Option[String]): Double = {
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters)
+        p = states.map { s =>
+          // fixed summation order (to_s) so the fold is reproducible
+          s -> q9(byFrom.getOrElse(s, noCells).sortBy(_._2).map {
+            case (_, "CONV", pr) => pr
+            case (_, "NULL", _) => 0.0
+            case (_, t, _) if removed.contains(t) => 0.0
+            case (_, t, pr) => pr * p.getOrElse(t, 0.0)
+          }.sum)
+        }.toMap
+      p("START")
+    }
+    val pBase = solve(None)
+    val rows = channels.map { c =>
+      val pr = solve(Some(c))
+      val re = q6(math.max(0.0, if (pBase > 0) 1.0 - pr / pBase else 0.0))
+      (c, pr, re)
+    }
+    val sre = rows.map(_._3).sum
+    import spark.implicits._
+    rows.map { case (c, pr, re) =>
+      val rev6 = if (sre > 0) q6(rev * re / sre) else 0.0
+      (c, pr, re, rev6)
+    }.toDF("channel", "p_removed", "removal_effect", "attributed_rev")
+  }
+
   /** Kaplan–Meier survival curve for time-to-first-`convType` — the
     * product-limit estimator over a right-censored cohort (the retention
     * / time-to-convert staple). Each user enters at their first event

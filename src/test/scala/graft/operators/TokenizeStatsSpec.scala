@@ -337,6 +337,41 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got("fr") == (("fr", 1L, 1L, 1.0, 2.0)))
   }
 
+  test("markovAttribution: hand-replayed removal effects on a 2-channel chain") {
+    // u1: a -> buy(10); u2: a -> b -> (null); u3: b -> buy(20)
+    // T: START->{a:2/3, b:1/3}, a->{CONV:.5, b:.5}, b->{CONV:.5, NULL:.5}
+    // base p(START)=.666667*.75+.333333*.5; remove a -> .333333*.5;
+    // remove b -> .666667*.5. RE=(0.75, 0.5); rev=30 split 18/12
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 0.0), (1L, "2024-01-02 00:00:00", "buy", 10.0),
+      (2L, "2024-01-01 00:00:00", "a", 0.0), (2L, "2024-01-02 00:00:00", "b", 0.0),
+      (3L, "2024-01-01 00:00:00", "b", 0.0), (3L, "2024-01-02 00:00:00", "buy", 20.0)
+    ).toDF("u", "ts_s", "et", "v").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.markovAttribution(ev, col("u"), col("ts"), col("et"),
+        col("v"), channels = Seq("a", "b"), convType = "buy")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(got("a")._2 - 0.1666665) < 1e-9)
+    assert(got("a")._3 == 0.75 && got("a")._4 == 18.0)
+    assert(math.abs(got("b")._2 - 0.3333335) < 1e-9)
+    assert(got("b")._3 == 0.5 && got("b")._4 == 12.0)
+  }
+
+  test("markovAttribution: user whose first event converts feeds START->CONV") {
+    // u1's journey is empty but converted; u2 never converts.
+    // T: START->{CONV:.5, NULL:.5} only -> base p=0.5, removals change
+    // nothing -> all REs 0, no revenue attributed
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "buy", 5.0),
+      (2L, "2024-01-01 00:00:00", "x", 0.0)
+    ).toDF("u", "ts_s", "et", "v").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.markovAttribution(ev, col("u"), col("ts"), col("et"),
+        col("v"), channels = Seq("a", "b"), convType = "buy")
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.length == 2)
+    assert(got.forall(r => r._2 == 0.5 && r._3 == 0.0 && r._4 == 0.0))
+  }
+
   test("kaplanMeier: hand-replayed product-limit curve with censoring") {
     // u1 buys at dur 2, u3 at dur 2, u4 at dur 0; u2 censored at the
     // corpus max day (dur 4), u5 censored at dur 0.
