@@ -865,6 +865,71 @@ object SparkEntry {
               SELECT dn.dirty_name, m.match_name, m.best_dist, dn.n_rows
               FROM dn LEFT JOIN m USING (dirty_name)""")),
 
+    Q("g_entity_resolution", (s, d) => {
+      // fuzzy entity resolution across two source systems: the clean
+      // part catalog (system A) and its deterministically typo'd twin
+      // (system B, the j16 generator) clustered at edit distance <= 2 —
+      // distinct-name matching on an equi length-bucket join, transitive
+      // closure via large-star/small-star components, one rollup row per
+      // entity (reversed every-17th names stay singleton noise entities)
+      val p = prt(s, d).select(col("p_partkey"), col("p_name"))
+      val name = col("p_name")
+      val len = length(name)
+      val pos = (pmod(col("p_partkey"), (len - 2).cast("long")) + 2).cast("int")
+      val kind = pmod(col("p_partkey"), lit(3))
+      val del = concat(name.substr(lit(1), pos - 1), name.substr(pos + 1, len))
+      val swp = concat(name.substr(lit(1), pos - 1),
+        name.substr(pos + 1, lit(1)), name.substr(pos, lit(1)),
+        name.substr(pos + 2, len))
+      val sub = concat(name.substr(lit(1), pos - 1), lit("x"),
+        name.substr(pos + 1, len))
+      val dirty = p.select((col("p_partkey") * 2 + 1).as("rid"),
+        when(pmod(col("p_partkey"), lit(17)) === 0, reverse(name))
+          .when(kind === 0, del).when(kind === 1, swp)
+          .otherwise(sub).as("nm"))
+      val recs = p.select((col("p_partkey") * 2).as("rid"), name.as("nm"))
+        .unionByName(dirty)
+      Joins.fuzzyEntities(recs, col("rid"), col("nm"), maxDist = 2)
+    },
+      Some("""WITH RECURSIVE base AS (SELECT p_partkey, p_name,
+                       (p_partkey % (length(p_name) - 2) + 2)::INT AS pos,
+                       p_partkey % 3 AS kind FROM part),
+              dirty AS (SELECT p_partkey * 2 + 1 AS rid, CASE
+                  WHEN p_partkey % 17 = 0 THEN reverse(p_name)
+                  WHEN kind = 0 THEN substr(p_name, 1, pos - 1)
+                       || substr(p_name, pos + 1, length(p_name))
+                  WHEN kind = 1 THEN substr(p_name, 1, pos - 1)
+                       || substr(p_name, pos + 1, 1) || substr(p_name, pos, 1)
+                       || substr(p_name, pos + 2, length(p_name))
+                  ELSE substr(p_name, 1, pos - 1) || 'x'
+                       || substr(p_name, pos + 1, length(p_name)) END AS nm
+                FROM base),
+              recs AS (SELECT p_partkey * 2 AS rid, p_name AS nm FROM part
+                       UNION ALL SELECT rid, nm FROM dirty),
+              names AS MATERIALIZED (SELECT nm, min(rid) AS nid,
+                       count(*)::BIGINT AS n_recs FROM recs GROUP BY 1),
+              la AS (SELECT nm, nid, unnest(generate_series(
+                       greatest(length(nm) - 2, 1), length(nm) + 2)) AS lb
+                     FROM names),
+              prs AS (SELECT a.nid AS id_a, b.nid AS id_b
+                      FROM la a JOIN names b
+                        ON a.lb = length(b.nm) AND a.nid < b.nid
+                      WHERE levenshtein(a.nm, b.nm) <= 2),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION SELECT id_b, id_a FROM prs),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src),
+              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY 1),
+              ent AS (SELECT n.nm, n.nid, n.n_recs,
+                        coalesce(c.component, n.nid) AS entity
+                      FROM names n LEFT JOIN comp c ON n.nid = c.node)
+              SELECT entity,
+                min(CASE WHEN nid = entity THEN nm END) AS canonical_name,
+                count(*)::BIGINT AS n_names, sum(n_recs)::BIGINT AS n_records
+              FROM ent GROUP BY 1""")),
+
     Q("j14_bloom_semi", (s, d) =>
       // bloom-prefiltered semi join must be result-identical to the plain
       // semi join (the exact join removes the bloom's false positives) —

@@ -236,4 +236,52 @@ object Joins {
       .select(col("dirty_name"), col("match_name"), col("best_dist"),
         col("n_rows"))
   }
+
+  /** Fuzzy entity resolution — the [[fuzzyLookup]] composite: cluster
+    * records whose names are within `maxDist` edits of each other
+    * (transitively) into entities and roll each entity up to one row.
+    *
+    * Pipeline: (1) the corpus collapses to the DISTINCT-NAME frame (one
+    * hash agg; per-name record counts carry the fan-back weight, stable
+    * name id = min record id); (2) candidate pairs come from an EQUI
+    * join on an exploded length bucket (lossless: lev >= |len diff|),
+    * levenshtein's threshold arg for early exit, `id_a < id_b` keeping
+    * each unordered pair once; (3) matched pairs feed
+    * [[Components.connectedComponents]] (large-star/small-star, O(log n)
+    * rounds); (4) names re-join their component and aggregate to
+    * entities. The entity id is the cluster's smallest name id and the
+    * canonical name is that root's name, so every stage is engine-
+    * replayable.
+    *
+    * Scale posture: matching cost is vocabulary-bounded (distinct names
+    * x per-length-bucket density), never corpus x corpus; the record
+    * table is touched by exactly one aggregate and never re-scanned.
+    *
+    * Returns (entity, canonical_name, n_names, n_records). */
+  def fuzzyEntities(
+      records: DataFrame, recId: Column, name: Column,
+      maxDist: Int): DataFrame = {
+    val recs = records.select(recId.cast("long").as("rid"), name.as("nm"))
+    val names = graft.Mat(recs.groupBy(col("nm"))
+      .agg(min(col("rid")).as("nid"), count(lit(1)).as("n_recs")))
+    val la = names.select(col("nm").as("nm_a"), col("nid").as("id_a"))
+      .withColumn("__lb", explode(sequence(
+        greatest(length(col("nm_a")) - maxDist, lit(1)),
+        length(col("nm_a")) + maxDist)))
+    val rb = names.select(col("nm").as("nm_b"), col("nid").as("id_b"))
+    val pairs = la
+      .join(rb, col("__lb") === length(col("nm_b")) &&
+        col("id_a") < col("id_b"))
+      .withColumn("__d", levenshtein(col("nm_a"), col("nm_b"), maxDist))
+      .filter(col("__d") >= 0 && col("__d") <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    names.join(comp, names("nid") === comp("node"), "left")
+      .withColumn("entity", coalesce(col("component"), col("nid")))
+      .groupBy(col("entity"))
+      .agg(
+        min(when(col("nid") === col("entity"), col("nm"))).as("canonical_name"),
+        count(lit(1)).as("n_names"),
+        sum(col("n_recs")).as("n_records"))
+  }
 }

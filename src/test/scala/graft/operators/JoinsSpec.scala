@@ -163,4 +163,18 @@ class JoinsSpec extends SparkSpec {
       .as[(String, Option[String], Option[Int], Long)].collect().toSet
     assert(got == expect)
   }
+test("fuzzyEntities: transitive chains merge, fan-back counts records, noise stays singleton") {
+    // alpha~alphb (d1), alphb~alphbx (d1) chain transitively even though
+    // alpha~alphbx is d2 > maxDist; "alpha" appears in 2 records
+    val recs = Seq(
+      (10L, "alpha"), (11L, "alpha"), (12L, "alphb"), (13L, "alphbx"),
+      (14L, "zzzzzz"), (15L, "qq"), (16L, "qr")
+    ).toDF("rid", "nm")
+    val got = Joins.fuzzyEntities(recs, col("rid"), col("nm"), maxDist = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "alpha", 3L, 4L),
+      (14L, "zzzzzz", 1L, 1L),
+      (15L, "qq", 2L, 2L)))
+  }
 }
