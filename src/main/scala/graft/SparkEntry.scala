@@ -4660,6 +4660,90 @@ object SparkEntry {
                      ELSE 0.0 END AS attributed_rev
               FROM re CROSS JOIN rv CROSS JOIN sr""")),
 
+    Q("a42_ab_test", (s, d) =>
+      // A/B readout with CUPED: arms = user-id parity, metric = per-user
+      // purchase revenue in the corpus's second half, covariate = same
+      // metric in the first half. One user-keyed agg + ONE conditional
+      // aggregate row; micro-unit longs / DECIMAL squares keep every sum
+      // exact, and the t/df/theta chain is pure IEEE +-*/sqrt that the
+      // oracle mirrors tree-for-tree
+      graft.operators.Stats.abTestCuped(ev(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("value"),
+        convType = "purchase", armOf = u => pmod(u, lit(2))),
+      Some("""WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et, value AS v FROM events),
+              mid AS (SELECT CAST(floor((min(us) + max(us)) / 2) AS BIGINT) AS mid FROM b),
+              pu AS (SELECT u,
+                       coalesce(sum(CASE WHEN et = 'purchase' AND us >= mid.mid
+                         THEN CAST(round(v * 1e6, 0) AS BIGINT) END), 0)::BIGINT AS y,
+                       coalesce(sum(CASE WHEN et = 'purchase' AND us < mid.mid
+                         THEN CAST(round(v * 1e6, 0) AS BIGINT) END), 0)::BIGINT AS x
+                     FROM b CROSS JOIN mid GROUP BY 1),
+              pa AS (SELECT u % 2 AS arm, y, x FROM pu),
+              s0 AS (SELECT
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                  sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy_a,
+                  sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy_b,
+                  sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx_a,
+                  sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx_b,
+                  sum(CASE WHEN arm = 0 THEN y::HUGEINT * y ELSE 0 END) AS syy_a,
+                  sum(CASE WHEN arm = 1 THEN y::HUGEINT * y ELSE 0 END) AS syy_b,
+                  sum(CASE WHEN arm = 0 THEN x::HUGEINT * x ELSE 0 END) AS sxx_a,
+                  sum(CASE WHEN arm = 1 THEN x::HUGEINT * x ELSE 0 END) AS sxx_b,
+                  sum(CASE WHEN arm = 0 THEN x::HUGEINT * y ELSE 0 END) AS sxy_a,
+                  sum(CASE WHEN arm = 1 THEN x::HUGEINT * y ELSE 0 END) AS sxy_b
+                FROM pa),
+              w1 AS (SELECT n_a, n_b,
+                  n_a::DOUBLE + n_b::DOUBLE AS n,
+                  n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                  sy_a::DOUBLE AS sya, sy_b::DOUBLE AS syb,
+                  sx_a::DOUBLE AS sxa, sx_b::DOUBLE AS sxb,
+                  syy_a::DOUBLE AS syya, syy_b::DOUBLE AS syyb,
+                  sxx_a::DOUBLE AS sxxa, sxx_b::DOUBLE AS sxxb,
+                  sxy_a::DOUBLE AS sxya, sxy_b::DOUBLE AS sxyb
+                FROM s0),
+              w2 AS (SELECT *,
+                  sya / na AS my_a, syb / nb AS my_b,
+                  sxa / na AS mx_a, sxb / nb AS mx_b,
+                  (sxa + sxb) / n AS mx,
+                  (syya - sya * sya / na) / (na - 1) AS vy_a,
+                  (syyb - syb * syb / nb) / (nb - 1) AS vy_b,
+                  (sxxa - sxa * sxa / na) / (na - 1) AS vx_a,
+                  (sxxb - sxb * sxb / nb) / (nb - 1) AS vx_b,
+                  (sxya - sxa * sya / na) / (na - 1) AS cv_a,
+                  (sxyb - sxb * syb / nb) / (nb - 1) AS cv_b
+                FROM w1),
+              w3 AS (SELECT *,
+                  vy_a / na + vy_b / nb AS se2,
+                  n * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) AS th_den
+                FROM w2),
+              w4 AS (SELECT *,
+                  (my_a - my_b) / sqrt(se2) AS t_raw,
+                  se2 * se2 / (vy_a / na * (vy_a / na) / (na - 1)
+                    + vy_b / nb * (vy_b / nb) / (nb - 1)) AS df_raw,
+                  CASE WHEN th_den > 0
+                    THEN (n * (sxya + sxyb) - (sxa + sxb) * (sya + syb)) / th_den
+                    ELSE 0.0 END AS theta
+                FROM w3),
+              w5 AS (SELECT *,
+                  my_a - theta * (mx_a - mx) AS am_a,
+                  my_b - theta * (mx_b - mx) AS am_b,
+                  vy_a - 2.0 * theta * cv_a + theta * theta * vx_a AS av_a,
+                  vy_b - 2.0 * theta * cv_b + theta * theta * vx_b AS av_b
+                FROM w4),
+              w6 AS (SELECT *, av_a / na + av_b / nb AS ase2 FROM w5)
+              SELECT n_a, n_b,
+                round(my_a / 1e6, 6) AS mean_a,
+                round(my_b / 1e6, 6) AS mean_b,
+                round((my_a - my_b) / 1e6, 6) AS diff,
+                round(t_raw, 6) AS t_stat,
+                round(df_raw, 6) AS df,
+                round(theta, 6) AS theta,
+                round((am_a - am_b) / 1e6, 6) AS adj_diff,
+                round((am_a - am_b) / sqrt(ase2), 6) AS adj_t_stat,
+                round(1.0 - (av_a + av_b) / (vy_a + vy_b), 6) AS var_reduction
+              FROM w6""")),
+
     Q("a38_incremental_join", (s, d) =>
       // incremental JOIN maintenance (the join sibling of a18's
       // aggregate-state merge): a materialized orders |x| lineitem

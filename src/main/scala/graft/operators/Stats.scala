@@ -385,6 +385,136 @@ object Stats {
         round(col("n_outliers") / col("n"), 6).as("outlier_pct"))
   }
 
+  /** A/B experiment readout with CUPED variance reduction — Welch's
+    * t-test on a per-user conversion metric plus the standard
+    * pre-period-covariate adjustment (Deng et al., WSDM'13): the
+    * experiment window is the SECOND half of the corpus's time range,
+    * the covariate is the same metric over the FIRST half, theta =
+    * pooled cov(Y,X)/var(X), and each arm's mean/variance is re-derived
+    * from the theta-residuals.
+    *
+    * Scale shape: one user-keyed hash aggregate collapses the corpus to
+    * (user, y, x), then ONE conditional aggregate produces every
+    * per-arm/pooled sum in a single row — no second pass, no collect.
+    *
+    * Determinism at the engine boundary: per-event values quantize to
+    * integer MICRO-units (`round(v*1e6, 0)` longs) so every sum is
+    * exact; squares/cross-products sum as DECIMAL(38,0); the t/df/theta
+    * arithmetic is +,-,*,/,sqrt over those exact sums — all IEEE
+    * correctly-rounded ops, so any engine replaying the same expression
+    * tree reproduces the doubles bit-for-bit (no ln/exp in the chain).
+    *
+    * `armOf` maps the user-id column to an integer arm {0, 1} (e.g.
+    * `u => pmod(u, 2)`); both arms must have n >= 2.
+    *
+    * Returns one row: (n_a, n_b, mean_a, mean_b, diff, t_stat, df,
+    * theta, adj_diff, adj_t_stat, var_reduction) — means/diffs in
+    * original units (round 6). */
+  def abTestCuped(
+      df: DataFrame, user: Column, ts: Column, eventType: Column,
+      value: Column, convType: String,
+      armOf: Column => Column): DataFrame = {
+    val base = df.select(user.as("u"), unix_micros(ts).as("us"),
+      eventType.as("et"), value.as("v"))
+    // floor-division midpoint (never a bare double->long cast: Spark
+    // truncates, other engines round-to-nearest)
+    val rng = base.agg(
+      floor((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+    val micro = round(col("v") * lit(1e6), 0).cast("long")
+    val perUser = base.crossJoin(broadcast(rng))
+      .groupBy(col("u"))
+      .agg(
+        coalesce(sum(when(col("et") === convType && col("us") >= col("mid"),
+          micro)), lit(0L)).as("y"),
+        coalesce(sum(when(col("et") === convType && col("us") < col("mid"),
+          micro)), lit(0L)).as("x"))
+      .select(armOf(col("u")).as("arm"), col("y"), col("x"))
+    def d38(c: Column) = c.cast("decimal(19,0)")
+    def armL(a: Int, c: Column) =
+      sum(when(col("arm") === a, c).otherwise(lit(0L)))
+    def armD(a: Int, c: Column) =
+      sum(when(col("arm") === a, c).otherwise(lit(0).cast("decimal(38,0)")))
+    val sums = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      armL(0, col("y")).as("sy_a"), armL(1, col("y")).as("sy_b"),
+      armL(0, col("x")).as("sx_a"), armL(1, col("x")).as("sx_b"),
+      armD(0, d38(col("y")) * d38(col("y"))).as("syy_a"),
+      armD(1, d38(col("y")) * d38(col("y"))).as("syy_b"),
+      armD(0, d38(col("x")) * d38(col("x"))).as("sxx_a"),
+      armD(1, d38(col("x")) * d38(col("x"))).as("sxx_b"),
+      armD(0, d38(col("x")) * d38(col("y"))).as("sxy_a"),
+      armD(1, d38(col("x")) * d38(col("y"))).as("sxy_b"))
+    // everything below is scalar arithmetic on ONE row of exact sums;
+    // the oracle mirrors this exact expression tree
+    def dbl(n: String) = col(n).cast("double")
+    val w = sums.select(
+      col("n_a"), col("n_b"),
+      (dbl("n_a") + dbl("n_b")).as("n"),
+      dbl("sy_a").as("sya"), dbl("sy_b").as("syb"),
+      dbl("sx_a").as("sxa"), dbl("sx_b").as("sxb"),
+      dbl("syy_a").as("syya"), dbl("syy_b").as("syyb"),
+      dbl("sxx_a").as("sxxa"), dbl("sxx_b").as("sxxb"),
+      dbl("sxy_a").as("sxya"), dbl("sxy_b").as("sxyb"))
+      .withColumn("na", dbl("n_a")).withColumn("nb", dbl("n_b"))
+      .withColumn("my_a", col("sya") / col("na"))
+      .withColumn("my_b", col("syb") / col("nb"))
+      .withColumn("mx_a", col("sxa") / col("na"))
+      .withColumn("mx_b", col("sxb") / col("nb"))
+      .withColumn("mx", (col("sxa") + col("sxb")) / col("n"))
+      .withColumn("vy_a",
+        (col("syya") - col("sya") * col("sya") / col("na")) / (col("na") - 1))
+      .withColumn("vy_b",
+        (col("syyb") - col("syb") * col("syb") / col("nb")) / (col("nb") - 1))
+      .withColumn("vx_a",
+        (col("sxxa") - col("sxa") * col("sxa") / col("na")) / (col("na") - 1))
+      .withColumn("vx_b",
+        (col("sxxb") - col("sxb") * col("sxb") / col("nb")) / (col("nb") - 1))
+      .withColumn("cv_a",
+        (col("sxya") - col("sxa") * col("sya") / col("na")) / (col("na") - 1))
+      .withColumn("cv_b",
+        (col("sxyb") - col("sxb") * col("syb") / col("nb")) / (col("nb") - 1))
+      .withColumn("se2", col("vy_a") / col("na") + col("vy_b") / col("nb"))
+      .withColumn("t_raw",
+        (col("my_a") - col("my_b")) / sqrt(col("se2")))
+      .withColumn("df_raw", col("se2") * col("se2") /
+        (col("vy_a") / col("na") * (col("vy_a") / col("na")) / (col("na") - 1)
+          + col("vy_b") / col("nb") * (col("vy_b") / col("nb")) / (col("nb") - 1)))
+      .withColumn("th_den",
+        col("n") * (col("sxxa") + col("sxxb"))
+          - (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")))
+      .withColumn("theta",
+        when(col("th_den") > 0,
+          (col("n") * (col("sxya") + col("sxyb"))
+            - (col("sxa") + col("sxb")) * (col("sya") + col("syb")))
+            / col("th_den")).otherwise(lit(0.0)))
+      .withColumn("am_a",
+        col("my_a") - col("theta") * (col("mx_a") - col("mx")))
+      .withColumn("am_b",
+        col("my_b") - col("theta") * (col("mx_b") - col("mx")))
+      .withColumn("av_a", col("vy_a")
+        - lit(2.0) * col("theta") * col("cv_a")
+        + col("theta") * col("theta") * col("vx_a"))
+      .withColumn("av_b", col("vy_b")
+        - lit(2.0) * col("theta") * col("cv_b")
+        + col("theta") * col("theta") * col("vx_b"))
+      .withColumn("ase2", col("av_a") / col("na") + col("av_b") / col("nb"))
+      .withColumn("adj_t_raw",
+        (col("am_a") - col("am_b")) / sqrt(col("ase2")))
+    w.select(
+      col("n_a"), col("n_b"),
+      round(col("my_a") / 1e6, 6).as("mean_a"),
+      round(col("my_b") / 1e6, 6).as("mean_b"),
+      round((col("my_a") - col("my_b")) / 1e6, 6).as("diff"),
+      round(col("t_raw"), 6).as("t_stat"),
+      round(col("df_raw"), 6).as("df"),
+      round(col("theta"), 6).as("theta"),
+      round((col("am_a") - col("am_b")) / 1e6, 6).as("adj_diff"),
+      round(col("adj_t_raw"), 6).as("adj_t_stat"),
+      round(lit(1.0) - (col("av_a") + col("av_b"))
+        / (col("vy_a") + col("vy_b")), 6).as("var_reduction"))
+  }
+
   /** Markov-chain (removal-effect) revenue attribution — the data-driven
     * alternative to last-touch/linear ([[attribution]]): model each
     * user's pre-conversion touch sequence as a first-order Markov chain

@@ -337,6 +337,60 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got("fr") == (("fr", 1L, 1L, 1.0, 2.0)))
   }
 
+  test("abTestCuped matches a naive per-user replay (Welch + CUPED formulas)") {
+    // pre (x) on Jan 1, post (y) on Jan 9 -> midpoint Jan 5; y ~ 2x with
+    // one perturbation so the adjusted variance stays positive; u6 has
+    // no metric events (contributes zeros); 'z' events must be ignored
+    val xs = Map(0L -> 10.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0, 4L -> 50.0, 5L -> 60.0)
+    val ys = Map(0L -> 25.0, 1L -> 40.0, 2L -> 60.0, 3L -> 80.0, 4L -> 100.0, 5L -> 120.0)
+    val rows =
+      xs.toSeq.map { case (u, v) => (u, "2024-01-01 00:00:00", "m", v) } ++
+      ys.toSeq.map { case (u, v) => (u, "2024-01-09 00:00:00", "m", v) } ++
+      Seq((0L, "2024-01-02 00:00:00", "z", 999.0), (6L, "2024-01-03 00:00:00", "z", 5.0))
+    val ev = rows.toDF("u", "ts_s", "et", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.abTestCuped(ev, col("u"), col("ts"), col("et"), col("v"),
+        convType = "m", armOf = u => pmod(u, lit(2))).collect().head
+    // naive replay over per-user (y, x) incl. the zero user 6 (arm 0)
+    val users = (0L to 6L).map(u => (u % 2, ys.getOrElse(u, 0.0), xs.getOrElse(u, 0.0)))
+    def stats(a: Long) = {
+      val g = users.filter(_._1 == a)
+      val n = g.size.toDouble
+      val (sy, sx) = (g.map(_._2).sum, g.map(_._3).sum)
+      val (syy, sxx, sxy) =
+        (g.map(t => t._2 * t._2).sum, g.map(t => t._3 * t._3).sum,
+          g.map(t => t._2 * t._3).sum)
+      (n, sy, sx, syy, sxx, sxy)
+    }
+    val (na, sya, sxa, syya, sxxa, sxya) = stats(0)
+    val (nb, syb, sxb, syyb, sxxb, sxyb) = stats(1)
+    val n = na + nb
+    val (mya, myb) = (sya / na, syb / nb)
+    val (mxa, mxb, mx) = (sxa / na, sxb / nb, (sxa + sxb) / n)
+    def v(s2: Double, s: Double, k: Double) = (s2 - s * s / k) / (k - 1)
+    val (vya, vyb) = (v(syya, sya, na), v(syyb, syb, nb))
+    val (vxa, vxb) = (v(sxxa, sxa, na), v(sxxb, sxb, nb))
+    val cva = (sxya - sxa * sya / na) / (na - 1)
+    val cvb = (sxyb - sxb * syb / nb) / (nb - 1)
+    val se2 = vya / na + vyb / nb
+    val t = (mya - myb) / math.sqrt(se2)
+    val theta = (n * (sxya + sxyb) - (sxa + sxb) * (sya + syb)) /
+      (n * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb))
+    val (ama, amb) = (mya - theta * (mxa - mx), myb - theta * (mxb - mx))
+    val ava = vya - 2 * theta * cva + theta * theta * vxa
+    val avb = vyb - 2 * theta * cvb + theta * theta * vxb
+    val adjT = (ama - amb) / math.sqrt(ava / na + avb / nb)
+    val varRed = 1.0 - (ava + avb) / (vya + vyb)
+    assert(got.getAs[Long]("n_a") == 4L && got.getAs[Long]("n_b") == 3L)
+    def ck(nm: String, want: Double) =
+      assert(math.abs(got.getAs[Double](nm) - want) < 1e-5, s"$nm: $got vs $want")
+    ck("mean_a", mya); ck("mean_b", myb); ck("diff", mya - myb)
+    ck("t_stat", t); ck("theta", theta); ck("adj_diff", ama - amb)
+    ck("adj_t_stat", adjT); ck("var_reduction", varRed)
+    // CUPED must help on a strongly-correlated covariate
+    assert(got.getAs[Double]("var_reduction") > 0.9)
+  }
+
   test("markovAttribution: hand-replayed removal effects on a 2-channel chain") {
     // u1: a -> buy(10); u2: a -> b -> (null); u3: b -> buy(20)
     // T: START->{a:2/3, b:1/3}, a->{CONV:.5, b:.5}, b->{CONV:.5, NULL:.5}
