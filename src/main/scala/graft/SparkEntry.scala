@@ -6224,6 +6224,51 @@ object SparkEntry {
                               '') AS dedup_text
               FROM k GROUP BY doc_id""")),
 
+    Q("d_span_dedup", (s, d) =>
+      // ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022) over
+      // OVERLAPPING 8-token windows, keep-first at any alignment — the
+      // contract chunk dedup's fixed tiles cannot express. One explode
+      // (corpus-token-bounded), one min(struct) hash agg, equi join back,
+      // row-local coverage/reassembly. The oracle reaches the same
+      // kept_text by a different route (exploded covered positions +
+      // anti-join) — the output contract is the meeting point.
+      Dedup.spanDedup(doc(s, d), col("doc_id"), col("text"), spanWords = 8),
+      Some("""WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t FROM documents),
+              w0 AS (SELECT doc_id, t, len(t) AS n FROM toks),
+              wins AS (SELECT doc_id, t, unnest(range(n - 7)) AS p
+                       FROM w0 WHERE n >= 8),
+              wh AS (SELECT doc_id, p,
+                       md5(array_to_string(list_slice(t, p + 1, p + 8), ' ')) AS h
+                     FROM wins),
+              rk AS (SELECT doc_id, p,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+                     FROM wh),
+              dups AS (SELECT doc_id, p FROM rk WHERE rn > 1),
+              dagg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+                       FROM dups GROUP BY 1),
+              cov AS (SELECT DISTINCT d.doc_id, d.p + r.i AS pos
+                      FROM dups d, range(8) r(i)),
+              pos AS (SELECT doc_id, n, unnest(range(n)) AS i, t FROM w0),
+              keep AS (SELECT p.doc_id, p.n, p.i, p.t[p.i + 1] AS tok,
+                         (c.pos IS NULL) AS kept
+                       FROM pos p LEFT JOIN cov c
+                         ON c.doc_id = p.doc_id AND c.pos = p.i),
+              fin AS (SELECT doc_id, any_value(n)::BIGINT AS n_tokens,
+                        sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT
+                          AS n_removed_tokens,
+                        coalesce(string_agg(tok, ' ' ORDER BY i)
+                                   FILTER (WHERE kept), '') AS kept_text
+                      FROM keep GROUP BY doc_id)
+              SELECT f.doc_id, f.n_tokens,
+                     greatest(f.n_tokens - 7, 0)::BIGINT AS n_windows,
+                     coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                     f.n_removed_tokens,
+                     (f.n_removed_tokens * 1000000 // f.n_tokens)::BIGINT
+                       AS removed_ppm,
+                     f.kept_text
+              FROM fin f LEFT JOIN dagg a USING (doc_id)""")),
+
     Q("d_semdedup", (s, d) =>
       // SemDeDup (Abbas et al. 2023): deterministic k-means cells (1 Lloyd
       // iteration, RNG-free seeds) then an order-independent EXISTS flag —

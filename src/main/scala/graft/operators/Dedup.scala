@@ -890,4 +890,60 @@ object Dedup {
       .withColumn("retention_pct",
         round(col("n_kept") * 100.0 / col("n_docs"), 6))
   }
+
+  /** Exact duplicate-SPAN removal over OVERLAPPING `spanWords`-token
+    * windows, keep the globally FIRST occurrence (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, at token rather than byte granularity). The decisive
+    * difference from [[chunkDedup]]: chunks are fixed non-overlapping
+    * tiles, so a duplicate passage shifted by one word is invisible;
+    * here every alignment produces a window, so a repeated span is
+    * caught wherever it starts. Every token covered by ANY non-first
+    * duplicate window is removed; the first occurrence (ordered by
+    * doc_id then position) survives intact.
+    *
+    * Scale shape: one explode bounded by corpus token count (window
+    * hashes are md5 of the joined window — 32 bytes each regardless of
+    * span width), first-occurrence is ONE `min(struct(doc_id, p))` hash
+    * aggregate with map-side partials, the join back is equi on the
+    * hash, and coverage/reassembly is row-local (an `exists` probe of
+    * the doc's own duplicate-start list — bounded by per-doc duplicate
+    * density, never corpus-wide). No windows, no sorts.
+    *
+    * Returns (doc_id, n_tokens, n_windows, n_dup_windows,
+    * n_removed_tokens, removed_ppm, kept_text); removed_ppm is an exact
+    * integer division (parts-per-million), so no float boundary exists. */
+  def spanDedup(df: DataFrame, id: Column, text: Column, spanWords: Int): DataFrame = {
+    require(spanWords > 1, "spanWords must be > 1")
+    val L = spanWords
+    val toks = df.select(id.cast("long").as("doc_id"),
+      split(trim(text), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = toks.filter(col("n_tokens") >= L).select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (col("n_tokens") - L).cast("int")),
+        p => md5(concat_ws(" ", slice(col("toks"), p + 1, lit(L))))))
+        .as(Seq("p", "wh")))
+    val first = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+    val dups = wins.join(first, Seq("wh"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("p") === col("first.p")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("starts"),
+        count(lit(1)).as("n_dup_windows"))
+    toks.join(dups, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        sequence(lit(0), (col("n_tokens") - 1).cast("int")),
+        i => !exists(col("starts"), st => st <= i && i < st + L)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        greatest(col("n_tokens") - (L - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed_tokens"),
+        expr(s"(n_tokens - size(kept)) * 1000000L div n_tokens").as("removed_ppm"),
+        array_join(transform(col("kept"),
+          i => element_at(col("toks"), i + 1)), " ").as("kept_text"))
+  }
 }

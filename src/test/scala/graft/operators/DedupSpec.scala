@@ -272,6 +272,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "a b", 2L -> "", 3L -> ""))
   }
 
+  test("spanDedup removes shifted duplicate spans chunk dedup cannot see") {
+    // spanWords=3. doc 2 embeds doc 1's "a b c d" shifted one token right —
+    // invisible to fixed tiles, caught by overlapping windows: dup windows
+    // at p=1 ("a b c") and p=2 ("b c d") cover positions 1..4.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b c d e"),            // exact copy -> fully removed
+      (4L, "p q r p q r p q r"),    // in-doc period-3 repeat -> one period kept
+      (5L, "a b")                   // shorter than the span -> untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), spanWords = 3)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        col("n_removed_tokens"), col("removed_ppm"), col("kept_text"))
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((3L, 0L, 0L, 0L, "a b c d e")))
+    assert(got(2L) == ((4L, 2L, 4L, 666666L, "x y")))
+    assert(got(3L) == ((3L, 3L, 5L, 1000000L, "")))
+    assert(got(4L) == ((7L, 4L, 6L, 666666L, "p q r")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, "a b")))
+  }
+
   test("indocDedup keeps first in-doc occurrence; cross-doc repeats untouched") {
     val docs = Seq(
       (1L, "a b a b c d"), // [a b][a b][c d] -> second [a b] removed
