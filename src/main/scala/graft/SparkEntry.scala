@@ -3666,6 +3666,58 @@ object SparkEntry {
               WHERE p.query_id <> a.vec_id
               QUALIFY rank <= 5""")),
 
+    Q("v_ann_recall", (s, d) => {
+      // ANN recall@k harness: IVF candidates (same dials as v_ann_ivf)
+      // scored against the exact brute-force top-5 per query — the
+      // nlist/nprobe tuning readout. Truth side runs on a query SAMPLE
+      // (the standard recall protocol); recall_ppm is exact integer math
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfCosineTopK(
+        q, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      Similarity.annRecallEval(ann, q, e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vec_id % 16 AS cell, min(vec_id) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vec_id = m.mvid),
+              asg AS (SELECT vec_id, v, cell FROM (
+                        SELECT e.vec_id, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1),
+              probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+                           SELECT e.vec_id, e.v, c.cell,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                             c.cell) AS rn
+                           FROM e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 4),
+              ivf AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                             (row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+                                         a.vec_id))::INT AS rank
+                      FROM asg a JOIN probes p USING (cell)
+                      WHERE p.query_id <> a.vec_id
+                      QUALIFY rank <= 5),
+              truth AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                               (row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                                           e.vec_id))::INT AS rank
+                        FROM (SELECT * FROM e WHERE vec_id < 20) q
+                        JOIN e ON e.vec_id <> q.vec_id
+                        QUALIFY rank <= 5)
+              SELECT t.query_id, count(*)::BIGINT AS n_truth,
+                     count(i.neighbor_id)::BIGINT AS n_hits,
+                     (count(i.neighbor_id) * 1000000 // count(*))::BIGINT
+                       AS recall_ppm
+              FROM truth t LEFT JOIN ivf i
+                ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+              GROUP BY t.query_id""")),
+
     Q("v_kmeans", (s, d) => {
       // deterministic Lloyd's k-means on the embeddings (k=8, 2
       // iterations): RNG-free seeds (lowest id per residue class),

@@ -394,6 +394,36 @@ object Similarity {
   def adaptiveNlist(n: Long): Int =
     math.max(16, math.sqrt(n / 2.0).toInt)
 
+  /** ANN recall@k evaluation — the tuning harness for the nlist/nprobe
+    * (or planes/probes) trade-off, completing the eval family
+    * ([[graft.operators.Dedup.lshQualityEval]] for dedup,
+    * `TextFunctions.langIdEval` for language id): per query, how many of
+    * the EXACT brute-force top-k neighbors the candidate ANN result
+    * retrieved. `annResults` is any frame with (query_id, neighbor_id)
+    * rows — the output shape every ANN operator here emits — so one
+    * evaluator serves IVF, LSH, multiprobe, and IVF-PQ.
+    *
+    * Scale posture: the exact-truth side is brute force by necessity, so
+    * `queries` must be a SAMPLE at corpus scale (the standard recall
+    * protocol — measure on ~10^2..10^3 probes, never the full corpus);
+    * its cost is |queries| x corpus with the query side broadcast. The
+    * hit count is one equi join on (query_id, neighbor_id) and one
+    * per-query aggregate. recall_ppm is an exact integer division — no
+    * float boundary. */
+  def annRecallEval(
+      annResults: DataFrame, queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val truth = bruteForceCosineTopK(queries, corpus, qId, qVec, cId, cVec, k)
+    val cand = annResults.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    truth.join(cand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000L div n_truth"))
+  }
+
   def mutualKnnGraph(
       df: DataFrame, id: Column, vec: Column, k: Int,
       nlist: Int = 16): DataFrame = {

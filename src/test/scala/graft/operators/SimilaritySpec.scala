@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
         .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet))
   }
 
+  test("annRecallEval: full probing scores 1.0; partial probing never exceeds it") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 5)
+    def recall(nprobe: Int): Map[Long, Long] = {
+      val ann = Similarity.ivfCosineTopK(q, e, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = nprobe)
+      Similarity.annRecallEval(ann, q, e, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("recall_ppm"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val full = recall(8) // probing every cell => IVF is exact => recall 1.0
+    assert(full.size == 5 && full.values.forall(_ == 1000000L))
+    val partial = recall(1)
+    assert(partial.keySet == full.keySet)
+    partial.foreach { case (qid, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L, s"query $qid ppm $ppm")
+    }
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step") {
     import graft.functions.VectorFunctions._
     val df = Seq(
