@@ -143,6 +143,63 @@ object SparkEntry {
       s"\nSELECT piece, n_uses, p FROM v$emIters"
   }
 
+  /** Generated WordPiece oracle: vocab (singles of both forms + top-K
+    * multis), then one greedy longest-match CTE per position step —
+    * active words extend by the longest vocab piece matching at `pos`
+    * (at most one piece per length can match, so `rn = 1` by length desc
+    * IS the greedy choice), finished words pass through. */
+  private def wordPieceOracle(pLen: Int, vSize: Int, wLen: Int): String = {
+    val head =
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |uw AS MATERIALIZED (SELECT * FROM (
+         |    SELECT term AS word, count(*)::BIGINT AS freq
+         |    FROM toks WHERE term <> '' GROUP BY 1)
+         |  WHERE length(word) <= $wLen),
+         |wsubs AS (SELECT piece, sum(freq)::BIGINT AS pfreq FROM (
+         |    SELECT freq, CASE WHEN st = 1 THEN substr(word, st, ln)
+         |                      ELSE '##' || substr(word, st, ln) END AS piece
+         |    FROM uw,
+         |      LATERAL unnest(generate_series(1, length(word))) AS s(st),
+         |      LATERAL unnest(generate_series(1,
+         |        least($pLen, length(word) - st + 1))) AS l(ln))
+         |  GROUP BY 1),
+         |wv AS MATERIALIZED (
+         |  SELECT piece FROM wsubs
+         |  WHERE length(piece) = 1 OR (starts_with(piece, '##') AND length(piece) = 3)
+         |  UNION ALL
+         |  SELECT piece FROM (
+         |    SELECT piece, pfreq FROM wsubs
+         |    WHERE NOT (length(piece) = 1
+         |               OR (starts_with(piece, '##') AND length(piece) = 3))
+         |    ORDER BY pfreq DESC, piece LIMIT $vSize)),
+         |g0 AS (SELECT word, freq, 0 AS pos, '' AS pieces FROM uw)""".stripMargin
+    val steps = (1 to wLen).map { i =>
+      s""",
+         |g$i AS MATERIALIZED (
+         |  SELECT word, freq, pos, pieces FROM (
+         |    SELECT d.word, d.freq,
+         |           d.pos + length(v.piece)
+         |             - CASE WHEN d.pos > 0 THEN 2 ELSE 0 END AS pos,
+         |           CASE WHEN d.pieces = '' THEN v.piece
+         |                ELSE d.pieces || ' ' || v.piece END AS pieces,
+         |           row_number() OVER (PARTITION BY d.word
+         |             ORDER BY length(v.piece) DESC, v.piece) AS rn
+         |    FROM g${i - 1} d JOIN wv v
+         |      ON d.pos < length(d.word)
+         |     AND v.piece = CASE WHEN d.pos = 0
+         |           THEN substr(d.word, d.pos + 1, length(v.piece))
+         |           ELSE '##' || substr(d.word, d.pos + 1, length(v.piece) - 2) END
+         |  ) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT word, freq, pos, pieces FROM g${i - 1}
+         |  WHERE pos >= length(word))""".stripMargin
+    }.mkString
+    s"""$head$steps
+       |SELECT word, freq, len(string_split(pieces, ' '))::INT AS n_pieces,
+       |  pieces AS wp_seg FROM g$wLen""".stripMargin
+  }
+
   /** Generated N-step BPE oracle: the same per-step CTE triple the
     * hand-written 2-step x_bpe_merges oracle uses, chained `n` times —
     * the oracle replays the full merge trajectory. */
@@ -4231,6 +4288,16 @@ object SparkEntry {
       graft.operators.Tokenize.unigramSegment(doc(s, d), col("doc_id"), col("text"),
         maxPieceLen = 3, vocabSize = 40),
       Some(unigramSegmentOracle(3, 40, 16))),
+
+    Q("x_wordpiece", (s, d) =>
+      // WordPiece (Wu et al. 2016) — the third subword family: form-marked
+      // continuation pieces (##) and GREEDY longest-match encoding. The
+      // greedy loop runs in-row against a broadcast vocab map (one
+      // shuffle-free projection over the distinct-word frame); oracle =
+      // generated greedy-step CTE chain
+      graft.operators.Tokenize.wordPieceSegment(doc(s, d), col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 40),
+      Some(wordPieceOracle(3, 40, 16))),
 
     Q("x_unigram_em", (s, d) =>
       // the EM half: two hard-EM rounds (Viterbi E-step, Laplace-smoothed

@@ -291,6 +291,84 @@ object Tokenize {
         round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
   }
 
+  /** WordPiece tokenizer (Wu et al. 2016; the BERT family) — the third
+    * subword family next to [[bpeMerges]] and [[unigramSegment]], with the
+    * defining differences: continuation pieces are FORM-MARKED (`##`-
+    * prefixed, so "ing" word-initially and "##ing" word-internally are
+    * distinct vocabulary entries), and encoding is GREEDY longest-match-
+    * first rather than merge-replay (BPE) or Viterbi (unigram).
+    *
+    * Vocabulary: every single character in both forms (segmentability
+    * guarantee — greedy can never get stuck) plus the `vocabSize` most
+    * frequent multi-character pieces up to `maxPieceLen`, frequency
+    * weighted by word frequency, ties broken by piece.
+    *
+    * The greedy loop runs IN-ROW (the [[unigramViterbi]] posture): the
+    * vocab travels as one broadcast map column and the position advance
+    * is a `maxWordLen`-step HOF fold — at each step the descending-length
+    * candidate list is probed against the map and the first hit is taken.
+    * One shuffle-free projection over the distinct-word frame; the corpus
+    * is touched only for word counts. Words longer than `maxWordLen` are
+    * outside the contract (byte-fallback territory), as in the unigram
+    * family.
+    *
+    * Returns (word, freq, n_pieces, wp_seg) — wp_seg space-joined marked
+    * pieces, e.g. "un ##sett ##ling". */
+  def wordPieceSegment(
+      df: DataFrame, id: Column, text: Column,
+      maxPieceLen: Int, vocabSize: Int, maxWordLen: Int = 16): DataFrame = {
+    val words = unigramWords(df, id, text, maxWordLen)
+    val v = graft.Mat(wordPieceVocab(words, maxPieceLen, vocabSize))
+    val vmap = v.agg(
+      map_from_entries(collect_list(struct(col("piece"), lit(1)))).as("__vmap"))
+    val base = words.crossJoin(broadcast(vmap))
+    val enc = aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      struct(lit(0).as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val rem = length(col("word")) - pos
+        val lens = sequence(least(lit(maxPieceLen), rem), lit(1), lit(-1))
+        val cands = transform(lens, ln =>
+          when(pos === 0, col("word").substr(pos + 1, ln))
+            .otherwise(concat(lit("##"), col("word").substr(pos + 1, ln))))
+        // singles of both forms are always in the vocab, so the first
+        // (= longest) hit exists whenever rem > 0
+        val best = element_at(
+          filter(cands, c => element_at(col("__vmap"), c).isNotNull), 1)
+        when(rem > 0, struct(
+          (pos + length(best) - when(pos > 0, lit(2)).otherwise(lit(0))).as("pos"),
+          concat(acc.getField("ps"), array(best)).as("ps")))
+          .otherwise(acc)
+      })
+    base.withColumn("__e", enc)
+      .select(col("word"), col("freq"),
+        size(col("__e").getField("ps")).as("n_pieces"),
+        array_join(col("__e").getField("ps"), " ").as("wp_seg"))
+  }
+
+  /** WordPiece vocabulary over the distinct-word frame: all single
+    * characters in both forms + top `vocabSize` multi-char pieces by
+    * (frequency desc, piece). A "single" is marked-length 1 (initial) or
+    * 3 (`##c` continuation). */
+  private def wordPieceVocab(
+      words: DataFrame, maxPieceLen: Int, vocabSize: Int): DataFrame = {
+    val subs = words.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("word"))), st =>
+        transform(
+          sequence(lit(1), least(lit(maxPieceLen),
+            length(col("word")) - st + 1)),
+          ln => when(st === 1, col("word").substr(st, ln))
+            .otherwise(concat(lit("##"), col("word").substr(st, ln))))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("pfreq"))
+    val isSingle = length(col("piece")) === 1 ||
+      (col("piece").startsWith("##") && length(col("piece")) === 3)
+    val singles = subs.filter(isSingle)
+    val multi = subs.filter(!isSingle)
+      .orderBy(col("pfreq").desc, col("piece").asc).limit(vocabSize)
+    singles.unionByName(multi).select(col("piece"), col("pfreq"))
+  }
+
   /** Deterministic sequence packing: within each `group` (a source, a
     * shard), documents in `orderCol` order fill fixed-budget sequences of
     * `seqLen` tokens; a document lands in the sequence its RUNNING token

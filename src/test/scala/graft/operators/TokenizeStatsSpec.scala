@@ -55,6 +55,21 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(base.forall(b => !got(b._1)._3))
     assert(got(102L)._2 == 0.0 && !got(102L)._3) // single-row group: sd null -> z 0
   }
+  test("wordPieceSegment: greedy longest-match with ##-marked continuations") {
+    // corpus: abcd x2, ab x1. Multi-char pieces by weight: ab=3, abc=2,
+    // ##bc=2, ##bcd=2, ##cd=2 -> top-1 = "ab". Singles: initial {a},
+    // continuation {##b,##c,##d} (always in the vocab).
+    // greedy "abcd": abc miss, ab HIT -> then ##cd miss, ##c hit, ##d hit.
+    val docs = Seq((1L, "abcd ab"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = Tokenize.wordPieceSegment(docs, col("doc_id"), col("text"),
+        maxPieceLen = 3, vocabSize = 1)
+      .select(col("word"), col("freq"), col("n_pieces"), col("wp_seg"))
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("abcd") == ((2L, 3, "ab ##c ##d")))
+    assert(got("ab") == ((1L, 1, "ab")))
+  }
+
   test("bpeMerges: hand-traced two-step merge incl. greedy overlap") {
     // corpus: "aaab aaab ab" -> freq(aaab)=2, freq(ab)=1
     // step 1 pairs: (a,a) weight 4 (two per aaab), (a,b) weight 3 -> merge (a,a)
