@@ -7802,6 +7802,56 @@ object SparkEntry {
                   AS seasonal_idx
               FROM dw CROSS JOIN t""")),
 
+    Q("a43_cusum", (s, d) =>
+      // CUSUM change-point on the daily error-event count (Page 1954):
+      // the max() recurrence rewritten as prefix-sum minus running
+      // prefix-min — two windows over the calendar-bounded daily frame,
+      // corpus touched once. Exact integer math scaled by the baseline
+      // day count; no float boundary anywhere
+      graft.operators.Stats.cusumChangepoint(ev(s, d), col("ts"),
+        col("event_type") === "error",
+        baselineDays = 10, slack = 1, threshold = 50),
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+                             FROM events WHERE event_type = 'error' GROUP BY 1),
+              r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rk
+                    FROM daily),
+              b AS (SELECT sum(x)::BIGINT AS bsum, count(*)::BIGINT AS bn
+                    FROM r WHERE rk <= 10),
+              sc AS (SELECT day, x, bn,
+                       x * bn - bsum - 1 * bn AS y
+                     FROM r CROSS JOIN b),
+              p AS (SELECT day, x, bn,
+                      sum(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp
+                    FROM sc),
+              m AS (SELECT day, x, bn, pp,
+                      least(0, min(pp) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)) AS runmin
+                    FROM p)
+              SELECT day, x, bn AS baseline_days,
+                     (pp - runmin)::BIGINT AS cusum_scaled,
+                     ((pp - runmin) * 1000 // bn)::BIGINT AS cusum_milli,
+                     (pp - runmin) > 50 * bn AS alarm
+              FROM m""")),
+
+    Q("a44_dp_counts", (s, d) =>
+      // Laplace-mechanism noisy per-source corpus counts (deterministic
+      // md5-seeded uniform for the gate; production swaps in secret
+      // randomness). One hash agg + a row-local inverse-CDF projection;
+      // dyadic-exact u, round-9 ln, round-6 result
+      graft.operators.Stats.dpNoisyCounts(doc(s, d), col("source"),
+        eps = 1.0, seed = "graft"),
+      Some("""WITH c AS (SELECT source AS key, count(*)::BIGINT AS n
+                         FROM documents GROUP BY 1),
+              h AS (SELECT key, n,
+                      ('0x' || substr(md5('graft' || key), 1, 6))::BIGINT AS v
+                    FROM c),
+              u AS (SELECT key, n, (v + 0.5) / 16777216.0 AS u FROM h),
+              nz AS (SELECT key, n,
+                       round((-1.0) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                             * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9), 6) AS noise
+                     FROM u)
+              SELECT key, round(n + noise, 6) AS noisy_count FROM nz""")),
+
     Q("a31_attribution", (s, d) =>
       // multi-touch revenue attribution (last-touch + linear) of
       // purchases to view/click touches inside a 7-day lookback. All

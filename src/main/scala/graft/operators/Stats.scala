@@ -150,6 +150,77 @@ object Stats {
           (col("n_days") * col("t_events")), 6).as("seasonal_idx"))
   }
 
+  /** CUSUM change-point detection (Page 1954) on the daily count of
+    * `isEvent` rows: the one-sided cumulative-sum statistic
+    * `S_t = max(0, S_{t-1} + (x_t - mean - slack))` with the reference
+    * mean taken from the first `baselineDays` observed days, alarm when
+    * `S_t > threshold`. The sequential max() recurrence is NOT iterated:
+    * it is rewritten as the closed form `S_t = P_t - min(0, min_{j<=t}
+    * P_j)` (prefix sum minus running prefix minimum), so the whole
+    * statistic is two window passes over the DAILY frame — calendar-
+    * bounded metadata, never corpus rows; the corpus is touched once by
+    * the per-day count aggregate.
+    *
+    * All arithmetic is exact integers scaled by the baseline day count
+    * (`y = x*bn - bsum - slack*bn`), so no float boundary exists
+    * anywhere; `cusum_milli` is an exact integer division readout in
+    * milli-events.
+    *
+    * Returns (day, x, baseline_days, cusum_scaled, cusum_milli, alarm). */
+  def cusumChangepoint(
+      df: DataFrame, ts: Column, isEvent: Column,
+      baselineDays: Int, slack: Long, threshold: Long): DataFrame = {
+    require(baselineDays > 0, "baselineDays must be positive")
+    val daily = df.filter(isEvent).select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val ranked = graft.Mat(daily.withColumn("__rk",
+      row_number().over(Window.orderBy(col("day")))))
+    val base = ranked.filter(col("__rk") <= baselineDays)
+      .agg(sum(col("x")).as("__bsum"), count(lit(1)).as("__bn"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(base))
+      .withColumn("__y",
+        col("x") * col("__bn") - col("__bsum") - lit(slack) * col("__bn"))
+      .withColumn("__p", sum(col("__y")).over(wCum))
+      .withColumn("__runmin", least(lit(0L), min(col("__p")).over(wCum)))
+      .withColumn("cusum_scaled", col("__p") - col("__runmin"))
+      .select(col("day"), col("x"),
+        col("__bn").as("baseline_days"),
+        col("cusum_scaled"),
+        expr("cusum_scaled * 1000 div __bn").as("cusum_milli"),
+        (col("cusum_scaled") > lit(threshold) * col("__bn")).as("alarm"))
+  }
+
+  /** Differentially-private-STYLE noisy group counts: per-key count plus
+    * Laplace(1/eps) noise via the inverse CDF
+    * `-1/eps * sign(u - 0.5) * ln(1 - 2|u - 0.5|)` — the sensitivity-1
+    * count mechanism (Dwork et al. 2006), the aggregate a training-data
+    * pipeline publishes when per-source corpus statistics leave the
+    * trust boundary.
+    *
+    * The uniform `u` here is DETERMINISTIC (md5 of seed||key -> 24-bit
+    * dyadic rational), which makes the mechanism reproducible across
+    * engines/retries for the correctness gate but is NOT private —
+    * production swaps in secret randomness; the mechanism shape is the
+    * operator. Engine parity: u and |u-0.5| are exact dyadic rationals,
+    * ln rounds at 9 before the +/-1 product (exact), final value rounds
+    * at 6 — the house iterative-rounding discipline.
+    *
+    * One hash aggregate; the noise is a row-local projection. */
+  def dpNoisyCounts(
+      df: DataFrame, key: Column, eps: Double, seed: String): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("__n"))
+    val v = conv(substring(md5(concat(lit(seed), col("key"))), 1, 6), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(16777216.0)
+    val lnr = round(log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
+    val sgn = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+    val noise = round(lit(-1.0 / eps) * sgn * lnr, 6)
+    counts.select(col("key"), round(col("__n") + noise, 6).as("noisy_count"))
+  }
+
   /** 2-D Pareto frontier (skyline) of the `(x, max-y-per-x)` staircase
     * under strict dominance: the distinct x values whose per-x maximum y
     * strictly exceeds every maximum at larger x — "the best y available

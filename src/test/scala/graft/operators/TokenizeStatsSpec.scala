@@ -473,6 +473,55 @@ class TokenizeStatsSpec extends SparkSpec {
     assert(got sameElements Array((1L, 2L, 1L, 0L, 0.5), (2L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("cusumChangepoint: closed form equals the sequential recurrence; alarm fires after the shift") {
+    // 4 baseline days at 2/day, then a level shift to 5/day: the CUSUM
+    // accumulates (x - mean - slack) = 2/day post-shift and alarms once it
+    // exceeds the threshold — never during the baseline.
+    val counts = Seq(2, 2, 2, 2, 5, 5, 5, 5, 5)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (d.toLong * 10 + i, f"2024-02-${d + 1}%02d 0$i:00:00", "error"))
+    }
+    val ev = rows.toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Stats.cusumChangepoint(ev, col("ts"),
+        col("event_type") === "error",
+        baselineDays = 4, slack = 1, threshold = 4)
+      .orderBy("day")
+      .select(col("x"), col("cusum_scaled"), col("alarm"))
+      .as[(Long, Long, Boolean)].collect()
+    // sequential replay: mean 2, slack 1 -> y = x - 3 (scaled by bn = 4)
+    var s = 0L
+    val want = counts.map { x =>
+      s = math.max(0L, s + (x * 4L - 8L - 4L)); s
+    }
+    assert(got.map(_._2).toSeq == want)
+    assert(got.map(_._3).toSeq ==
+      want.map(_ > 4 * 4L)) // alarm: S > threshold*bn
+    assert(!got.take(4).exists(_._3) && got.last._3)
+  }
+
+  test("dpNoisyCounts: noise matches an independent JVM replay of the inverse CDF") {
+    val docs = Seq.tabulate(10)(i => (i.toLong, s"src${i % 3}")).toDF("id", "source")
+    val got = Stats.dpNoisyCounts(docs, col("source"), eps = 1.0, seed = "graft")
+      .as[(String, Double)].collect().toMap
+    def expected(key: String, n: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("graft" + key).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(6)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 16777216.0
+      val lnr = BigDecimal(math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sgn = if (u >= 0.5) 1.0 else -1.0
+      val noise = BigDecimal(-1.0 * sgn * lnr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(n + noise).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("src0") == expected("src0", 4L))
+    assert(got("src1") == expected("src1", 3L))
+    assert(got("src2") == expected("src2", 3L))
+    assert(got.values.forall(v => v != math.rint(v))) // noise actually applied
+  }
+
   test("skyline2d matches the brute-force frontier, including x-ties and equal-y chains") {
     // per-x maxima: 1->10 2->20 3->20 4->15 5->1. Strict staircase rule
     // (max_y must EXCEED every max at larger x): x=2 falls to x=3's equal
