@@ -76,11 +76,12 @@ object CalcProfile {
     var fin: DataFrame = null
     phase("1-2 enrich")          { e = mat(Calc.enrich(premiums, calcCerts)); e.count() }
     phase("3 resolveProposal")   { p = mat(Calc.resolveProposal(e, propsIn)); p.count() }
-    phase("4 explodeSplits")     { s8 = mat(Calc.explodeSplits(p, splits)); s8.count() }
+    phase("4 explodeSplits")     { s8 = mat(Calc.explodeSplits(p, splits, tagOrdinal = false)); s8.count() }
     phase("5 resolveHierVersion"){ v = mat(Calc.resolveHierarchyVersion(s8, versions)); v.count() }
     phase("6 explodeParticipants"){ x = mat(Calc.explodeParticipants(v, participants)); x.count() }
     phase("7 lookupRate")        { r = mat(Calc.lookupRate(x, rates,
-      rowKey = Seq(col("premium_id"), col("proposal_id"), col("__sseq"),
+      rowKey = Seq(col("premium_id"), col("proposal_id"), col("split_seq"),
+        col("split_pct"), col("hierarchy_id"),
         col("version_id"), col("__pseq")))); r.count() }
     phase("8 compute+assign")    { fin = mat(Calc.applyAssignments(Calc.compute(r), assignments)); fin.count() }
     phase("gl projection")       { Calc.glEntries(fin).count() }

@@ -53,16 +53,25 @@ object Calc {
   /** Stage 4: explode the proposal's split configuration — 1:N fan-out
     * (`run-calculation.sql:125-147`). split_premium = round(amount*pct/100, 2)
     * — round-then-aggregate, replicated exactly (:139). */
-  def explodeSplits(withProposal: DataFrame, splits: DataFrame): DataFrame = {
+  def explodeSplits(withProposal: DataFrame, splits: DataFrame,
+      tagOrdinal: Boolean = true): DataFrame = {
     // deterministic in-proposal ordinal on the config-sized dim side:
     // split_seq alone is NOT a safe discriminator (the synthetic data's
     // l_linenumber duplicates within an order, and nothing in the
     // contract forbids duplicate split rows) — `__sseq` makes each
-    // exploded row addressable by lineage key alone
-    val ordCols = splits.columns.map(c => col(c).asc_nulls_first)
-    val sp = splits.withColumn("__sseq", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("proposal_id")).orderBy(ordCols: _*)))
+    // exploded row addressable by lineage key alone. Callers whose splits
+    // are provably unique per proposal on their natural columns (the
+    // `Proposals.splitConfigs*` outputs are: they project a groupBy key)
+    // pass tagOrdinal=false and key the rank-1 restoration on those
+    // columns directly, skipping the row_number sort of the dim frame.
+    val sp =
+      if (!tagOrdinal || splits.columns.contains("__sseq")) splits
+      else {
+        val ordCols = splits.columns.map(c => col(c).asc_nulls_first)
+        splits.withColumn("__sseq", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("proposal_id")).orderBy(ordCols: _*)))
+      }
     withProposal.join(sp, Seq("proposal_id"))
       .withColumn("split_premium",
         round(col("amount").cast("decimal(18,2)") * col("split_pct").cast("decimal(7,4)") / 100, 2))
@@ -85,10 +94,17 @@ object Calc {
     * restoration needs (duplicate participants fan out twice and must
     * not collapse, run-calculation.sql:194). */
   def explodeParticipants(withVersion: DataFrame, participants: DataFrame): DataFrame = {
-    val ordCols = participants.columns.map(c => col(c).asc_nulls_first)
-    val p = participants.withColumn("__pseq", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("version_id")).orderBy(ordCols: _*)))
+    // generators that know the ordinal emit `__pseq` for free (the
+    // `Proposals.hierarchyEntities*` posexplode position); only untagged
+    // inputs pay the row_number sort here
+    val p =
+      if (participants.columns.contains("__pseq")) participants
+      else {
+        val ordCols = participants.columns.map(c => col(c).asc_nulls_first)
+        participants.withColumn("__pseq", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("version_id")).orderBy(ordCols: _*)))
+      }
     withVersion.join(p, Seq("version_id"))
   }
 
@@ -271,15 +287,20 @@ object Calc {
   def run(in: CalcInputs): DataFrame = {
     val e = enrich(in.premiums, in.certificates)
     val p = resolveProposal(e, in.proposals)
-    val s = explodeSplits(p, in.splits)
+    // splits from Proposals.splitConfigs* are unique per proposal on
+    // (split_seq, split_pct, hierarchy_id) — they project a groupBy key —
+    // so those natural columns discriminate the split fan-out and no
+    // __sseq tagging sort is needed
+    val s = explodeSplits(p, in.splits, tagOrdinal = false)
     val v = resolveHierarchyVersion(s, in.hierarchyVersions)
     val x = explodeParticipants(v, in.participants)
     // unique by construction: proposals/versions resolve as-of among
-    // non-overlapping intervals, split_seq keys the split fan-out and
-    // __pseq the participant fan-out — no tagging pass needed
+    // non-overlapping intervals, the natural split columns key the split
+    // fan-out and __pseq the participant fan-out — no tagging pass needed
     val r = lookupRate(x, in.scheduleRates, rowKey = Seq(
-      col("premium_id"), col("proposal_id"), col("__sseq"),
-      col("version_id"), col("__pseq"))).drop("__pseq", "__sseq")
+      col("premium_id"), col("proposal_id"), col("split_seq"),
+      col("split_pct"), col("hierarchy_id"),
+      col("version_id"), col("__pseq"))).drop("__pseq")
     applyAssignments(compute(r), in.assignments)
   }
 }
