@@ -264,16 +264,8 @@ object Joins {
     val recs = records.select(recId.cast("long").as("rid"), name.as("nm"))
     val names = graft.Mat(recs.groupBy(col("nm"))
       .agg(min(col("rid")).as("nid"), count(lit(1)).as("n_recs")))
-    val la = names.select(col("nm").as("nm_a"), col("nid").as("id_a"))
-      .withColumn("__lb", explode(sequence(
-        greatest(length(col("nm_a")) - maxDist, lit(1)),
-        length(col("nm_a")) + maxDist)))
-    val rb = names.select(col("nm").as("nm_b"), col("nid").as("id_b"))
-    val pairs = la
-      .join(rb, col("__lb") === length(col("nm_b")) &&
-        col("id_a") < col("id_b"))
-      .withColumn("__d", levenshtein(col("nm_a"), col("nm_b"), maxDist))
-      .filter(col("__d") >= 0 && col("__d") <= maxDist)
+    val pairs = editDistancePairs(
+      names.select(col("nid"), col("nm")), maxDist)
       .select(col("id_a"), col("id_b"))
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
     names.join(comp, names("nid") === comp("node"), "left")
@@ -283,5 +275,59 @@ object Joins {
         min(when(col("nid") === col("entity"), col("nm"))).as("canonical_name"),
         count(lit(1)).as("n_names"),
         sum(col("n_recs")).as("n_records"))
+  }
+
+  /** All unordered pairs of distinct names within `maxDist` Levenshtein
+    * edits, via PassJoin-style pigeonhole segment blocking (Li et al.,
+    * PassJoin, VLDB'12): split every name into k = maxDist+1 contiguous
+    * segments — an edit script with <= maxDist edits leaves at least one
+    * segment untouched, so that segment appears VERBATIM in the partner,
+    * shifted by at most maxDist positions (the net indel drift of the
+    * edits before it). Candidates are therefore an EQUI join on
+    * (partner_length, segment_index, segment_text): the index side emits
+    * its k segments, the probe side emits the substrings that could
+    * equal segment j of a partner of each feasible length (5 lengths x k
+    * segments x 2*maxDist+1 shifts, bounds-clipped). Lossless by the
+    * pigeonhole argument (JoinsSpec pins equivalence against the
+    * unblocked cross product), and far more selective than
+    * length-bucket blocking: a shared multi-char substring at a pinned
+    * position is rare, so the expensive `levenshtein` verify runs on
+    * near-true pairs only — the posture that survives vocabulary growth
+    * at corpus scale.
+    *
+    * `names` = (nid LONG, nm STRING), distinct on nm.
+    * Returns (id_a, nm_a, id_b, nm_b, dist) with id_a < id_b. */
+  def editDistancePairs(names: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    def segStart(j: Column, l: Column): Column =
+      floor(j * l / k).cast("int")
+    val idx = names.select(col("nid").as("id_b"), col("nm").as("nm_b"))
+      .withColumn("__lb", length(col("nm_b")))
+      .withColumn("__j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__s", segStart(col("__j"), col("__lb")))
+      .withColumn("__sl", segStart(col("__j") + 1, col("__lb")) - col("__s"))
+      .filter(col("__sl") > 0)
+      .select(col("id_b"), col("nm_b"), col("__lb"), col("__j"),
+        col("nm_b").substr(col("__s") + 1, col("__sl")).as("__seg"))
+    val prb = names.select(col("nid").as("id_a"), col("nm").as("nm_a"))
+      .withColumn("__la", length(col("nm_a")))
+      .withColumn("__lb", explode(sequence(
+        greatest(col("__la") - maxDist, lit(1)), col("__la") + maxDist)))
+      .withColumn("__j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__delta", explode(sequence(lit(-maxDist), lit(maxDist))))
+      .withColumn("__s", segStart(col("__j"), col("__lb")))
+      .withColumn("__sl", segStart(col("__j") + 1, col("__lb")) - col("__s"))
+      .withColumn("__p", col("__s") + col("__delta"))
+      .filter(col("__sl") > 0 && col("__p") >= 0 &&
+        col("__p") + col("__sl") <= col("__la"))
+      .select(col("id_a"), col("nm_a"), col("__lb"), col("__j"),
+        col("nm_a").substr(col("__p") + 1, col("__sl")).as("__seg"))
+      .distinct() // shifts often yield the same substring
+    prb.join(idx, Seq("__lb", "__j", "__seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("nm_a"), col("id_b"), col("nm_b"))
+      .distinct() // a pair may share several segments
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }

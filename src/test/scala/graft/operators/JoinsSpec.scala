@@ -163,7 +163,31 @@ class JoinsSpec extends SparkSpec {
       .as[(String, Option[String], Option[Int], Long)].collect().toSet
     assert(got == expect)
   }
-test("fuzzyEntities: transitive chains merge, fan-back counts records, noise stays singleton") {
+  test("editDistancePairs pigeonhole blocking is lossless vs the unblocked cross product") {
+    // adversarial shapes: indels that shift segments, edits clustered in
+    // one segment, equal-length substitution pairs, short strings where
+    // segments clip, and unrelated noise the blocking must prune
+    val nm = Seq("alpha", "alphb", "alphbx", "xalpha", "alpa", "aXpYa",
+      "abcdefghij", "abcdefghi", "zabcdefghij", "abcdefgxyj", "qq", "qr",
+      "q", "zzzzzz", "mississippi", "misissippi", "mississippiz")
+    val names = nm.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("nid", "nm")
+    for (maxDist <- Seq(1, 2)) {
+      val got = Joins.editDistancePairs(names, maxDist)
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+      val a = names.select(col("nid").as("id_a"), col("nm").as("nm_a"))
+      val b = names.select(col("nid").as("id_b"), col("nm").as("nm_b"))
+      val expect = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+        .filter(col("dist") <= maxDist)
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expect, s"maxDist=$maxDist")
+    }
+  }
+
+  test("fuzzyEntities: transitive chains merge, fan-back counts records, noise stays singleton") {
     // alpha~alphb (d1), alphb~alphbx (d1) chain transitively even though
     // alpha~alphbx is d2 > maxDist; "alpha" appears in 2 records
     val recs = Seq(
