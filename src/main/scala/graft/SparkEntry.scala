@@ -4119,6 +4119,83 @@ object SparkEntry {
                        GROUP BY 1) s USING (node))
               SELECT node, rank FROM r3""")),
 
+    Q("x_textrank_keywords", (s, d) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): undirected
+      // word co-occurrence graph over adjacent content words (lowercase
+      // alpha, len >= 4), 4 damped PageRank iterations (each rounded at
+      // 9 decimals so the trajectory replays), top-20 by rank with a
+      // lexicographic tiebreak. Nodes ride the 60-bit md5 key (the
+      // hierKey pattern) so the iteration shuffles longs, not strings;
+      // the oracle routes through the SAME mapping. Top-k is
+      // TakeOrderedAndProject (distributed heads), never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val toks = doc(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w0")))
+        .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]{4,}$"))
+      val adj = toks.withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+      val e0 = adj.select(col("w").as("a"), col("w2").as("b"))
+      val eu = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      def wid(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val pr = graft.operators.Components.pageRank(
+        eu.select(wid(col("a")).as("src"), wid(col("b")).as("dst")),
+        "src", "dst", iters = 4)
+      val words = eu.select(col("a").as("word")).distinct()
+        .withColumn("__wid", wid(col("word")))
+      val top = pr.join(words, pr("node") === words("__wid"))
+        .select(col("word"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(20)
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("rank").desc, col("word"))).cast("int"))
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w0,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              cw AS (SELECT doc_id, pos, lower(w0) AS w FROM toks
+                     WHERE regexp_matches(lower(w0), '^[a-z]{4,}$')),
+              adj AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                      FROM cw),
+              e0 AS (SELECT w AS a, w2 AS b FROM adj
+                     WHERE w2 IS NOT NULL AND w <> w2),
+              eu AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+              ids AS (SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS wid
+                      FROM (SELECT DISTINCT a AS w FROM eu)),
+              e AS (SELECT ia.wid AS src, ib.wid AS dst
+                    FROM eu JOIN ids ia ON eu.a = ia.w JOIN ids ib ON eu.b = ib.w),
+              n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+              r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM n),
+              r1 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node)),
+              r2 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node)),
+              r3 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node)),
+              r4 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(s.in_sum, 0.0), 9) AS rank
+                     FROM n LEFT JOIN (
+                       SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+                       FROM e JOIN r3 r ON r.node = e.src JOIN od ON od.src = e.src
+                       GROUP BY 1) s USING (node))
+              SELECT word, rank, rk FROM (
+                SELECT ids.w AS word, r4.rank,
+                       row_number() OVER (ORDER BY r4.rank DESC, ids.w)::INT AS rk
+                FROM r4 JOIN ids ON ids.wid = r4.node) t
+              WHERE rk <= 20""")),
+
     Q("x_tokenize_vocab", (s, d) => {
       // corpus-induced top-50 vocab (cf desc, term tiebreak), then each
       // doc encoded as its token-id sequence (OOV -> -1), comma-joined
@@ -6876,6 +6953,34 @@ object SparkEntry {
               UNION ALL
               SELECT 'l_returnflag', n, ndv_rf, nn_rf, NULL, NULL FROM a""")),
 
+    Q("s18_compaction_plan", (s, d) => {
+      // small-file compaction planner (the OPTIMIZE posture): a synthetic
+      // file inventory — one row per (ship-month partition, orderkey-mod
+      // file) with an exact-integer size — is binned by deterministic
+      // greedy accumulation in listing order (bin = cum-size-before div
+      // target), one row per planned rewrite task. Metadata-scale end to
+      // end: the planner reads listings, never data files
+      val inv = li(s, d).groupBy(
+        substring(col("l_shipdate").cast("string"), 1, 7).as("part"),
+        pmod(col("l_orderkey"), lit(199)).cast("int").as("file"))
+        .agg(sum(col("l_quantity").cast("long") * 7 +
+          col("l_linenumber")).as("size_bytes"))
+      graft.operators.Maintenance.compactionPlan(inv,
+        col("part"), col("file"), col("size_bytes"), targetBytes = 32768L)
+    },
+      Some("""WITH inv AS (SELECT substr(l_shipdate::VARCHAR, 1, 7) AS part,
+                       (l_orderkey % 199)::INT AS file,
+                       sum(l_quantity::BIGINT * 7 + l_linenumber)::BIGINT AS size_bytes
+                     FROM lineitem GROUP BY 1, 2),
+              cum AS (SELECT part, file, size_bytes,
+                        coalesce(sum(size_bytes) OVER (PARTITION BY part ORDER BY file
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                      FROM inv)
+              SELECT part, (cb // 32768)::BIGINT AS bin, count(*)::BIGINT AS n_files,
+                     sum(size_bytes)::BIGINT AS total_bytes,
+                     min(file) AS file_from, max(file) AS file_to
+              FROM cum GROUP BY 1, 2""")),
+
     Q("s12_format_roundtrip", (s, d) => {
       // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
       // with an explicit schema -> write ORC -> read -> aggregate. The
@@ -7148,6 +7253,55 @@ object SparkEntry {
               FROM nfp n
               LEFT JOIN ex e ON n.doc_id = e.doc_id
               LEFT JOIN nr r ON n.doc_id = r.doc_id""")),
+
+    Q("d_bloom_dedup", (s, d) => {
+      // bloom-filter pre-screen for the d_incremental_dedup ingest shape
+      // (same batch/corpus split): the corpus's fingerprint bloom filter
+      // lives as a frame of set bit positions (m = 2^18, k = 3,
+      // md5-derived — engine-replayable), each batch doc probes its 3
+      // positions with one equi join, and the report scores the filter
+      // against exact membership (false-positive rate at this fill)
+      val docs = doc(s, d)
+      graft.operators.Dedup.bloomDedupReport(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        col("doc_id"), col("text"), mBits = 1 << 18, k = 3)
+    },
+      Some("""WITH newb AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              nfp AS (SELECT doc_id,
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM newb),
+              cfp AS (SELECT DISTINCT
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM corp),
+              bits AS (SELECT DISTINCT
+                         ('0x' || substr(md5(fp || ':' || i::VARCHAR), 1, 8))::BIGINT
+                           % 262144 AS pos
+                       FROM cfp, generate_series(0, 2) g(i)),
+              probes AS (SELECT doc_id, fp,
+                           ('0x' || substr(md5(fp || ':' || i::VARCHAR), 1, 8))::BIGINT
+                             % 262144 AS pos
+                         FROM nfp, generate_series(0, 2) g(i)),
+              per AS (SELECT doc_id, fp,
+                        (sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3)
+                          AS bloom_hit
+                      FROM probes p LEFT JOIN bits b USING (pos)
+                      GROUP BY 1, 2),
+              agg AS (SELECT count(*)::BIGINT AS n_batch,
+                        sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hit,
+                        sum(CASE WHEN fp IN (SELECT fp FROM cfp) THEN 1 ELSE 0 END)::BIGINT
+                          AS n_exact_dup
+                      FROM per),
+              bc AS (SELECT count(*)::BIGINT AS n_bits_set FROM bits)
+              SELECT n_batch, n_bloom_hit, n_exact_dup,
+                     (n_bloom_hit - n_exact_dup)::BIGINT AS n_false_pos,
+                     CASE WHEN n_batch = n_exact_dup THEN NULL
+                          ELSE round((n_bloom_hit - n_exact_dup)
+                                     / (n_batch - n_exact_dup)::DOUBLE, 6) END AS fp_rate,
+                     n_bits_set,
+                     round(n_bits_set / 262144.0, 6) AS fill_ratio
+              FROM agg, bc""")),
 
     Q("x_quality_classifier", (s, d) =>
       // fastText-style hashed linear classifier inference (bag of

@@ -946,4 +946,57 @@ object Dedup {
         array_join(transform(col("kept"),
           i => element_at(col("toks"), i + 1)), " ").as("kept_text"))
   }
+
+  /** Bloom-filter pre-screen for incremental (batch-vs-corpus) exact
+    * dedup, with the filter itself held as DATA — a frame of set bit
+    * positions — rather than driver-side state: the standing corpus's
+    * fingerprints set k md5-derived positions in an m-bit space, each
+    * batch doc probes its k positions with one equi join, and a doc is a
+    * bloom hit iff all k probes land on set bits. The report compares
+    * the bloom verdicts against exact fingerprint membership: bloom has
+    * no false negatives (every exact dup is a hit by construction), so
+    * `n_false_pos = n_bloom_hit - n_exact_dup` measures the filter's
+    * precision at the chosen (m, k) against this corpus's fill ratio.
+    *
+    * Scale posture: the bit frame is `<= k * |corpus fingerprints|` rows
+    * of one long each — the compact reusable index an ingest pipeline
+    * ships to every batch instead of the corpus itself; probing is one
+    * equi join on the bit position, never a corpus-sized join. Hashing
+    * is md5-derived (no RNG), so any engine replays the exact bit
+    * pattern. Returns ONE row: (n_batch, n_bloom_hit, n_exact_dup,
+    * n_false_pos, fp_rate, n_bits_set, fill_ratio). */
+  def bloomDedupReport(
+      newDocs: DataFrame, corpus: DataFrame, id: Column, text: Column,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    def bitPos(fp: Column, i: Column): Column =
+      pmod(conv(substring(md5(concat(fp, lit(":"), i.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(mBits.toLong))
+    val newFp = newDocs.select(id.cast("long").as("doc_id"),
+      TextFunctions.fingerprint(text).as("fp"))
+    val corpFp = corpus.select(TextFunctions.fingerprint(text).as("fp")).distinct()
+    val bits = corpFp
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .select(bitPos(col("fp"), col("__i")).as("__pos")).distinct()
+    val probes = newFp
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__pos", bitPos(col("fp"), col("__i")))
+    val perDoc = probes
+      .join(bits.withColumn("__hit", lit(1L)), Seq("__pos"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))) === k).as("bloom_hit"))
+    val flagged = perDoc.join(corpFp.withColumn("__e", lit(true)), Seq("fp"), "left")
+    val bitCount = bits.agg(count(lit(1)).as("n_bits_set"))
+    flagged.agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hit"),
+      sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"))
+      .withColumn("n_false_pos", col("n_bloom_hit") - col("n_exact_dup"))
+      .withColumn("fp_rate",
+        when(col("n_batch") === col("n_exact_dup"), lit(null).cast("double"))
+          .otherwise(round(col("n_false_pos").cast("double") /
+            (col("n_batch") - col("n_exact_dup")), 6)))
+      .crossJoin(broadcast(bitCount))
+      .withColumn("fill_ratio",
+        round(col("n_bits_set").cast("double") / mBits, 6))
+  }
 }

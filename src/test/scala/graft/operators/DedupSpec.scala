@@ -450,4 +450,28 @@ class DedupSpec extends SparkSpec {
     // counts partition: every doc lands in exactly one bucket
     assert(a._3 + a._4 + a._5 == a._2)
   }
+
+  test("bloomDedupReport: no false negatives, counts reconcile, tiny filter saturates") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  beta"), // exact dup after whitespace canonicalization
+      (11L, "gamma delta"), // exact dup
+      (12L, "brand new doc"), (13L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.bloomDedupReport(
+      batch, corpus, col("doc_id"), col("text"), mBits = 1 << 16, k = 3)
+      .as[(Long, Long, Long, Long, Option[Double], Long, Double)].head()
+    val (nBatch, nBloom, nExact, nFp, _, nBits, fill) = r
+    assert(nBatch == 4 && nExact == 2)
+    assert(nBloom >= nExact, "bloom must never miss an exact dup")
+    assert(nFp == nBloom - nExact && nFp >= 0)
+    assert(nBits <= 9 && math.abs(fill - nBits / 65536.0) < 5e-7) // fill is round-6
+
+    // a 16-bit space with k=3: every probe collides, so ALL batch docs hit
+    val tiny = graft.operators.Dedup.bloomDedupReport(
+      batch, corpus, col("doc_id"), col("text"), mBits = 1, k = 3)
+      .as[(Long, Long, Long, Long, Option[Double], Long, Double)].head()
+    assert(tiny._2 == 4 && tiny._4 == 2)
+  }
 }
