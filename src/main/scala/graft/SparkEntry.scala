@@ -6981,6 +6981,82 @@ object SparkEntry {
                      min(file) AS file_from, max(file) AS file_to
               FROM cum GROUP BY 1, 2""")),
 
+    Q("s19_snapshot_diff", (s, d) => {
+      // table-snapshot diff (the lakehouse version-compare / audit job):
+      // two simulated versions of orders — v1 drops key%50=0 rows, v2
+      // drops key%70=0 rows and bumps the status of key%13=0 rows — are
+      // reconciled by ONE full-outer join on the natural key with direct
+      // column comparison, then rolled up to a per-status report
+      // (added / removed / changed / unchanged with key ranges). At
+      // 100 TB both sides shuffle once on the same key; nothing is
+      // collected and the report is 4 rows
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(50)) =!= 0)
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(70)) =!= 0)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val j = v1.alias("a").join(v2.alias("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      j.withColumn("status",
+        when(col("a.o_orderkey").isNull, "added")
+          .when(col("b.o_orderkey").isNull, "removed")
+          .when(col("a.o_custkey") =!= col("b.o_custkey") ||
+            col("a.o_orderstatus") =!= col("b.o_orderstatus"), "changed")
+          .otherwise("unchanged"))
+        .withColumn("key", coalesce(col("a.o_orderkey"), col("b.o_orderkey")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("key")).as("key_min"), max(col("key")).as("key_max"))
+    },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+              v1 AS (SELECT * FROM o WHERE o_orderkey % 50 <> 0),
+              v2 AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus
+                     FROM o WHERE o_orderkey % 70 <> 0),
+              j AS (SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+                           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                                WHEN b.o_orderkey IS NULL THEN 'removed'
+                                WHEN a.o_custkey <> b.o_custkey
+                                  OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                                ELSE 'unchanged' END AS status
+                    FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey))
+              SELECT status, count(*)::BIGINT AS n_rows,
+                     min(coalesce(ka, kb)) AS key_min,
+                     max(coalesce(ka, kb)) AS key_max
+              FROM j GROUP BY 1""")),
+
+    Q("a45_benford", (s, d) =>
+      // Benford's-law first-digit audit over order amounts — the
+      // data-quality / fraud screen: observed leading-digit shares vs
+      // the log10(1 + 1/d) expectation, deviation per digit. One hash
+      // aggregate over the scan; 9-row output
+      li(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .withColumn("digit",
+          substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+            .cast("int"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()), 6))
+        .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .withColumn("dev", round(col("share") - col("expected"), 6))
+        .select(col("digit"), col("n"), col("share"), col("expected"), col("dev")),
+      Some("""WITH d0 AS (SELECT substr(floor(l_extendedprice)::BIGINT::VARCHAR, 1, 1)::INT
+                       AS digit
+                     FROM lineitem WHERE l_extendedprice > 0),
+              c AS (SELECT digit, count(*)::BIGINT AS n FROM d0 GROUP BY 1)
+              SELECT digit, n,
+                     round(n / (sum(n) OVER ())::DOUBLE, 6) AS share,
+                     round(log10(1.0 + 1.0 / digit), 6) AS expected,
+                     round(round(n / (sum(n) OVER ())::DOUBLE, 6)
+                           - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
+              FROM c""")),
+
     Q("s12_format_roundtrip", (s, d) => {
       // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
       // with an explicit schema -> write ORC -> read -> aggregate. The
