@@ -2892,7 +2892,16 @@ object SparkEntry {
       // the from-scratch full-corpus GL — the maintained ledger must
       // equal what one batch over all premiums produces, which is the
       // whole point of the identity (the base is never rescanned)
-      val in = graft.DomainBench.glInputs(s, d)
+      val in0 = graft.DomainBench.glInputs(s, d)
+      // glInputs keeps splits/participants/certificates lazy (the
+      // flagship consumes each once); here BOTH the base and the delta
+      // calc consume them, so materialize the shared reference frames
+      // once instead of recomputing their lineages per run
+      // (versions/participants stay lazy: since the posexplode ordinal
+      // change their decode is cheaper than a checkpoint round-trip)
+      val in = in0.copy(
+        certificates = graft.Mat(in0.certificates),
+        splits = graft.Mat(in0.splits))
       val base = in.copy(premiums =
         in.premiums.filter(pmod(col("premium_id"), lit(7)) =!= 0))
       val delta = in.copy(premiums =
