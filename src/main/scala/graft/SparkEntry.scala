@@ -5613,12 +5613,13 @@ object SparkEntry {
 
     Q("m_real_meta", (s, d) =>
       // REAL image-header metadata (not a stub): binaryFile scan over the
-      // committed PNG/GIF/JPEG/BMP/junk fixtures, then the codegen'd
+      // committed PNG/GIF/JPEG/BMP/TIFF/junk fixtures, then the codegen'd
       // image_meta kernel — signature detection + dimension extraction,
       // including the JPEG length-prefixed segment walk to the SOF frame
-      // header. The oracle replays the same header arithmetic in DuckDB
-      // over the same committed bytes (read_blob + hex offsets, with a
-      // recursive CTE for the JPEG walk)
+      // header and the TIFF IFD entry scan (both byte orders). The oracle
+      // replays the same header arithmetic in DuckDB over the same
+      // committed bytes (read_blob + hex offsets, a recursive CTE for the
+      // JPEG walk and a generate_series entry scan for the TIFF IFD)
       graft.operators.Multimodal.imageMeta(
         s.read.format("binaryFile").load(s"$repoRoot/fixtures/media"),
         col("content"))
@@ -5646,6 +5647,52 @@ object SparkEntry {
                           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT)::INT
                           AS height
                       FROM b WHERE substr(hx, 1, 4) = '424D'),
+              tif0 AS (SELECT img_id, n_bytes, hx,
+                         substr(hx, 1, 8) = '49492A00' AS le,
+                         CASE WHEN substr(hx, 1, 8) = '49492A00'
+                              THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)
+                                 || substr(hx, 11, 2) || substr(hx, 9, 2))::BIGINT
+                              ELSE ('0x' || substr(hx, 9, 8))::BIGINT END AS ifd
+                       FROM b WHERE substr(hx, 1, 8) IN ('49492A00', '4D4D002A')),
+              tifn AS (SELECT *,
+                         CASE WHEN ifd >= 8 AND (ifd + 2) * 2 <= len(hx)
+                              THEN CASE WHEN le
+                                THEN ('0x' || substr(hx, ifd*2 + 3, 2)
+                                   || substr(hx, ifd*2 + 1, 2))::INT
+                                ELSE ('0x' || substr(hx, ifd*2 + 1, 4))::INT END
+                              ELSE 0 END AS n_entries
+                       FROM tif0),
+              te0 AS (SELECT img_id, le, hx, ifd,
+                        unnest(generate_series(0, n_entries - 1)) AS i
+                      FROM tifn),
+              te AS (SELECT img_id, le, hx, ifd + 2 + 12 * i AS e
+                     FROM te0 WHERE (ifd + 2 + 12 * i + 12) * 2 <= len(hx)),
+              tv AS (SELECT img_id,
+                       CASE WHEN le THEN ('0x' || substr(hx, e*2 + 3, 2)
+                              || substr(hx, e*2 + 1, 2))::INT
+                            ELSE ('0x' || substr(hx, e*2 + 1, 4))::INT END AS tag,
+                       CASE WHEN le THEN ('0x' || substr(hx, (e+2)*2 + 3, 2)
+                              || substr(hx, (e+2)*2 + 1, 2))::INT
+                            ELSE ('0x' || substr(hx, (e+2)*2 + 1, 4))::INT END AS typ,
+                       CASE WHEN le THEN ('0x' || substr(hx, (e+8)*2 + 3, 2)
+                              || substr(hx, (e+8)*2 + 1, 2))::INT
+                            ELSE ('0x' || substr(hx, (e+8)*2 + 1, 4))::INT END AS v16,
+                       CASE WHEN le THEN ('0x' || substr(hx, (e+11)*2 + 1, 2)
+                              || substr(hx, (e+10)*2 + 1, 2)
+                              || substr(hx, (e+9)*2 + 1, 2)
+                              || substr(hx, (e+8)*2 + 1, 2))::BIGINT
+                            ELSE ('0x' || substr(hx, (e+8)*2 + 1, 8))::BIGINT END AS v32
+                     FROM te),
+              tagv AS (SELECT img_id, tag,
+                         max(CASE WHEN typ = 3 THEN v16
+                                  WHEN typ = 4 THEN v32::INT END) AS v
+                       FROM tv WHERE tag IN (256, 257) GROUP BY 1, 2),
+              tiff AS (SELECT t.img_id, t.n_bytes, 'tiff' AS format,
+                         (SELECT v FROM tagv WHERE tagv.img_id = t.img_id
+                            AND tag = 256)::INT AS width,
+                         (SELECT v FROM tagv WHERE tagv.img_id = t.img_id
+                            AND tag = 257)::INT AS height
+                       FROM tifn t),
               jbase AS (SELECT img_id, n_bytes, hx FROM b
                         WHERE substr(hx, 1, 4) = 'FFD8'),
               walk AS (
@@ -5670,7 +5717,8 @@ object SparkEntry {
                         ('0x' || substr(j.hx, s.pos * 2 + 11, 4))::INT AS height
                       FROM jbase j LEFT JOIN sof s USING (img_id)),
               known AS (SELECT * FROM png UNION ALL SELECT * FROM gif
-                        UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM jpg)
+                        UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM jpg
+                        UNION ALL SELECT * FROM tiff)
               SELECT * FROM known
               UNION ALL
               SELECT img_id, n_bytes, 'unknown' AS format,

@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * with per-partition decode/feature-extract stages.
   *
   * Header-level metadata extraction is REAL: [[imageMeta]] parses
-  * PNG/GIF/BMP/JPEG container headers (signature + dimensions, including
-  * the JPEG segment walk to the SOF frame header) via the codegen'd
+  * PNG/GIF/BMP/JPEG/TIFF container headers (signature + dimensions,
+  * including the JPEG segment walk to the SOF frame header and the TIFF
+  * IFD tag scan in both byte orders) via the codegen'd
   * `image_meta` kernel — no image library needed. Only the pixel-level
   * stages (`decodeStub`/`resizeStub`) remain deterministic stand-ins for
   * a codec this container doesn't ship; swapping a real decoder in

@@ -22,15 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - JPEG — `FF D8`, then a SEGMENT WALK (markers are length-prefixed)
   *    to the first SOF0-SOF15 frame header, whose big-endian u16 pair at
   *    +5/+7 is (height, width). Baseline and progressive both surface.
+  *  - TIFF — `II*\0` (little-endian) or `MM\0*` (big-endian): follow the
+  *    u32 offset at +4 to the first IFD and scan its 12-byte entries for
+  *    tags 256/257 (ImageWidth/ImageLength), reading SHORT(3)/LONG(4)
+  *    values inline from the entry's value field in file byte order —
+  *    the multi-offset structure walk the other containers don't need.
   *
   * Unrecognized/truncated payloads yield ('unknown', null, null); a JPEG
-  * whose frame header is missing yields ('jpeg', null, null).
+  * whose frame header is missing yields ('jpeg', null, null); a TIFF
+  * whose IFD lies beyond the payload (or lacks the dimension tags)
+  * yields ('tiff', null, null).
   */
 object ImageMetaKernel {
   private val FmtPng = UTF8String.fromString("png")
   private val FmtGif = UTF8String.fromString("gif")
   private val FmtBmp = UTF8String.fromString("bmp")
   private val FmtJpeg = UTF8String.fromString("jpeg")
+  private val FmtTiff = UTF8String.fromString("tiff")
   private val FmtUnknown = UTF8String.fromString("unknown")
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -85,6 +93,37 @@ object ImageMetaKernel {
         }
       }
       return row(FmtJpeg, null, null)
+    }
+    // TIFF: 'II' 0x2A00 (LE) or 'MM' 0x002A (BE); IFD walk for tags 256/257
+    val tiffLe = n >= 8 && u8(bytes, 0) == 'I' && u8(bytes, 1) == 'I' &&
+      u8(bytes, 2) == 0x2a && u8(bytes, 3) == 0x00
+    val tiffBe = n >= 8 && u8(bytes, 0) == 'M' && u8(bytes, 1) == 'M' &&
+      u8(bytes, 2) == 0x00 && u8(bytes, 3) == 0x2a
+    if (tiffLe || tiffBe) {
+      def r16(i: Int): Int = if (tiffLe) le16(bytes, i) else be16(bytes, i)
+      def r32(i: Int): Long = if (tiffLe) le32(bytes, i).toLong & 0xffffffffL
+                              else be32(bytes, i)
+      val ifd = r32(4)
+      if (ifd < 8 || ifd + 2 > n) return row(FmtTiff, null, null)
+      val nEntries = r16(ifd.toInt)
+      var width: Any = null
+      var height: Any = null
+      var i = 0
+      while (i < nEntries) {
+        val e = ifd.toInt + 2 + 12 * i
+        if (e + 12 > n) return row(FmtTiff, null, null)
+        val tag = r16(e)
+        if (tag == 256 || tag == 257) {
+          val typ = r16(e + 2)
+          val v: Any =
+            if (typ == 3) r16(e + 8)              // SHORT, inline
+            else if (typ == 4) r32(e + 8).toInt   // LONG, inline
+            else null
+          if (tag == 256) width = v else height = v
+        }
+        i += 1
+      }
+      return row(FmtTiff, width, height)
     }
     row(FmtUnknown, null, null)
   }
