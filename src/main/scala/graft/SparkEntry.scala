@@ -7436,6 +7436,54 @@ object SparkEntry {
                      round(n_bits_set / 262144.0, 6) AS fill_ratio
               FROM agg, bc""")),
 
+    Q("d_lsh_tuning", (s, d) => {
+      // MinHash-LSH parameter planner: for each (bands, rows) split of a
+      // 128-permutation signature, the collision S-curve
+      // p(s) = 1 - (1 - s^r)^b gives the 50% threshold (1/b)^(1/r) and
+      // midpoint-rule integrals of the false-positive mass below the
+      // target similarity 0.8 and the false-negative mass above it —
+      // the closed-form sweep that picks (b, r) BEFORE paying for a
+      // corpus-scale near-dup run. Pure math over a 5x100 grid
+      // (metadata-scale); every term is rounded at 9 so both engines
+      // sum identical series
+      val s2 = s
+      import s2.implicits._
+      val cands = Seq((64, 2), (32, 4), (16, 8), (8, 16), (4, 32))
+        .toDF("bands", "rows_per_band")
+      val t = 0.8
+      val grid = cands.withColumn("i", explode(sequence(lit(0), lit(99))))
+        .withColumn("s", (col("i") + 0.5) / 100.0)
+        .withColumn("p", round(lit(1.0) - pow(lit(1.0) -
+          pow(col("s"), col("rows_per_band")), col("bands")), 9))
+      grid.groupBy(col("bands"), col("rows_per_band"))
+        .agg(
+          round(sum(when(col("s") < t, col("p")).otherwise(0.0)) / 100.0, 6)
+            .as("fp_area"),
+          round(sum(when(col("s") >= t, lit(1.0) - col("p")).otherwise(0.0)) / 100.0, 6)
+            .as("fn_area"))
+        .withColumn("thr50", round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6))
+        .withColumn("total_err", round(col("fp_area") + col("fn_area"), 6))
+    },
+      Some("""WITH c AS (SELECT unnest([64, 32, 16, 8, 4]) AS bands,
+                       unnest([2, 4, 8, 16, 32]) AS rows_per_band),
+              g AS (SELECT bands, rows_per_band,
+                      unnest(generate_series(0, 99)) AS i FROM c),
+              p0 AS (SELECT bands, rows_per_band, (i + 0.5) / 100.0 AS s,
+                       round(1.0 - pow(1.0 - pow((i + 0.5) / 100.0,
+                         rows_per_band), bands), 9) AS p
+                     FROM g)
+              SELECT bands, rows_per_band,
+                     round(sum(CASE WHEN s < 0.8 THEN p ELSE 0 END) / 100.0, 6)
+                       AS fp_area,
+                     round(sum(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0 END) / 100.0, 6)
+                       AS fn_area,
+                     round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS thr50,
+                     round(round(sum(CASE WHEN s < 0.8 THEN p ELSE 0 END) / 100.0, 6)
+                           + round(sum(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0 END) / 100.0, 6), 6)
+                       AS total_err
+              FROM p0 GROUP BY 1, 2""")),
+
     Q("x_quality_classifier", (s, d) =>
       // fastText-style hashed linear classifier inference (bag of
       // unigram+bigram features, hash-derived weight table, mean +
