@@ -474,4 +474,76 @@ object StreamOps {
         fresh.write.mode("append").parquet(targetDir)
       }
       .start()
+
+  /** Bloom-GATED streaming ingest dedup — the at-scale refinement of
+    * [[dedupIngestSink]]'s exact path: alongside the corpus store it
+    * maintains the corpus's bloom filter as a parquet frame of set bit
+    * positions (`<= k` longs per admitted doc — the index that stays
+    * shipping-sized when the corpus doesn't). Per micro-batch:
+    * batch-internal exact dups collapse first; each survivor probes its
+    * k md5-derived bit positions with ONE equi join against the bit
+    * store; docs missing any bit are DEFINITELY new (the bloom contract:
+    * no false negatives) and skip the corpus read entirely; only
+    * bloom-hit docs pay the exact fingerprint check, which false
+    * positives survive. Admitted docs append to the corpus store, their
+    * unseen bits upsert (left-anti) into the bit store. Replay-
+    * convergent: a replayed doc bloom-hits, exact-matches, and is
+    * dropped; bit upserts are idempotent; id-level replays are
+    * anti-joined away by the doc-id upsert. */
+  def bloomIngestSink(
+      docStream: DataFrame, targetDir: String, bitsDir: String,
+      checkpointDir: String, mBits: Int = 1 << 18, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        import graft.functions.TextFunctions
+        val batchDocs = Dedup.exactDedup(batch, col("doc_id"), col("text"))
+          .filter(!col("is_duplicate"))
+          .select(col("doc_id"), col("text"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val bitsPath = new org.apache.hadoop.fs.Path(bitsDir)
+        val bitsFs = bitsPath.getFileSystem(hconf)
+        val corpusPath = new org.apache.hadoop.fs.Path(targetDir)
+        val corpusFs = corpusPath.getFileSystem(hconf)
+        val fresh =
+          if (!bitsFs.exists(bitsPath) || !corpusFs.exists(corpusPath)) batchDocs
+          else {
+            val bits = spark.read.parquet(bitsDir)
+            val hits = batchDocs
+              .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+              .withColumn("__pos", Dedup.bloomBitPos(col("fp"), col("__i"), mBits))
+              .join(bits.withColumn("__hit", lit(1L)), Seq("__pos"), "left")
+              .groupBy(col("doc_id"))
+              .agg((sum(coalesce(col("__hit"), lit(0L))) === k).as("__bloom_hit"))
+            val definitelyNew = batchDocs.join(
+              hits.filter(!col("__bloom_hit")).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            // only bloom hits touch the corpus store; false positives survive
+            val corpusFp = spark.read.parquet(targetDir)
+              .select(col("fp")).distinct()
+            val falsePos = batchDocs.join(
+              hits.filter(col("__bloom_hit")).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+              .join(corpusFp, Seq("fp"), "left_anti")
+            graft.domain.Export.upsertCandidates(
+              definitelyNew.unionByName(falsePos),
+              spark.read.parquet(targetDir), Seq("doc_id"))
+          }
+        val freshMat = fresh.localCheckpoint(true)
+        freshMat.write.mode("append").parquet(targetDir)
+        val newBits = freshMat
+          .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+          .select(Dedup.bloomBitPos(col("fp"), col("__i"), mBits).as("__pos"))
+          .distinct()
+        val bitsOut =
+          if (bitsFs.exists(bitsPath))
+            newBits.join(spark.read.parquet(bitsDir), Seq("__pos"), "left_anti")
+          else newBits
+        bitsOut.localCheckpoint(true).write.mode("append").parquet(bitsDir)
+      }
+      .start()
 }

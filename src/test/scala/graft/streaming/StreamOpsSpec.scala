@@ -516,4 +516,43 @@ class StreamOpsSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("bloomIngestSink: bloom-gated store admits each content once, bit store grows idempotently") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_ingest").toString
+    val target = s"$dir/corpus"; val bits = s"$dir/bits"; val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bloomIngestSink(
+      input.toDF().toDF("doc_id", "text"), target, bits, ckpt, mBits = 1 << 16)
+    // batch 1 seeds corpus + bit store; 11 is an exact dup of 10
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha  beta gamma delta epsilon "),
+      (12L, "one two three four five six"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(target).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq == Seq(10L, 12L))
+    val bits1 = spark.read.parquet(bits).count()
+    assert(bits1 >= 2 && bits1 <= 6) // 2 docs x k=3, minus collisions
+    // batch 2: exact dup of stored content (bloom-hit -> exact-dropped)
+    // and a novel doc (bloom miss -> admitted without a corpus probe)
+    input.addData(
+      (20L, "alpha beta gamma delta epsilon"),
+      (22L, "totally novel content appears here now"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(target).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq == Seq(10L, 12L, 22L))
+    val bits2 = spark.read.parquet(bits)
+    assert(bits2.count() == bits2.select(col("__pos")).distinct().count(),
+      "bit upserts must stay duplicate-free")
+    // replay batch: store and bit store both unchanged (convergent)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.bloomIngestSink(
+      input2.toDF().toDF("doc_id", "text"), target, bits, s"$dir/ckpt2",
+      mBits = 1 << 16)
+    input2.addData((22L, "totally novel content appears here now"))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(target).count() == 3)
+    assert(spark.read.parquet(bits).count() == bits2.count())
+  }
 }

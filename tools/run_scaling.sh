@@ -18,11 +18,15 @@ S100=${3:-/tmp/graft_scale100}
 
 # r11 deliberate addition: x_unigram_em (the unigram-LM EM trainer is a
 # new heavy composite; additive row, prior rows unchanged)
+# r12 deliberate additions: g_entity_resolution (PassJoin segment
+# blocking replaced length buckets — decade ratios prove the posture)
+# and x_textrank_keywords (new iterative graph composite)
 SCALING_QUERIES="domain_e2e_gl,g_incremental_gl,docs_e2e_curation,events_e2e_engagement,\
 d_components,d_cluster_canonical,d_dedup_report,d_source_overlap,d_curation_log,\
 d_ngram_jaccard,d_prefix_jaccard,d_containment,d_simhash_pairs,d_triangles,d_pagerank,\
 v_ivf_pq,v_pq_adc,v_power_iteration,x_dedup_eval,x_bpe_encode,x_bpe_deep,x_winnow,\
-a22_join_size_est,a24_woe_binning,a30_mad_outliers,x_unigram_em"
+a22_join_size_est,a24_woe_binning,a30_mad_outliers,x_unigram_em,\
+g_entity_resolution,x_textrank_keywords"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
