@@ -4128,6 +4128,74 @@ object SparkEntry {
                        GROUP BY 1) s USING (node))
               SELECT node, rank FROM r3""")),
 
+    Q("d_kcore", (s, d) => {
+      // k-core decomposition (k=3) by fixed-round synchronous peeling
+      // over a sparsified part co-occurrence graph (parts in the same
+      // order, edges kept by a 4% md5 slice so peeling actually
+      // cascades on the uniform synthetic data). 10 rounds covers the
+      // measured fixpoint depth (7/5/7 at the three SFs) with margin;
+      // `converged` asserts the peel bottomed out rather than trusting
+      // the budget. Pair expansion is bounded by per-order part count
+      // (<= a few lineitems), so the self-join is order-local
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      graft.operators.Components.kCore(pairs, "u", "v", k = 3, rounds = 10)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              e AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+              a1 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a0 s ON e.src = s.node JOIN a0 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a2 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a1 s ON e.src = s.node JOIN a1 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a3 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a2 s ON e.src = s.node JOIN a2 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a4 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a3 s ON e.src = s.node JOIN a3 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a5 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a4 s ON e.src = s.node JOIN a4 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a6 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a5 s ON e.src = s.node JOIN a5 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a7 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a6 s ON e.src = s.node JOIN a6 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a8 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a7 s ON e.src = s.node JOIN a7 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a9 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a8 s ON e.src = s.node JOIN a8 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              a10 AS MATERIALIZED (SELECT e.src AS node FROM e
+                JOIN a9 s ON e.src = s.node JOIN a9 t ON e.dst = t.node
+                GROUP BY 1 HAVING count(*) >= 3),
+              core AS (SELECT e.src AS node, count(*)::INT AS core_deg FROM e
+                JOIN a10 s ON e.src = s.node JOIN a10 t ON e.dst = t.node
+                GROUP BY 1),
+              conv AS (SELECT CASE WHEN (SELECT count(*) FROM a9)
+                  = (SELECT count(*) FROM a10) THEN 1 ELSE 0 END AS converged)
+              SELECT node, core_deg, converged FROM core CROSS JOIN conv""")),
+
     Q("x_textrank_keywords", (s, d) => {
       // TextRank keyword extraction (Mihalcea & Tarau 2004): undirected
       // word co-occurrence graph over adjacent content words (lowercase
@@ -5482,6 +5550,81 @@ object SparkEntry {
                   'https?://[^\s]+', '[URL]', 'g'),
                   '\b555-[0-9]+\b', '[PHONE]', 'g')) AS redacted_md5
               FROM t""")),
+
+    Q("x_pii_redact", (s, d) =>
+      // structured-identifier PII scrub (the deeper cousin of x_redact):
+      // emails, 16-digit card numbers (Luhn-checked — n_card_valid
+      // separates real cards from random digit runs), SSNs, phones, and
+      // IPv4s, counted + redacted SEQUENTIALLY so overlapping digit
+      // shapes are unambiguous. PII is injected deterministically per
+      // doc_id (incl. one Luhn-valid and one Luhn-invalid card) so every
+      // pattern fires both ways. Row-local, shuffle-free (plan-guarded)
+      TextFunctions.piiRedact(
+        doc(s, d).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" Contact: user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 8 === 0,
+            lit(" card 4532015112830366")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" card 4532015112830367")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" SSN: 123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" Call 555-867-5309.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256,
+              lit(".77"))).otherwise(lit(""))).as("t")),
+        col("doc_id"), col("t")),
+      Some("""WITH t AS (SELECT doc_id, text
+                || CASE WHEN doc_id % 4 = 0 THEN ' Contact: user'
+                     || doc_id::VARCHAR || '@example.com' ELSE '' END
+                || CASE WHEN doc_id % 8 = 0
+                     THEN ' card 4532015112830366' ELSE '' END
+                || CASE WHEN doc_id % 9 = 0
+                     THEN ' card 4532015112830367' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' SSN: 123-45-6789' ELSE '' END
+                || CASE WHEN doc_id % 6 = 0 THEN ' Call 555-867-5309.' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                     || (doc_id % 256)::VARCHAR || '.77' ELSE '' END AS t0
+              FROM documents),
+              s1 AS (SELECT doc_id, t0,
+                len(regexp_extract_all(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+                regexp_replace(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1 FROM t),
+              s2 AS (SELECT *,
+                len(regexp_extract_all(t1, '\b\d{16}\b'))::INT AS n_card,
+                len(list_filter(regexp_extract_all(t1, '\b\d{16}\b'), m ->
+                  list_sum(list_transform(range(0, 16), i ->
+                    CASE WHEN (15 - i) % 2 = 1 THEN
+                      CASE WHEN substring(m, i + 1, 1)::INT * 2 > 9
+                           THEN substring(m, i + 1, 1)::INT * 2 - 9
+                           ELSE substring(m, i + 1, 1)::INT * 2 END
+                    ELSE substring(m, i + 1, 1)::INT END)) % 10 = 0))::INT
+                  AS n_card_valid,
+                regexp_replace(t1, '\b\d{16}\b', '<CARD>', 'g') AS t2 FROM s1),
+              s3 AS (SELECT *,
+                len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))::INT AS n_ssn,
+                regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3
+              FROM s2),
+              s4 AS (SELECT *,
+                len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phone,
+                regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t4
+              FROM s3),
+              s5 AS (SELECT *,
+                len(regexp_extract_all(t4,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ip,
+                regexp_replace(t4, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IP>', 'g') AS t5
+              FROM s4)
+              SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ip,
+                     n_card_valid,
+                     (n_email + n_card + n_ssn + n_phone + n_ip) AS n_pii,
+                     length(t0)::INT AS orig_len,
+                     length(t5)::INT AS redacted_len
+              FROM s5""")),
 
     Q("x_char_entropy", (s, d) => {
       // per-document character entropy (a cheap perplexity proxy:

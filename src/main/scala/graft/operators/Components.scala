@@ -131,6 +131,59 @@ object Components {
     out
   }
 
+  /** k-core of an undirected graph by iterative peeling (Batagelj &
+    * Zaveršnik's bucket algorithm re-expressed as synchronous rounds):
+    * repeatedly drop every node with fewer than `k` surviving neighbors
+    * until nothing changes. The k-core is the standard density filter
+    * for near-dup cluster graphs and citation/link corpora (a node in
+    * the 3-core has 3+ neighbors that THEMSELVES are well-connected —
+    * far stronger than a raw degree cut).
+    *
+    * Runs a FIXED `rounds` peels so the whole trajectory is replayable
+    * by any engine (the k-means/PageRank playbook); the `converged`
+    * column reports whether the last round was a fixed point (row count
+    * unchanged), so callers — and the oracle — can assert the peel
+    * actually bottomed out rather than trust the round budget.
+    *
+    * Scale shape: each round is two equi semi joins of the edge frame
+    * against the shrinking survivor set plus one hash aggregate with
+    * map-side partials — all keyed on node id, no windows, no driver
+    * data reads. Survivor frames route through [[graft.Mat]] per round
+    * (each is consumed twice the next round, once per edge endpoint;
+    * without it the plan doubles per round).
+    *
+    * Returns one row per surviving node: (node, core_deg, converged),
+    * core_deg = its degree inside the core. */
+  def kCore(
+      pairs: DataFrame, a: String, b: String,
+      k: Int, rounds: Int): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = graft.Mat(
+      e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+    def survivors(alive: DataFrame): DataFrame =
+      dir
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    var alive = graft.Mat(dir.select(col("src").as("node")).distinct())
+    var prev = alive
+    for (_ <- 1 to rounds) {
+      prev = alive
+      alive = graft.Mat(
+        survivors(prev).filter(col("__deg") >= k).select(col("src").as("node")))
+    }
+    val coreDeg = survivors(alive)
+      .select(col("src").as("node"), col("__deg").cast("int").as("core_deg"))
+    val conv = prev.agg(count(lit(1)).as("__np"))
+      .crossJoin(alive.agg(count(lit(1)).as("__na")))
+      .select(when(col("__np") === col("__na"), 1).otherwise(0).as("converged"))
+    coreDeg.crossJoin(conv)
+  }
+
   /** Per-vertex triangle counts by degree-ordered orientation (the
     * distributed-triangle-counting standard, e.g. Suri & Vassilvitskii's
     * MR "compact-forward"): orient every undirected edge from its

@@ -368,6 +368,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("pii redaction is a shuffle-free scan projection") {
+    // sequential regex counts + the Luhn HOF fold are all row-local;
+    // an Exchange or Generate would mean a join/explode crept in
+    val p = plan("x_pii_redact")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("k-core peeling joins on node id, never all-pairs") {
+    // every peel round must stay an equi (semi) join + hash aggregate; a
+    // cartesian product would mean the survivor filter degenerated. (One
+    // BroadcastNestedLoopJoin legitimately remains: the 1-row converged
+    // flag crossJoin.)
+    val p = plan("d_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("fuzzy lookup joins on the length bucket, never all-pairs") {
     // the candidate join must be an equi (broadcast hash) join on the
     // exploded length bucket; a nested loop would mean the band predicate

@@ -355,4 +355,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(7L)._7 == 0)                      // < 80% alphabetic words
     assert(got(8L)._8 == 0 && got(8L)._9 == 0)   // no stop words
   }
+
+  test("piiRedact: each category counted and scrubbed; Luhn separates real cards") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk and b@x.io end"),
+      (2L, "valid 4532015112830366 invalid 4532015112830367 short 123456"),
+      (3L, "ssn 123-45-6789 phone 555-867-5309 dotted 555.867.5309"),
+      (4L, "ip 10.0.200.77 and 192.168.1.1, not 1.2.3"),
+      (5L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.piiRedact(docs, col("doc_id"), col("text"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // (doc_id, n_email, n_card, n_ssn, n_phone, n_ip, n_card_valid, n_pii, orig, redacted)
+    assert(got(1L)._2 == 2 && got(1L)._8 == 2)
+    assert(got(2L)._3 == 2 && got(2L)._7 == 1)   // both counted, one Luhn-valid
+    assert(got(3L)._4 == 1 && got(3L)._5 == 2)   // dash + dot phone forms
+    assert(got(4L)._6 == 2)                       // 1.2.3 is not an IPv4
+    assert(got(5L)._8 == 0 &&
+      got(5L)._9 == got(5L)._10)                  // nothing redacted -> len equal
+    // redaction replaces, never deletes content around matches
+    assert(got(2L)._10 == ("valid <CARD> invalid <CARD> short 123456").length)
+  }
+
+  test("piiRedact: sequential semantics — an email's digits never recount as PII") {
+    val docs = Seq((1L, "reach 4532015112830366abc@mail.com today"))
+      .toDF("doc_id", "text")
+    val r = TextFunctions.piiRedact(docs, col("doc_id"), col("text"))
+      .select(col("n_email"), col("n_card"), col("n_ip")).as[(Int, Int, Int)]
+      .collect().head
+    assert(r == ((1, 0, 0)))                      // consumed by the email pass
+  }
+
+  test("luhnValid16 agrees with a reference implementation") {
+    def luhnRef(s: String): Boolean = {
+      val tot = s.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if ((15 - i) % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      tot % 10 == 0
+    }
+    val nums = Seq("4532015112830366", "4532015112830367", "4111111111111111",
+      "1234567812345678", "0000000000000000", "9999999999999999")
+    val got = nums.toDF("m")
+      .select(col("m"), TextFunctions.luhnValid16(col("m")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    nums.foreach(n => assert(got(n) == luhnRef(n), n))
+  }
 }

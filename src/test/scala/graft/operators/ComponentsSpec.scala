@@ -69,4 +69,44 @@ class ComponentsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assert(Components.triangleCounts(edges, col("a"), col("b")).count() == 0)
   }
+
+  test("kCore: peeling cascades down a tail and keeps the dense core") {
+    // triangle {1,2,3} + tail 3-4-5: the 2-core peels 5 (deg 1), which
+    // drops 4 to deg 1 (second round), leaving exactly the triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Components.kCore(pairs, "a", "b", k = 2, rounds = 5)
+      .as[(Long, Int, Int)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(got.forall(_._3 == 1))
+  }
+
+  test("kCore: fully peelable graph returns no rows") {
+    // a path has no 2-core: endpoints peel inward until nothing is left
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    assert(Components.kCore(pairs, "a", "b", k = 2, rounds = 10).count() == 0)
+  }
+
+  test("kCore: converged=0 when the round budget stops before the fixpoint") {
+    // the same path needs ~3 synchronous rounds to vanish; 1 round
+    // leaves survivors AND reports non-convergence
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+    val got = Components.kCore(pairs, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Int, Int)].collect()
+    assert(got.nonEmpty && got.forall(_._3 == 0))
+    assert(got.map(_._1).sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("kCore: duplicate and reversed edges canonicalize; K4 survives k=3") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 4L), (4L, 9L))
+      .toDF("a", "b")
+    val got = Components.kCore(pairs, "a", "b", k = 3, rounds = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    assert(got.forall(_._3 == 1))
+  }
 }
