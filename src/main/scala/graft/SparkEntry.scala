@@ -6841,6 +6841,42 @@ object SparkEntry {
                      (row_number() OVER (ORDER BY adc_dist ASC, vec_id))::INT AS rank
               FROM score QUALIFY rank <= 10""")),
 
+    Q("v_sq8", (s, d) =>
+      // SQ8 scalar-quantization ANN (FAISS QT_8bit): per-DIMENSION
+      // [min,max] training over the corpus (one hash agg -> a 1-row
+      // broadcast; v_quantize_int8 is the per-VECTOR compression cousin),
+      // byte encoding and midpoint reconstruction as row-local zip_with
+      // folds, asymmetric euclidean vs the full-precision query,
+      // TakeOrdered top-10. The oracle replays train/encode/reconstruct/
+      // score
+      Similarity.sq8TopK(emb(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              x AS (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x FROM e),
+              st AS (SELECT pos, min(x) AS mn, max(x) AS mx,
+                            (max(x) - min(x)) / 256.0 AS stp
+                     FROM x GROUP BY 1),
+              q AS (SELECT pos, x AS qx FROM x WHERE vec_id = 0),
+              c AS (SELECT x.vec_id, x.pos,
+                      (CASE WHEN st.stp = 0 THEN 0
+                            ELSE least(greatest(floor((x.x - st.mn) / st.stp),
+                              0), 255) END)::INT AS code
+                    FROM x JOIN st USING (pos)),
+              r AS (SELECT c.vec_id, c.pos,
+                           st.mn + (c.code + 0.5) * st.stp AS recon
+                    FROM c JOIN st USING (pos)),
+              t AS (SELECT r.vec_id, r.pos,
+                           round((r.recon - q.qx) * (r.recon - q.qx), 6) AS term
+                    FROM r JOIN q USING (pos) WHERE r.vec_id <> 0),
+              sc AS (SELECT vec_id,
+                            round(list_reduce(list(term ORDER BY pos),
+                              (a, b) -> a + b), 6) AS adc_dist
+                     FROM t GROUP BY 1)
+              SELECT vec_id AS neighbor_id, adc_dist,
+                     (row_number() OVER (ORDER BY adc_dist ASC, vec_id))::INT AS rank
+              FROM sc QUALIFY rank <= 10""")),
+
     Q("v_ivf_pq", (s, d) =>
       // IVF-PQ (FAISS IVFADC): coarse inverted file (8 cells, probe 2)
       // + product quantization of RESIDUALS (8 subspaces x 16 codes) +

@@ -367,6 +367,66 @@ object Similarity {
       .select(col("vid").as("neighbor_id"), col("adc_dist"), col("rank"))
   }
 
+  /** SQ8 scalar-quantization ANN (the FAISS `ScalarQuantizer` QT_8bit
+    * design): train per-DIMENSION [min, max] ranges over the corpus, byte-
+    * encode every value to `floor((x-min)/step)` with step = range/256,
+    * and answer a query asymmetrically — the query stays full-precision,
+    * corpus values are reconstructed at bucket midpoints
+    * (`min + (code+0.5)*step`), distance is exact euclidean on the
+    * reconstruction.
+    *
+    * Scale shape: training is ONE explode + per-dimension hash aggregate
+    * whose result is a single broadcastable row (2 d-length arrays);
+    * encode and score are row-local `zip_with` folds inside the scan
+    * projection; top-k is TakeOrdered. At 100 TB the codes shrink the
+    * resident corpus 4x vs float32 (the point of SQ8 — same recall class
+    * as PQ at far simpler train/encode), and nothing here shuffles the
+    * corpus at all.
+    *
+    * Determinism: all arithmetic is IEEE double (exact float widening,
+    * same multiply/divide/floor in any engine); per-dim squared terms are
+    * rounded at 6 and folded left-to-right, so the oracle replays
+    * training, encoding, reconstruction and scoring bit-for-bit. */
+  def sq8TopK(
+      corpus: DataFrame, cId: String, cVec: String,
+      queryId: Long, k: Int): DataFrame = {
+    val e = corpus.select(col(cId).cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          p => p.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          p => p.getField("mx")).as("maxs"))
+      .select(col("mins"),
+        zip_with(col("maxs"), col("mins"), (a, b) => (a - b) / lit(256.0))
+          .as("steps"))
+    val enc = e.crossJoin(broadcast(stats))
+      .withColumn("codes", zip_with(
+        zip_with(col("v"), col("mins"), (x, mn) => x - mn), col("steps"),
+        (dx, st) => when(st === 0d, lit(0d))
+          .otherwise(least(greatest(floor(dx / st), lit(0d)), lit(255d)))
+          .cast("int")))
+    val qv = e.filter(col("vid") === queryId).select(col("v").as("qv"))
+    val scored = enc.filter(col("vid") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("recon", zip_with(
+        zip_with(col("codes"), col("steps"),
+          (c, st) => (c.cast("double") + lit(0.5)) * st),
+        col("mins"), (t, mn) => t + mn))
+      .withColumn("adc_dist", round(aggregate(
+        zip_with(col("recon"), col("qv"),
+          (r, q) => round((r - q) * (r - q), 6)),
+        lit(0.0), (acc, t) => acc + t), 6))
+    scored.orderBy(col("adc_dist").asc, col("vid").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("adc_dist").asc, col("vid").asc)).cast("int"))
+      .select(col("vid").as("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   /** Mutual k-NN graph construction — the edge list graph-based corpus
     * clustering and diversity analysis start from: an undirected edge
     * (a,b) exists iff b is among a's k nearest neighbors AND a is among

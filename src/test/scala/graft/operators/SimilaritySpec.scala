@@ -111,6 +111,36 @@ class SimilaritySpec extends SparkSpec {
     assert(codes2.forall(_ == 0) && mae2 == 0.0) // constant vector round-trips
   }
 
+  test("sq8TopK: quantized ranking matches exact euclidean on separated clusters") {
+    // two tight clusters far apart: quantization error (half a step,
+    // range/512) cannot flip the ordering, so SQ8 top-3 = exact top-3
+    val vecs = (Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),       // query
+      (1L, Array(0.1f, 0.0f, 0.1f)),
+      (2L, Array(0.2f, 0.1f, 0.0f)),
+      (3L, Array(9.0f, 9.5f, 9.0f)),
+      (4L, Array(9.5f, 9.0f, 9.5f)))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(vecs, "vec_id", "embedding", queryId = 0L, k = 3)
+      .select(col("rank"), col("neighbor_id"), col("adc_dist"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._3 < got(1)._3 && got(1)._3 < got(2)._3)
+    // near cluster distances stay near, far cluster stays far
+    assert(got(1)._3 < 1.0 && got(2)._3 > 100.0)
+  }
+
+  test("sq8TopK: constant dimension (step 0) reconstructs without NaN") {
+    val vecs = (Seq(
+      (0L, Array(1.0f, 5.0f)), (1L, Array(2.0f, 5.0f)),
+      (2L, Array(4.0f, 5.0f)))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(vecs, "vec_id", "embedding", queryId = 0L, k = 2)
+      .select(col("neighbor_id"), col("adc_dist")).as[(Long, Double)]
+      .collect().toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got.values.forall(d => !d.isNaN && d >= 0.0))
+    assert(got(1L) < got(2L)) // dim-2 is constant; dim-1 still orders
+  }
+
   test("randomProjection preserves relative distances roughly (JL property)") {
     import graft.functions.VectorFunctions
     // two tight groups far apart in 16-dim; projections to 4 dims must
