@@ -7293,6 +7293,39 @@ object SparkEntry {
                            - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
               FROM c""")),
 
+    Q("a46_ewma_anomaly", (s, d) =>
+      // EWMA drift monitor over per-type daily event volume: alpha=1/2
+      // makes the whole trajectory exact integer arithmetic (power-of-two
+      // weights, DECIMAL/HUGEINT scaled levels, cross-multiplied anomaly
+      // gates vs the previous smoothed level) — no pow(), no float
+      // boundary. One corpus hash agg; the series frame is calendar-
+      // bounded (5 types x 30 days)
+      graft.operators.Stats.ewmaAnomalies(ev(s, d),
+        col("event_type"), col("ts"))
+        .withColumnRenamed("grp", "event_type"),
+      Some("""WITH daily AS (SELECT event_type, ts::DATE AS day,
+                       count(*)::BIGINT AS n
+                     FROM events GROUP BY 1, 2),
+              idx AS (SELECT *, (row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) - 1)::INT AS j FROM daily),
+              pw AS (SELECT i::INT AS i,
+                       (CASE WHEN i < 46 THEN (1::BIGINT << i::INT)::HUGEINT
+                             ELSE (1::BIGINT << (i::INT - 45))::HUGEINT
+                                  * (1::BIGINT << 45)::HUGEINT END) AS p
+                     FROM range(0, 91) r(i)),
+              w AS (SELECT idx.*, idx.n::HUGEINT * pa.p AS wgt, pj.p AS pj
+                    FROM idx JOIN pw pa ON pa.i = greatest(idx.j - 1, 0)
+                             JOIN pw pj ON pj.i = idx.j),
+              s AS (SELECT *, sum(wgt) OVER (PARTITION BY event_type
+                      ORDER BY j ROWS UNBOUNDED PRECEDING) AS sp FROM w)
+              SELECT event_type, day, n, j,
+                     round(sp::DOUBLE / pj::DOUBLE, 6) AS ewma,
+                     CASE WHEN j > 0 AND n::HUGEINT * pj > 3 * (sp - wgt)
+                          THEN 1 ELSE 0 END AS flag_high,
+                     CASE WHEN j > 0 AND n::HUGEINT * pj < (sp - wgt)
+                          THEN 1 ELSE 0 END AS flag_low
+              FROM s""")),
+
     Q("s12_format_roundtrip", (s, d) => {
       // JSONL + ORC sink/source fidelity: parquet -> write JSONL -> read
       // with an explicit schema -> write ORC -> read -> aggregate. The

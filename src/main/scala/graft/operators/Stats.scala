@@ -107,6 +107,55 @@ object Stats {
         count(lit(1)).as("n_events"))
   }
 
+  /** EWMA level tracking + anomaly flags over a per-group daily count
+    * series — the standard cheap drift monitor for ingest pipelines
+    * (is today's volume for this source/event wildly off its smoothed
+    * level?).
+    *
+    * α is fixed at 1/2 so the ENTIRE trajectory is exact integer
+    * arithmetic: with s_t = (x_t + s_{t-1})/2, the scaled level
+    * S_t = s_t·2^t = x_0 + Σ_{j≥1} x_j·2^{j-1} is an integer running
+    * sum of power-of-two-weighted counts (DECIMAL(38,0) here, HUGEINT
+    * in the oracle — identical values), and both anomaly gates are
+    * integer cross-multiplications against the PREVIOUS level:
+    * `x_t > 1.5·s_{t-1}  ⇔  x_t·2^t > 3·S_{t-1}` (and `< 0.5·` ⇔
+    * `x_t·2^t < S_{t-1}`). No pow(), no float boundary anywhere; the
+    * reported `ewma` divides once at the end by an exactly-representable
+    * 2^t. Headroom: counts up to ~1e9/day over ~90-point series stay
+    * under 38 digits; series are calendar-bounded so they don't grow
+    * with corpus size.
+    *
+    * Scale shape: ONE corpus hash aggregate (group × day counts);
+    * everything after runs on the calendar-bounded series frame (the
+    * window sort touches #groups × #days rows, not data). */
+  def ewmaAnomalies(df: DataFrame, grp: Column, ts: Column): DataFrame = {
+    // exact 2^k as DECIMAL(38,0), split at 45 bits so k up to ~90 works
+    def pw2(k: Column): Column =
+      when(k < 46,
+        call_function("shiftleft", lit(1L), k).cast("decimal(38,0)"))
+        .otherwise(call_function("shiftleft", lit(1L), k - 45)
+          .cast("decimal(38,0)") * lit(35184372088832L).cast("decimal(38,0)"))
+    val daily = df.groupBy(grp.as("grp"), to_date(ts).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nDec = col("n").cast("decimal(38,0)")
+    daily
+      .withColumn("j", (row_number().over(w) - 1).cast("int"))
+      .withColumn("__pj", pw2(col("j")))
+      .withColumn("__wgt", nDec * pw2(greatest(col("j") - 1, lit(0))))
+      .withColumn("__sp", sum(col("__wgt")).over(run))
+      .select(col("grp"), col("day"), col("n"), col("j"),
+        round(col("__sp").cast("double") / col("__pj").cast("double"), 6)
+          .as("ewma"),
+        when(col("j") > 0 && nDec * col("__pj") >
+          lit(3).cast("decimal(38,0)") * (col("__sp") - col("__wgt")), 1)
+          .otherwise(0).as("flag_high"),
+        when(col("j") > 0 && nDec * col("__pj") <
+          (col("__sp") - col("__wgt")), 1)
+          .otherwise(0).as("flag_low"))
+  }
+
   /** Incremental aggregate maintenance: merge partial aggregate states
     * (each a keyed frame of decomposable measures — sums/counts — e.g.
     * yesterday's materialized rollup plus today's delta batch) into the

@@ -474,6 +474,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewmaAnomalies == sequential alpha=1/2 replay for random series (3 seeds)") {
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      evs <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        dayIdx <- Gen.choose(0, 25)
+      } yield (g, dayIdx))
+    } yield evs
+    (71L to 73L).foreach { seed =>
+      val evs = sample(gen, seed)
+      val df = evs.map { case (g, di) =>
+        (g, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(di.toLong * 86400L + 3600L)))
+      }.toDF("grp", "ts")
+      val got = graft.operators.Stats.ewmaAnomalies(df, col("grp"), col("ts"))
+        .select(col("grp"), col("day").cast("string"), col("n"), col("j"),
+          col("ewma"), col("flag_high"), col("flag_low"))
+        .as[(String, String, Long, Int, Double, Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).toList).toMap
+      // sequential replay: s_t = (x_t + s_{t-1}) / 2, s_0 = x_0
+      evs.groupBy(_._1).foreach { case (g, rows) =>
+        val series = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toList.sortBy(_._1).map(_._2)
+        var s = 0.0
+        series.zipWithIndex.foreach { case (x, t) =>
+          val sPrev = s
+          s = if (t == 0) x.toDouble else (x + s) / 2.0
+          val r = got(g)(t)
+          assert(r._3 == x, s"seed=$seed $g t=$t count")
+          assert(math.abs(r._5 - s) < 1e-6, s"seed=$seed $g t=$t ewma $s vs ${r._5}")
+          val expHigh = if (t > 0 && x > 1.5 * sPrev) 1 else 0
+          val expLow = if (t > 0 && x < 0.5 * sPrev) 1 else 0
+          assert(r._6 == expHigh && r._7 == expLow, s"seed=$seed $g t=$t flags")
+        }
+      }
+    }
+  }
+
   test("curationFunnel counts are monotone down the funnel (3 seeds)") {
     val gen = for {
       nDocs <- Gen.choose(2, 25)
