@@ -4007,6 +4007,49 @@ object SparkEntry {
               FROM pairs JOIN lm USING (w1, w2)
               GROUP BY 1""")),
 
+    Q("x_ccnet_bucket", (s, d) =>
+      // CCNet head/middle/tail perplexity terciles per language (Wenzek
+      // 2020): per-doc mean bigram NLL under the corpus LM, tercile
+      // edges from the distinct-score cumulative (ties share a bucket,
+      // integer div — no corpus-wide sort), per-(lang, band) rollup
+      TextFunctions.ccnetBuckets(doc(s, d), col("doc_id"), col("text"),
+        col("lang")),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              p AS (SELECT doc_id, w AS w1,
+                      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks WHERE w <> ''),
+              pairs AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+              c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2),
+              lm AS (SELECT w1, w2,
+                       round(-ln(round(cnt / (sum(cnt) OVER (PARTITION BY w1)), 6)), 9)
+                         ::DECIMAL(12,9) AS nll
+                     FROM c),
+              sc0 AS (SELECT doc_id,
+                        round(sum(nll)::DOUBLE / count(*), 6) AS avg_nll
+                      FROM pairs JOIN lm USING (w1, w2) GROUP BY 1),
+              sc AS (SELECT d.lang, sc0.doc_id, sc0.avg_nll
+                     FROM sc0 JOIN documents d USING (doc_id)),
+              vals AS (SELECT lang, avg_nll, count(*)::BIGINT AS cnt
+                       FROM sc GROUP BY 1, 2),
+              b AS (SELECT lang, avg_nll,
+                      (sum(cnt) OVER (PARTITION BY lang ORDER BY avg_nll)
+                        - cnt) AS cumb,
+                      sum(cnt) OVER (PARTITION BY lang) AS n
+                    FROM vals),
+              bb AS (SELECT lang, avg_nll, ((cumb * 3) // n)::INT AS bucket
+                     FROM b)
+              SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+                     min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
+                     CASE WHEN bucket = 0 THEN 'head'
+                          WHEN bucket = 1 THEN 'middle'
+                          ELSE 'tail' END AS band
+              FROM (SELECT sc.lang, bb.bucket, sc.avg_nll FROM sc JOIN bb
+                    ON sc.lang = bb.lang AND sc.avg_nll = bb.avg_nll) t
+              GROUP BY 1, 2""")),
+
     Q("d_temperature_mix", (s, d) =>
       // temperature-scaled source mixing (alpha=0.7, expected total 300):
       // per-source rates from count^alpha, deterministic hash-bucket keep
@@ -4195,6 +4238,71 @@ object SparkEntry {
               conv AS (SELECT CASE WHEN (SELECT count(*) FROM a9)
                   = (SELECT count(*) FROM a10) THEN 1 ELSE 0 END AS converged)
               SELECT node, core_deg, converged FROM core CROSS JOIN conv""")),
+
+    Q("d_hits", (s, d) => {
+      // HITS hubs/authorities (Kleinberg), 3 iterations over the
+      // directed customer->supplier trade graph (customers can only be
+      // hubs, suppliers only authorities — the bipartite sanity case).
+      // Scores stay round-9 doubles summed as exact DECIMAL so the
+      // trajectory replays engine-for-engine
+      val e = li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("p"))
+      graft.operators.Components.hits(e, "c", "p", iters = 3)
+    },
+      Some("""WITH b AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              n AS (SELECT src AS node FROM b UNION SELECT dst FROM b),
+              s0 AS (SELECT node, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS auth FROM n),
+              ar1 AS (SELECT e.dst AS node,
+                        (sum(s.hub::DECIMAL(28,9)))::DOUBLE AS auth
+                      FROM b e JOIN s0 s ON s.node = e.src GROUP BY 1),
+              a1p AS (SELECT n.node, coalesce(ar1.auth, 0.0) AS auth
+                      FROM n LEFT JOIN ar1 USING (node)),
+              a1 AS (SELECT node, round(auth / (SELECT
+                       (sum(auth::DECIMAL(28,9)))::DOUBLE FROM a1p), 9) AS auth
+                     FROM a1p),
+              hr1 AS (SELECT e.src AS node,
+                        (sum(a.auth::DECIMAL(28,9)))::DOUBLE AS hub
+                      FROM b e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+              h1p AS (SELECT n.node, coalesce(hr1.hub, 0.0) AS hub
+                      FROM n LEFT JOIN hr1 USING (node)),
+              h1 AS (SELECT node, round(hub / (SELECT
+                       (sum(hub::DECIMAL(28,9)))::DOUBLE FROM h1p), 9) AS hub
+                     FROM h1p),
+              ar2 AS (SELECT e.dst AS node,
+                        (sum(s.hub::DECIMAL(28,9)))::DOUBLE AS auth
+                      FROM b e JOIN h1 s ON s.node = e.src GROUP BY 1),
+              a2p AS (SELECT n.node, coalesce(ar2.auth, 0.0) AS auth
+                      FROM n LEFT JOIN ar2 USING (node)),
+              a2 AS (SELECT node, round(auth / (SELECT
+                       (sum(auth::DECIMAL(28,9)))::DOUBLE FROM a2p), 9) AS auth
+                     FROM a2p),
+              hr2 AS (SELECT e.src AS node,
+                        (sum(a.auth::DECIMAL(28,9)))::DOUBLE AS hub
+                      FROM b e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+              h2p AS (SELECT n.node, coalesce(hr2.hub, 0.0) AS hub
+                      FROM n LEFT JOIN hr2 USING (node)),
+              h2 AS (SELECT node, round(hub / (SELECT
+                       (sum(hub::DECIMAL(28,9)))::DOUBLE FROM h2p), 9) AS hub
+                     FROM h2p),
+              ar3 AS (SELECT e.dst AS node,
+                        (sum(s.hub::DECIMAL(28,9)))::DOUBLE AS auth
+                      FROM b e JOIN h2 s ON s.node = e.src GROUP BY 1),
+              a3p AS (SELECT n.node, coalesce(ar3.auth, 0.0) AS auth
+                      FROM n LEFT JOIN ar3 USING (node)),
+              a3 AS (SELECT node, round(auth / (SELECT
+                       (sum(auth::DECIMAL(28,9)))::DOUBLE FROM a3p), 9) AS auth
+                     FROM a3p),
+              hr3 AS (SELECT e.src AS node,
+                        (sum(a.auth::DECIMAL(28,9)))::DOUBLE AS hub
+                      FROM b e JOIN a3 a ON a.node = e.dst GROUP BY 1),
+              h3p AS (SELECT n.node, coalesce(hr3.hub, 0.0) AS hub
+                      FROM n LEFT JOIN hr3 USING (node)),
+              h3 AS (SELECT node, round(hub / (SELECT
+                       (sum(hub::DECIMAL(28,9)))::DOUBLE FROM h3p), 9) AS hub
+                     FROM h3p)
+              SELECT h3.node, h3.hub, a3.auth
+              FROM h3 JOIN a3 USING (node)""")),
 
     Q("x_textrank_keywords", (s, d) => {
       // TextRank keyword extraction (Mihalcea & Tarau 2004): undirected
@@ -5625,6 +5733,72 @@ object SparkEntry {
                      length(t0)::INT AS orig_len,
                      length(t5)::INT AS redacted_len
               FROM s5""")),
+
+    Q("x_code_detect", (s, d) =>
+      // code-vs-prose routing (the corpus-mixing gate): 5 independent
+      // row-local signals (symbol density, ;{} line endings, indent
+      // fraction, identifier-token fraction, keyword presence), each an
+      // integer cross-multiplication, 2-of-5 majority verdict. Every
+      // third doc is replaced by a synthetic code block so both classes
+      // fire. Shuffle-free (plan-guarded)
+      TextFunctions.codeDetect(
+        doc(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            lit("import foo.bar\npublic void doThing() {\n  int rowCount = 0;\n  if (rowCount < 10) {\n    total_count = rowCount + otherValue\n  }\n}"))
+            .otherwise(col("text")).as("t")),
+        col("doc_id"), col("t")),
+      Some("""WITH t AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN
+                  'import foo.bar' || chr(10) ||
+                  'public void doThing() {' || chr(10) ||
+                  '  int rowCount = 0;' || chr(10) ||
+                  '  if (rowCount < 10) {' || chr(10) ||
+                  '    total_count = rowCount + otherValue' || chr(10) ||
+                  '  }' || chr(10) || '}'
+                ELSE text END AS t
+              FROM documents),
+              m AS (SELECT doc_id,
+                length(t)::INT AS n_chars,
+                len(regexp_extract_all(t, '[{}();=<>\[\]]'))::INT AS n_sym,
+                list_filter(string_split(t, chr(10)),
+                  l -> length(trim(l)) > 0) AS nb,
+                list_filter(string_split_regex(trim(t), '\s+'),
+                  w -> w <> '') AS words,
+                ((CASE WHEN regexp_matches(t, '\bdef\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bclass\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\breturn\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bimport\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bvoid\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bpublic\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bfunction\b') THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(t, '\bvar\b') THEN 1 ELSE 0 END))
+                  AS n_kw
+              FROM t),
+              r AS (SELECT doc_id, n_chars, n_sym, n_kw,
+                len(nb)::INT AS n_lines,
+                len(list_filter(nb,
+                  l -> regexp_matches(l, '[;{}]\s*$')))::INT AS n_semi,
+                len(list_filter(nb,
+                  l -> regexp_matches(l, '^(  |\t)')))::INT AS n_indent,
+                len(words)::INT AS n_words,
+                len(list_filter(words, w -> regexp_matches(w,
+                  '^[a-z]+([A-Z][A-Za-z0-9]*|_[a-z0-9_]+)$')))::INT AS n_ident
+              FROM m),
+              v AS (SELECT doc_id, n_chars,
+                CASE WHEN n_sym * 100 > n_chars * 3 THEN 1 ELSE 0 END AS s_symbol,
+                CASE WHEN n_semi * 10 >= n_lines * 2 AND n_lines > 0
+                     THEN 1 ELSE 0 END AS s_semi,
+                CASE WHEN n_indent * 10 >= n_lines * 3 AND n_lines > 0
+                     THEN 1 ELSE 0 END AS s_indent,
+                CASE WHEN n_ident * 20 >= n_words AND n_words > 0
+                     THEN 1 ELSE 0 END AS s_camel,
+                CASE WHEN n_kw >= 2 THEN 1 ELSE 0 END AS s_kw
+              FROM r)
+              SELECT doc_id, n_chars, s_symbol, s_semi, s_indent, s_camel,
+                     s_kw,
+                     CASE WHEN s_symbol + s_semi + s_indent + s_camel + s_kw
+                          >= 2 THEN 1 ELSE 0 END AS is_code
+              FROM v""")),
 
     Q("x_char_entropy", (s, d) => {
       // per-document character entropy (a cheap perplexity proxy:
@@ -7264,6 +7438,95 @@ object SparkEntry {
                      max(coalesce(ka, kb)) AS key_max
               FROM j GROUP BY 1""")),
 
+    Q("s20_zonemap_prune", (s, d) => {
+      // zone-map data-skipping report: per-"file" [min,max] maps
+      // (file = 4096-orderkey range, the layout a write-sorted table
+      // would have) probed by range predicates. The orderkey map prunes
+      // hard; the SAME layout mapped on the uncorrelated price column
+      // prunes ~nothing — the clustered-vs-unclustered lesson the
+      // planner step makes visible before paying for a re-sort
+      import graft.operators.Maintenance
+      val fid = expr("l_orderkey div 4096")
+      Maintenance.zoneMapPrune(li(s, d), fid, col("l_orderkey"), Seq(
+          ("ok_narrow", 1000.0, 2000.0), ("ok_mid", 1.0, 100000.0),
+          ("ok_all", 0.0, 1000000000.0)))
+        .withColumn("zone_col", lit("l_orderkey"))
+        .unionByName(
+          Maintenance.zoneMapPrune(li(s, d), fid, col("l_extendedprice"), Seq(
+              ("pr_low", 0.0, 2000.0), ("pr_mid", 10000.0, 20000.0),
+              ("pr_all", 0.0, 1000000000.0)))
+            .withColumn("zone_col", lit("l_extendedprice")))
+    },
+      Some("""WITH r AS (SELECT l_orderkey // 4096 AS file_id,
+                       l_orderkey::DOUBLE AS v, l_extendedprice::DOUBLE AS pv
+                     FROM lineitem),
+              z1 AS (SELECT file_id, min(v) AS mn, max(v) AS mx,
+                       count(*)::BIGINT AS n_rows,
+                       sum(CASE WHEN v >= 1000 AND v <= 2000 THEN 1 ELSE 0 END)::BIGINT AS m_narrow,
+                       sum(CASE WHEN v >= 1 AND v <= 100000 THEN 1 ELSE 0 END)::BIGINT AS m_mid,
+                       sum(CASE WHEN v >= 0 AND v <= 1000000000 THEN 1 ELSE 0 END)::BIGINT AS m_all
+                     FROM r GROUP BY 1),
+              z2 AS (SELECT file_id, min(pv) AS mn, max(pv) AS mx,
+                       count(*)::BIGINT AS n_rows,
+                       sum(CASE WHEN pv >= 0 AND pv <= 2000 THEN 1 ELSE 0 END)::BIGINT AS m_low,
+                       sum(CASE WHEN pv >= 10000 AND pv <= 20000 THEN 1 ELSE 0 END)::BIGINT AS m_mid,
+                       sum(CASE WHEN pv >= 0 AND pv <= 1000000000 THEN 1 ELSE 0 END)::BIGINT AS m_all
+                     FROM r GROUP BY 1)
+              SELECT 'l_orderkey' AS zone_col, 'ok_narrow' AS predicate,
+                     count(*)::BIGINT AS n_files,
+                     sum(CASE WHEN NOT (mx >= 1000 AND mn <= 2000) THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+                     sum(n_rows)::BIGINT AS rows_total,
+                     sum(CASE WHEN mx >= 1000 AND mn <= 2000 THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+                     sum(m_narrow)::BIGINT AS rows_matched,
+                     round(1.0 - sum(CASE WHEN mx >= 1000 AND mn <= 2000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6) AS skip_frac
+              FROM z1
+              UNION ALL
+              SELECT 'l_orderkey', 'ok_mid', count(*)::BIGINT,
+                     sum(CASE WHEN NOT (mx >= 1 AND mn <= 100000) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(n_rows)::BIGINT,
+                     sum(CASE WHEN mx >= 1 AND mn <= 100000 THEN n_rows ELSE 0 END)::BIGINT,
+                     sum(m_mid)::BIGINT,
+                     round(1.0 - sum(CASE WHEN mx >= 1 AND mn <= 100000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6)
+              FROM z1
+              UNION ALL
+              SELECT 'l_orderkey', 'ok_all', count(*)::BIGINT,
+                     sum(CASE WHEN NOT (mx >= 0 AND mn <= 1000000000) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(n_rows)::BIGINT,
+                     sum(CASE WHEN mx >= 0 AND mn <= 1000000000 THEN n_rows ELSE 0 END)::BIGINT,
+                     sum(m_all)::BIGINT,
+                     round(1.0 - sum(CASE WHEN mx >= 0 AND mn <= 1000000000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6)
+              FROM z1
+              UNION ALL
+              SELECT 'l_extendedprice', 'pr_low', count(*)::BIGINT,
+                     sum(CASE WHEN NOT (mx >= 0 AND mn <= 2000) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(n_rows)::BIGINT,
+                     sum(CASE WHEN mx >= 0 AND mn <= 2000 THEN n_rows ELSE 0 END)::BIGINT,
+                     sum(m_low)::BIGINT,
+                     round(1.0 - sum(CASE WHEN mx >= 0 AND mn <= 2000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6)
+              FROM z2
+              UNION ALL
+              SELECT 'l_extendedprice', 'pr_mid', count(*)::BIGINT,
+                     sum(CASE WHEN NOT (mx >= 10000 AND mn <= 20000) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(n_rows)::BIGINT,
+                     sum(CASE WHEN mx >= 10000 AND mn <= 20000 THEN n_rows ELSE 0 END)::BIGINT,
+                     sum(m_mid)::BIGINT,
+                     round(1.0 - sum(CASE WHEN mx >= 10000 AND mn <= 20000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6)
+              FROM z2
+              UNION ALL
+              SELECT 'l_extendedprice', 'pr_all', count(*)::BIGINT,
+                     sum(CASE WHEN NOT (mx >= 0 AND mn <= 1000000000) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(n_rows)::BIGINT,
+                     sum(CASE WHEN mx >= 0 AND mn <= 1000000000 THEN n_rows ELSE 0 END)::BIGINT,
+                     sum(m_all)::BIGINT,
+                     round(1.0 - sum(CASE WHEN mx >= 0 AND mn <= 1000000000 THEN n_rows ELSE 0 END)::DOUBLE
+                           / sum(n_rows), 6)
+              FROM z2""")),
+
     Q("a45_benford", (s, d) =>
       // Benford's-law first-digit audit over order amounts — the
       // data-quality / fraud screen: observed leading-digit shares vs
@@ -7292,6 +7555,40 @@ object SparkEntry {
                      round(round(n / (sum(n) OVER ())::DOUBLE, 6)
                            - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
               FROM c""")),
+
+    Q("a47_hll_merge", (s, d) => {
+      // mergeable-sketch architecture check (the 100 TB distinct-count
+      // pattern: per-shard HLL sketches, union at read time, never a
+      // corpus-wide exact distinct): 8 key-ranged shards each build a
+      // Datasketches HLL over customers, the union's estimate must
+      // EQUAL the single whole-corpus sketch's (HLL union is exact on
+      // register state) and land within 5% of the exact count. The
+      // estimates themselves are not oracle-portable, so the projection
+      // carries the exact count + the two contract booleans
+      val o = ord(s, d)
+      // the portable identity is LAYOUT INDEPENDENCE: the same key set
+      // sharded two different ways must union to the same estimate
+      // (register state is max-per-register, so any disjoint sharding
+      // yields identical unions; a union reads out via the composite
+      // estimator while a single un-unioned sketch reads out via HIP,
+      // so union-vs-direct equality is NOT a sketch contract)
+      def shardedEst(k: Int): DataFrame = o
+        .withColumn("shard", pmod(col("o_orderkey"), lit(k)))
+        .groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as(s"est_$k"),
+          count(lit(1)).as(s"n_shards_$k"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_nd"))
+      shardedEst(8).crossJoin(shardedEst(2)).crossJoin(exact).select(
+        col("n_shards_8").as("n_shards"), col("exact_nd"),
+        (col("est_8") === col("est_2")).as("merge_consistent"),
+        (abs(col("est_8").cast("double") - col("exact_nd")) * 100 <=
+          col("exact_nd") * 5).as("within_5pct"))
+    },
+      Some("""SELECT 8::BIGINT AS n_shards,
+                     count(DISTINCT o_custkey)::BIGINT AS exact_nd,
+                     true AS merge_consistent, true AS within_5pct
+              FROM orders""")),
 
     Q("a46_ewma_anomaly", (s, d) =>
       // EWMA drift monitor over per-type daily event volume: alpha=1/2

@@ -330,6 +330,45 @@ object TextFunctions {
       .select(col("doc_id"), col("n_pairs"), col("avg_nll"), col("keep"))
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): split every
+    * language's documents into head/middle/tail terciles of LM
+    * perplexity — the standard recipe for sampling fluent web text
+    * (train mostly on the head, audit the tail).
+    *
+    * Tercile edges come from the DISTINCT-score cumulative, never a
+    * corpus-wide sort: scores are round-6 NLLs, so the (lang, score)
+    * frame is far smaller than the corpus; `bucket = (docs_below * 3)
+    * div n_lang` puts every tie in one bucket and is an exact integer
+    * expression both engines replay. Docs with < 2 tokens have no
+    * bigrams and are not scored (inherited from [[perplexityFilter]]).
+    *
+    * Returns the per-(lang, band) rollup: doc counts + NLL range. */
+  def ccnetBuckets(
+      df: DataFrame, id: Column, text: Column, lang: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = perplexityFilter(df, id, text, df, id, text,
+      keepBelow = 1e9).select(col("doc_id"), col("avg_nll"))
+    val withLang = df.select(id.as("doc_id"), lang.as("lang"))
+      .join(scored, Seq("doc_id"))
+    val vals = withLang.groupBy(col("lang"), col("avg_nll"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLang = w.partitionBy(col("lang"))
+    val buckets = vals
+      .withColumn("__cumb", sum(col("cnt")).over(
+        byLang.orderBy(col("avg_nll"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("cnt"))
+      .withColumn("__n", sum(col("cnt")).over(byLang))
+      .withColumn("bucket", expr("CAST((__cumb * 3) div __n AS INT)"))
+    withLang
+      .join(buckets.select(col("lang"), col("avg_nll"), col("bucket")),
+        Seq("lang", "avg_nll"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_nll")).as("min_nll"), max(col("avg_nll")).as("max_nll"))
+      .withColumn("band", when(col("bucket") === 0, "head")
+        .when(col("bucket") === 1, "middle").otherwise("tail"))
+  }
+
   /** Gopher-style repetition signals per document: the fraction of word
     * n-gram occurrences captured by the single most frequent n-gram
     * (`top{n}gram_frac`), and the fraction of occurrences whose gram
@@ -637,6 +676,50 @@ object TextFunctions {
         when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dgt)
     })
     pmod(total, lit(10)) === 0
+  }
+
+  /** Code-vs-prose detection — the corpus-mixing gate every LLM data
+    * pipeline runs to route documents into code/text streams (and to
+    * keep markup out of "natural language" buckets). Five independent
+    * row-local signals, each an integer cross-multiplication gate (no
+    * float boundaries), with a 2-of-5 majority verdict:
+    *
+    *   - `s_symbol`:  code punctuation ({}();=<>[]) > 3% of chars
+    *   - `s_semi`:    >= 20% of lines end with `;`, `{` or `}`
+    *   - `s_indent`:  >= 30% of non-blank lines start with 2+ spaces/tab
+    *   - `s_camel`:   >= 5% of words are camelCase/snake_case identifiers
+    *   - `s_kw`:      >= 2 distinct code keywords present
+    *
+    * Pure `Column` expressions (regex + HOF folds) — shuffle-free,
+    * codegen'd, a scan-side projection at 100 TB. */
+  def codeDetect(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = split(text, "\n")
+    val nonBlank = filter(lines, l => length(trim(l)) > 0)
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val nChars = length(text)
+    val nSym = size(regexp_extract_all(text, lit("[{}();=<>\\[\\]]"), lit(0)))
+    val nLines = size(nonBlank)
+    val nSemiEnd = size(filter(nonBlank, l => l.rlike("[;{}]\\s*$")))
+    val nIndent = size(filter(nonBlank, l => l.rlike("^(  |\\t)")))
+    val nWords = size(words)
+    val nIdent = size(filter(words,
+      w => w.rlike("^[a-z]+([A-Z][A-Za-z0-9]*|_[a-z0-9_]+)$")))
+    val kws = Seq("def", "class", "return", "import", "void", "public",
+      "function", "var")
+    val nKw = kws.map(k =>
+      when(text.rlike("\\b" + k + "\\b"), 1).otherwise(0)).reduce(_ + _)
+    val signals = Seq(
+      "s_symbol" -> (nSym * 100 > nChars * 3),
+      "s_semi" -> (nSemiEnd * 10 >= nLines * 2 && nLines > 0),
+      "s_indent" -> (nIndent * 10 >= nLines * 3 && nLines > 0),
+      "s_camel" -> (nIdent * 20 >= nWords && nWords > 0),
+      "s_kw" -> (nKw >= 2))
+    val out = df.select(
+      id.as("doc_id") +: nChars.as("n_chars") +:
+        signals.map { case (n, c) => when(c, 1).otherwise(0).as(n) }: _*)
+    out.withColumn("is_code",
+      when(signals.map { case (n, _) => col(n) }.reduce(_ + _) >= 2, 1)
+        .otherwise(0))
   }
 
   /** PII detection + redaction report — the scrubbing pass every

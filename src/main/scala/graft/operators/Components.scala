@@ -131,6 +131,57 @@ object Components {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list, for a FIXED number of iterations: each round scores every
+    * node's authority as the sum of its in-neighbors' hub scores, then
+    * every node's hub as the sum of its out-neighbors' fresh authority
+    * scores, L1-normalizing after each half-step.
+    *
+    * Determinism (the PageRank playbook, tightened): scores are always
+    * round-9 doubles, so the grouped sums accumulate them as exact
+    * DECIMAL(28,9) — order-independent across engines — and each
+    * normalization is ONE double division rounded at 9. The whole
+    * trajectory replays in any engine.
+    *
+    * Scale shape: per half-step, one equi join of scores to edges
+    * (shuffle on node id) + one grouped sum with map-side partials; the
+    * L1 total is a 1-row broadcast. The edge frame and each half-step's
+    * normalized scores route through [[graft.Mat]] — the authority frame
+    * is consumed TWICE (hub step + final join), so without
+    * materialization the plan would double per iteration and re-derive
+    * the edge distinct exponentially many times. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val e = graft.Mat(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = graft.Mat(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    def l1norm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(
+        sum(col(c).cast("decimal(28,9)")).cast("double").as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .withColumn(c, round(col(c) / col("__tot"), 9)).drop("__tot")
+    }
+    var sc = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(sc.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(28,9)")).cast("double").as("auth"))
+      val aN = graft.Mat(l1norm(nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth"))
+      val hRaw = e
+        .join(aN.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth").cast("decimal(28,9)")).cast("double").as("hub"))
+      val hN = l1norm(nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
+      sc = hN.join(aN, Seq("node"))
+    }
+    sc.select(col("node"), col("hub"), col("auth"))
+  }
+
   /** k-core of an undirected graph by iterative peeling (Batagelj &
     * Zaveršnik's bucket algorithm re-expressed as synchronous rounds):
     * repeatedly drop every node with fewer than `k` surviving neighbors

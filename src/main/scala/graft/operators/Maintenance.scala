@@ -39,4 +39,52 @@ object Maintenance {
         min(col("file")).as("file_from"),
         max(col("file")).as("file_to"))
   }
+
+  /** Zone-map (data-skipping) effectiveness report — the planning step
+    * behind parquet row-group / Delta file pruning: build per-file
+    * [min, max] zone maps over one indexed column, then for each range
+    * predicate report how many files the zone maps skip and how many
+    * rows the surviving files still scan vs how many actually match.
+    * Run it on a candidate clustering column BEFORE paying for a sort:
+    * a column uncorrelated with file layout prunes ~nothing (every
+    * file spans the full range) — the report makes that visible.
+    *
+    * A file survives a predicate `lo <= v <= hi` iff its zone overlaps:
+    * `mx >= lo AND mn <= hi` — sound by construction (no matching row
+    * can live in a pruned file).
+    *
+    * Scale shape: ONE corpus hash aggregate builds the zone maps plus
+    * ONE corpus pass counts true matches for all predicates at once
+    * (conditional sums); the per-predicate verdicts run on the
+    * file-count-sized zone frame. Output: one row per predicate. */
+  def zoneMapPrune(
+      df: DataFrame, fileId: Column, value: Column,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val rows = df.select(fileId.cast("long").as("file_id"),
+      value.cast("double").as("v"))
+    // ONE corpus pass: zone bounds + per-predicate true-match counts,
+    // all per file; materialized (file-count-sized) so the per-predicate
+    // verdict aggregates below never rescan data
+    val aggs = Seq(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n_rows")) ++
+      preds.map { case (label, lo, hi) =>
+        sum(when(col("v") >= lo && col("v") <= hi, 1L).otherwise(0L))
+          .as(s"__m_$label")
+      }
+    val zm = graft.Mat(rows.groupBy(col("file_id"))
+      .agg(aggs.head, aggs.tail: _*))
+    preds.map { case (label, lo, hi) =>
+      val keep = col("mx") >= lo && col("mn") <= hi
+      zm.agg(
+          count(lit(1)).as("n_files"),
+          sum(when(!keep, 1L).otherwise(0L)).as("n_pruned"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(keep, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col(s"__m_$label")).as("rows_matched"))
+        .select(lit(label).as("predicate"), col("n_files"), col("n_pruned"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          round(lit(1.0) - col("rows_scanned").cast("double")
+            / col("rows_total"), 6).as("skip_frac"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -387,6 +387,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == ((1, 0, 0)))                      // consumed by the email pass
   }
 
+  test("codeDetect: code fires all five signals, prose none, empty text safe") {
+    val code = "import foo.bar\npublic void doThing() {\n  int rowCount = 0;\n" +
+      "  if (rowCount < 10) {\n    total_count = rowCount + otherValue\n  }\n}"
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "rests under a tree while the afternoon light fades slowly away"
+    val docs = Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val got = TextFunctions.codeDetect(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("s_symbol"), col("s_semi"), col("s_indent"),
+        col("s_camel"), col("s_kw"), col("is_code"))
+      .as[(Long, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 1, 1, 1, 1, 1)), got(1L))
+    assert(got(2L) == ((2L, 0, 0, 0, 0, 0, 0)), got(2L))
+    assert(got(3L)._7 == 0)
+  }
+
   test("luhnValid16 agrees with a reference implementation") {
     def luhnRef(s: String): Boolean = {
       val tot = s.zipWithIndex.map { case (ch, i) =>

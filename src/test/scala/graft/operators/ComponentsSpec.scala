@@ -99,6 +99,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("hits: bipartite star — shared target dominates authority, multi-pointer dominates hubs") {
+    // 1->10, 2->10, 3->10, 3->11: node 10 is the consensus authority,
+    // node 3 the strongest hub (it points at both authorities)
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L)).toDF("s", "t")
+    val got = Components.hits(edges, "s", "t", iters = 3)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 5)
+    // sources have no in-edges, targets no out-edges
+    Seq(1L, 2L, 3L).foreach(n => assert(got(n)._2 == 0.0, s"auth($n)"))
+    Seq(10L, 11L).foreach(n => assert(got(n)._1 == 0.0, s"hub($n)"))
+    assert(got(10L)._2 > got(11L)._2)
+    assert(got(3L)._1 > got(1L)._1 && got(1L)._1 == got(2L)._1)
+    // L1 normalization: each score family sums to 1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+  }
+
   test("kCore: duplicate and reversed edges canonicalize; K4 survives k=3") {
     val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
       (2L, 4L), (3L, 4L), (3L, 4L), (4L, 9L))

@@ -37,4 +37,21 @@ class MaintenanceSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert((nf, tb) == want)
   }
+
+  test("zoneMapPrune: overlap verdicts, sound matches, disjoint range prunes all") {
+    // files 0/1/2 hold v in [0,9] / [10,19] / [20,29] (10 rows each)
+    val rows = (0 until 30).map(v => (v / 10, v.toDouble)).toDF("f", "v")
+    val got = Maintenance.zoneMapPrune(rows, col("f"), col("v"), Seq(
+        ("mid", 12.0, 15.0), ("span", 8.0, 21.0), ("none", 100.0, 200.0)))
+      .select(col("predicate"), col("n_files"), col("n_pruned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matched"),
+        col("skip_frac"))
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("mid") == (("mid", 3L, 2L, 30L, 10L, 4L, 0.666667)))
+    assert(got("span") == (("span", 3L, 0L, 30L, 30L, 14L, 0.0)))
+    assert(got("none") == (("none", 3L, 3L, 30L, 0L, 0L, 1.0)))
+    // soundness: matches never exceed the scanned row budget
+    got.values.foreach(r => assert(r._6 <= r._5, r))
+  }
 }
