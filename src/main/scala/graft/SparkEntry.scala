@@ -8161,6 +8161,61 @@ object SparkEntry {
                      (r.rank_in_source - 1) * s.ns + s.src_idx AS pos
               FROM r JOIN s ON r.source = s.source""")),
 
+    Q("d_dataset_card", (s, d) => {
+      // per-source corpus datasheet (the "dataset card" summary a data
+      // team ships with a release): doc/char/token counts, english
+      // share, exact-dup count (md5 fingerprints), and the EXACT lower
+      // median doc length — computed from the distinct-length cumulative
+      // (lengths are small-cardinality) instead of any per-source sort.
+      // Two corpus hash aggregates total (stats incl. distinct
+      // fingerprints; length histogram); everything else is
+      // source-count-sized
+      import org.apache.spark.sql.expressions.Window
+      val base = doc(s, d).select(col("source"), col("lang"),
+        col("n_chars"), md5(col("text")).as("fp"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("toks"))
+      val stats = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("__nfp"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en_docs"))
+        .withColumn("n_dup_docs", col("n_docs") - col("__nfp")).drop("__nfp")
+      val hist = base.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val med = hist
+        .withColumn("__cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+        .filter(col("__cum") * 2 >= col("__n"))
+        .groupBy(col("source")).agg(min(col("n_chars")).as("median_chars"))
+      stats.join(med, Seq("source"))
+    },
+      Some("""WITH base AS (SELECT source, lang, n_chars, md5(text) AS fp,
+                (CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END)::BIGINT AS toks
+              FROM documents),
+              stats AS (SELECT source,
+                count(*)::BIGINT AS n_docs,
+                (count(*) - count(DISTINCT fp))::BIGINT AS n_dup_docs,
+                sum(n_chars)::BIGINT AS n_chars_total,
+                sum(toks)::BIGINT AS n_tokens,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en_docs
+              FROM base GROUP BY 1),
+              hist AS (SELECT source, n_chars, count(*)::BIGINT AS cnt
+                       FROM base GROUP BY 1, 2),
+              cum AS (SELECT source, n_chars,
+                        sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS c,
+                        sum(cnt) OVER (PARTITION BY source) AS n
+                      FROM hist),
+              med AS (SELECT source, min(n_chars) AS median_chars
+                      FROM cum WHERE c * 2 >= n GROUP BY 1)
+              SELECT s.source, s.n_docs, s.n_chars_total, s.n_tokens,
+                     s.n_en_docs, s.n_dup_docs, m.median_chars
+              FROM stats s JOIN med m USING (source)""")),
+
     Q("d_dedup_report", (s, d) =>
       // per-source dedup retention report: exact fingerprint dedup
       // (keep min-id), then MinHash-LSH cluster canonicalization (keep
