@@ -8835,6 +8835,187 @@ object SparkEntry {
                                THEN 1 ELSE 0 END) / t.n::DOUBLE, 6) AS outlier_pct
               FROM x CROSS JOIN med CROSS JOIN mad CROSS JOIN t
               GROUP BY t.n, med.med, mad.mad""")),
+
+    Q("v_binary_hamming", (s, d) =>
+      // sign-binarized ANN: 64 float dims -> 2x32 packed bits, Hamming
+      // via popcount(xor) — integer-only, no float boundary anywhere;
+      // the 32x-compressed first-stage filter of a binary rerank index
+      Similarity.binaryHammingTopK(
+        emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+        "vec_id", "embedding", "vec_id", "embedding", dim = 64, k = 5),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (SELECT vec_id,
+                list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+                list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN v[32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+              FROM e),
+              q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 20)
+              SELECT query_id, p.vec_id AS neighbor_id,
+                (bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)))::INT AS ham,
+                (row_number() OVER (PARTITION BY query_id
+                   ORDER BY (bit_count(xor(w0, q0)) + bit_count(xor(w1, q1))),
+                            p.vec_id))::INT AS rank
+              FROM p, q WHERE p.vec_id <> query_id
+              QUALIFY rank <= 5""")),
+
+    Q("x_pmi_collocations", (s, d) =>
+      // PMI collocation mining: adjacent-pair counts vs endpoint
+      // marginals over one shared sample space (N = total bigrams);
+      // four-term ln sum on exact integer counts, rounded at 6
+      TextFunctions.pmiCollocations(doc(s, d), col("doc_id"), col("text"),
+        minCount = 5L, topN = 20),
+      Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+              FROM documents),
+              pr AS (SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                     FROM toks WHERE w <> ''),
+              big AS (SELECT w1, w2, count(*)::BIGINT AS c_xy
+                      FROM pr WHERE w2 IS NOT NULL GROUP BY 1, 2),
+              lc AS (SELECT w1, sum(c_xy)::BIGINT AS c_x FROM big GROUP BY 1),
+              rc AS (SELECT w2, sum(c_xy)::BIGINT AS c_y FROM big GROUP BY 1),
+              tot AS (SELECT sum(c_xy)::BIGINT AS n_pairs FROM big),
+              sc AS (SELECT big.w1, big.w2, c_xy, c_x, c_y,
+                       round(ln(c_xy) + ln(n_pairs) - ln(c_x) - ln(c_y), 6) AS pmi
+                     FROM big JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+                     WHERE c_xy >= 5)
+              SELECT (row_number() OVER (ORDER BY pmi DESC, w1, w2))::INT AS rank,
+                     w1, w2, c_xy, c_x, c_y, pmi
+              FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20""")),
+
+    Q("a48_gini", (s, d) =>
+      // revenue-concentration audit: Gini over per-customer spend via
+      // the rank formula on the bucketed two-pass global rank (no
+      // single-partition sort); integer cents, one final IEEE division
+      graft.operators.Stats.giniCoefficient(
+        ord(s, d).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("v"))
+          .select(col("o_custkey"), (col("v") * 100).cast("long").as("cents")),
+        col("cents"), col("o_custkey")),
+      Some("""WITH x AS (SELECT o_custkey AS k,
+                (sum(o_totalprice::DECIMAL(12,2)) * 100)::BIGINT AS cents
+              FROM orders GROUP BY 1),
+              r AS (SELECT cents, row_number() OVER (ORDER BY cents, k) AS r FROM x)
+              SELECT count(*)::BIGINT AS n, sum(cents)::DOUBLE AS total,
+                round((2 * sum(r * cents) - (count(*) + 1) * sum(cents))::DOUBLE
+                      / (sum(cents) * count(*))::DOUBLE, 6) AS gini
+              FROM r""")),
+
+    Q("a49_basket_pairs", (s, d) =>
+      // market-basket pair mining (Apriori k=2): support / confidence /
+      // lift per co-occurring brand pair; basket-local pair expansion,
+      // integer cross-multiplied support gate (15 per mille)
+      graft.operators.Stats.frequentItemPairs(
+        li(s, d).join(prt(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        col("basket"), col("item"), minSupportPpt = 15),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              nb AS (SELECT count(DISTINCT b)::BIGINT AS n_baskets FROM bi),
+              sg AS (SELECT i, count(*)::BIGINT AS supp FROM bi GROUP BY 1),
+              p AS (SELECT x.i AS item_a, y.i AS item_b, count(*)::BIGINT AS supp_ab
+                    FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+              SELECT item_a, item_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+                     n_baskets,
+                     round(supp_ab / sa.supp::DOUBLE, 6) AS conf_a_b,
+                     round(supp_ab / sb.supp::DOUBLE, 6) AS conf_b_a,
+                     round((supp_ab::DOUBLE * n_baskets)
+                           / (sa.supp::DOUBLE * sb.supp), 6) AS lift
+              FROM p JOIN sg sa ON item_a = sa.i JOIN sg sb ON item_b = sb.i
+              CROSS JOIN nb
+              WHERE supp_ab * 1000 >= n_baskets * 15""")),
+
+    Q("a50_kmv_overlap", (s, d) =>
+      // KMV bottom-k sketches with set-algebra readout (the theta-sketch
+      // capability HLL lacks): per order-priority customer set, k=256
+      // smallest 52-bit md5 hashes; union/intersection/Jaccard from the
+      // sketches alone. O(k)-state typed aggregator; 52-bit hashes keep
+      // every estimate ONE exactly-replayable IEEE division
+      graft.operators.Sketches.kmvOverlap(
+        ord(s, d).select(col("o_orderpriority").as("sid"),
+          col("o_custkey").as("el")),
+        col("sid"), col("el"), k = 256),
+      Some("""WITH el AS (SELECT DISTINCT o_orderpriority AS sid,
+                o_custkey::VARCHAR AS el FROM orders),
+              hs AS (SELECT sid, ('0x' || substr(md5(el), 1, 13))::BIGINT AS h FROM el),
+              ex AS (SELECT sid, count(*)::BIGINT AS exact_n FROM el GROUP BY 1),
+              rk AS (SELECT sid, h, row_number() OVER (PARTITION BY sid ORDER BY h) AS rn
+                     FROM (SELECT DISTINCT sid, h FROM hs)),
+              sk AS (SELECT sid, list(h ORDER BY h) AS mins FROM rk
+                     WHERE rn <= 256 GROUP BY 1),
+              j AS (SELECT a.sid AS set_a, b.sid AS set_b,
+                      ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+                      a.mins AS ma, b.mins AS mb,
+                      list_sort(list_distinct(list_concat(a.mins, b.mins))) AS merged
+                    FROM sk a JOIN sk b ON a.sid < b.sid
+                    JOIN ex ea ON ea.sid = a.sid JOIN ex eb ON eb.sid = b.sid),
+              e AS (SELECT set_a, set_b, exact_a, exact_b, ma, mb, merged,
+                      least(256, len(merged))::BIGINT AS kk,
+                      merged[1:256] AS kmin,
+                      CASE WHEN exact_a < 256 THEN exact_a::DOUBLE
+                           ELSE round((255 * 4503599627370496::BIGINT)::DOUBLE / ma[256]::DOUBLE, 4)
+                      END AS est_a,
+                      CASE WHEN exact_b < 256 THEN exact_b::DOUBLE
+                           ELSE round((255 * 4503599627370496::BIGINT)::DOUBLE / mb[256]::DOUBLE, 4)
+                      END AS est_b,
+                      CASE WHEN len(merged) < 256 THEN len(merged)::DOUBLE
+                           ELSE round((255 * 4503599627370496::BIGINT)::DOUBLE / merged[256]::DOUBLE, 4)
+                      END AS est_union
+                    FROM j)
+              SELECT set_a, set_b, exact_a, exact_b, est_a, est_b, est_union,
+                round(est_a + est_b - est_union, 4) AS est_intersect,
+                (len(list_filter(kmin, x -> list_contains(ma, x)
+                   AND list_contains(mb, x)))::BIGINT * 1000000) // kk AS jaccard_ppm
+              FROM e""")),
+
+    Q("d_link_predict", (s, d) => {
+      // topological link prediction over the sparsified part
+      // co-occurrence graph (the d_kcore graph): common-neighbors /
+      // Jaccard / Adamic-Adar for distance-2 non-edges; wedge centers
+      // degree-capped (df-cap pattern) so candidate volume stays
+      // sum(deg^2)-bounded
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      graft.operators.Components.linkPrediction(pairs, "u", "v",
+        minCommon = 2, maxHubDeg = 30)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              e AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              deg AS MATERIALIZED (
+                SELECT src AS x, count(*)::BIGINT AS d FROM e GROUP BY 1),
+              c AS (SELECT e.src, e.dst, deg.d AS dz FROM e
+                    JOIN deg ON e.src = deg.x WHERE deg.d <= 30),
+              w AS (SELECT l.dst AS wu, r.dst AS wv, l.dz
+                    FROM c l JOIN c r ON l.src = r.src AND l.dst < r.dst),
+              nw AS (SELECT wu, wv, dz FROM w
+                     WHERE NOT EXISTS (SELECT 1 FROM b
+                       WHERE b.u = w.wu AND b.v = w.wv)),
+              cand AS (SELECT wu, wv, count(*)::BIGINT AS cn,
+                         sum(round(1.0 / ln(dz), 9)::DECIMAL(28,9)) AS aa
+                       FROM nw GROUP BY 1, 2 HAVING count(*) >= 2)
+              SELECT wu AS node_u, wv AS node_v, cn,
+                     du.d AS deg_u, dv.d AS deg_v,
+                     round(cn / (du.d + dv.d - cn)::DOUBLE, 6) AS jaccard,
+                     round(aa::DOUBLE, 6) AS adamic_adar
+              FROM cand JOIN deg du ON wu = du.x JOIN deg dv ON wv = dv.x""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -205,6 +205,53 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase-discovery
+    * pass a tokenizer-training pipeline runs to promote "new york"-style
+    * multiword units: for every adjacent token pair,
+    * `PMI(x,y) = ln P(x,y) / (P(x) P(y)) = ln c_xy + ln N - ln c_x - ln c_y`
+    * over corpus bigram/unigram occurrence counts, thresholded on the
+    * pair count (PMI is noisy on rare pairs) and ranked.
+    *
+    * All formula inputs are exact integer counts from two hash aggregates
+    * over one exploded token stream (adjacency via one `lead` window, the
+    * [[bigramLm]] shape); the four-term ln sum is evaluated left-to-right
+    * on exact-integer doubles and rounded at 6 — the cross-engine parity
+    * class. Everything downstream of the pair count is vocabulary-
+    * bounded; the final top-N is TakeOrdered, never a global sort. */
+  def pmiCollocations(
+      df: DataFrame, id: Column, text: Column,
+      minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"),
+        posexplode(split(trim(text), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    // unigram counts AS BIGRAM ENDPOINTS (left/right occurrence counts),
+    // so P(x), P(y) and P(x,y) share one sample space of N = Σ c_xy
+    val leftC = big.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val rightC = big.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val tot = big.agg(sum(col("c_xy")).as("n_pairs"))
+    big.filter(col("c_xy") >= minCount)
+      .join(leftC, Seq("w1"))
+      .join(rightC, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(
+        log(col("c_xy")) + log(col("n_pairs"))
+          - log(col("c_x")) - log(col("c_y")), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(w.orderBy(
+        col("pmi").desc, col("w1").asc, col("w2").asc)).cast("int"))
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"),
+        col("c_x"), col("c_y"), col("pmi"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1999 — the standard n-gram smoothing): for every
     * observed bigram,

@@ -275,4 +275,62 @@ object Components {
       .select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Topological link prediction — score NON-edges at distance 2 by the
+    * three classical neighborhood indices (Liben-Nowell & Kleinberg '03):
+    * common-neighbor count, Jaccard over the neighbor sets, and
+    * Adamic–Adar (Σ_z 1/ln deg z — rare shared neighbors weigh more).
+    * The "who should be connected" primitive behind recommendation and
+    * knowledge-graph completion.
+    *
+    * Scale shape: candidates come from the WEDGE join (edges z–u, z–v
+    * joined on the shared endpoint z, u < v), so volume is Σ_z deg(z)² —
+    * bounded by `maxHubDeg`: wedge centers above it are dropped first
+    * (the df-cap pattern; a celebrity hub otherwise makes this
+    * quadratic, and its wedges carry no signal). Known edges leave via
+    * one left-anti join; everything else is hash aggregates keyed on
+    * the pair.
+    *
+    * Portability: Adamic–Adar terms round at 9 and sum as DECIMAL(28,9)
+    * (order-independent), the total rounds at 6; Jaccard is one division
+    * of exact-integer doubles, rounded at 6.
+    *
+    * Returns (node_u, node_v, cn, deg_u, deg_v, jaccard, adamic_adar)
+    * for candidate pairs with at least `minCommon` shared neighbors. */
+  def linkPrediction(
+      pairs: DataFrame, a: String, b: String,
+      minCommon: Int, maxHubDeg: Int): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = graft.Mat(
+      e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+    val centers = dir
+      .join(deg.select(col("x").as("src"), col("d").as("dz")), Seq("src"))
+      .filter(col("dz") <= maxHubDeg)
+    val wedges = centers.as("l").join(centers.as("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .select(col("l.dst").as("wu"), col("r.dst").as("wv"),
+        col("l.dz").as("dz"))
+    val cand = wedges
+      .join(e0.select(col("u").as("wu"), col("v").as("wv")),
+        Seq("wu", "wv"), "left_anti")
+      .groupBy(col("wu"), col("wv"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("dz")), 9).cast("decimal(28,9)"))
+          .as("__aa"))
+      .filter(col("cn") >= minCommon)
+    cand
+      .join(deg.select(col("x").as("wu"), col("d").as("deg_u")), Seq("wu"))
+      .join(deg.select(col("x").as("wv"), col("d").as("deg_v")), Seq("wv"))
+      .select(col("wu").as("node_u"), col("wv").as("node_v"), col("cn"),
+        col("deg_u"), col("deg_v"),
+        round(col("cn").cast("double")
+          / (col("deg_u") + col("deg_v") - col("cn")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("__aa").cast("double"), 6).as("adamic_adar"))
+  }
 }

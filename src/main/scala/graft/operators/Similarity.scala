@@ -513,6 +513,54 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
   }
 
+  /** Binary (sign) quantization ANN — the most aggressive embedding
+    * compression in the FAISS family (`BinaryFlat` / sign-LSH readout):
+    * each dimension contributes ONE bit (sign of the component), packed
+    * 32 bits per word, and distance is Hamming via popcount over XOR.
+    * A 64-dim float vector (256 B) becomes 8 B — a 32× shuffle/scan
+    * reduction, which at 100 TB is the difference between an in-memory
+    * rerank index and a disk-bound one.
+    *
+    * Engine-portable by construction: packing, XOR, and popcount are
+    * integer-only (no float boundary anywhere; the sign test `x > 0` is
+    * exact under float→double widening). Words hold 32 bits each in a
+    * BIGINT so the arithmetic never touches the sign bit. Corpus encode
+    * is one narrow row-local pass (an `aggregate` HOF per word); queries
+    * broadcast; per-query top-k is a window partitioned by the query.
+    * At corpus scale this composes with the IVF cell blocking exactly
+    * like [[pqAdcTopK]] — Hamming is the cheap first-stage filter.
+    *
+    * Returns (query_id, neighbor_id, ham, rank) — all integers. */
+  def binaryHammingTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      dim: Int, k: Int): DataFrame = {
+    require(dim % 32 == 0, s"dim must pack into 32-bit words, got $dim")
+    val words = dim / 32
+    def packed(prefix: String): Seq[Column] = (0 until words).map { w =>
+      expr(s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(__v, ${w * 32} + i + 1) > 0.0D, " +
+        s"shiftleft(1L, i), 0L))").as(s"$prefix$w")
+    }
+    val c = corpus.select(Seq(col(cId).cast("long").as("neighbor_id"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("__v")): _*)
+      .select(Seq(col("neighbor_id")) ++ packed("cw"): _*)
+    val q = queries.select(Seq(col(qId).cast("long").as("query_id"),
+      VectorFunctions.toDoubleArray(col(qVec)).as("__v")): _*)
+      .select(Seq(col("query_id")) ++ packed("qw"): _*)
+    val ham = (0 until words).map(w =>
+        bit_count(col(s"cw$w").bitwiseXOR(col(s"qw$w"))))
+      .reduce(_ + _).cast("int")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "ham", "rank")
+  }
+
   /** Top principal direction of the embedding cloud by POWER ITERATION —
     * distributed linear algebra without ever materializing the d x d
     * Gram matrix: each iteration is `w = X^T (X v)` as two corpus passes

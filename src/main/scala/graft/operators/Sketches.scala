@@ -68,4 +68,67 @@ object Sketches {
       .agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
       .agg(min(col("row_est")).as("est_join_rows"))
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketches with SET-ALGEBRA
+    * readout — the theta-sketch capability HLL lacks: per set, keep the k
+    * smallest md5-derived element hashes; any pair of sketches then
+    * answers |A|, |B|, |A∪B| and |A∩B| WITHOUT touching the elements
+    * again (Beyer et al., SIGMOD'07 / the Datasketches theta family).
+    *
+    * Estimates: D̂ = (k−1)·2^52 / h_(k) (unbiased bottom-k estimator;
+    * exact count when the set is smaller than k); union = k-min over the
+    * merged sketch; intersection by inclusion–exclusion; Jaccard from
+    * the fraction of the union's k-min present in both sketches
+    * (`jaccard_ppm`, an exact integer division).
+    *
+    * Scale + portability: hashes are 52-bit (13 md5 hex digits), so every
+    * hash and every (k−1)·2^52 product is an exactly-representable
+    * double — the estimate is ONE IEEE division, engine-replayable
+    * (round 4). The sketch build is a typed O(k)-state aggregator
+    * ([[graft.sql.BottomKLongsAggregator]] — map-side merge; the shuffle
+    * carries k longs per set, never the set). Pairing is a self
+    * cross-join of the SKETCH frame (one row per set — metadata-sized).
+    *
+    * Returns one row per unordered set pair: (set_a, set_b, exact_a,
+    * exact_b, est_a, est_b, est_union, est_intersect, jaccard_ppm). */
+  def kmvOverlap(
+      df: DataFrame, setId: Column, element: Column, k: Int): DataFrame = {
+    val el = df.select(setId.cast("string").as("sid"),
+      element.cast("string").as("el")).distinct()
+    val hashed = el.select(col("sid"),
+      conv(substring(md5(col("el")), 1, 13), 16, 10).cast("long").as("h"))
+    val bottomK = udaf(graft.sql.BottomKLongsAggregator(k))
+    // one row per set: the sketch + the exact distinct size (the input
+    // frame is already distinct, so count(*) is exact)
+    val sk = hashed.groupBy(col("sid"))
+      .agg(bottomK(col("h")).as("mins"), count(lit(1)).as("exact_n"))
+    val two52 = 4503599627370496.0 // 2^52
+    def est(minsC: Column, exactC: Column): Column =
+      when(exactC < k, exactC.cast("double")).otherwise(
+        round(lit((k - 1).toDouble * two52)
+          / element_at(minsC, k).cast("double"), 4))
+    val pairs = sk.as("a").crossJoin(sk.as("b"))
+      .filter(col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("set_a"), col("b.sid").as("set_b"),
+        col("a.exact_n").as("exact_a"), col("b.exact_n").as("exact_b"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"))
+      .withColumn("merged",
+        array_sort(array_distinct(concat(col("ma"), col("mb")))))
+      .withColumn("kk", least(lit(k), size(col("merged"))))
+      .withColumn("kmin", slice(col("merged"), 1, k))
+    pairs
+      .withColumn("est_a", est(col("ma"), col("exact_a")))
+      .withColumn("est_b", est(col("mb"), col("exact_b")))
+      .withColumn("est_union",
+        when(size(col("merged")) < k, size(col("merged")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * two52)
+            / element_at(col("merged"), k).cast("double"), 4)))
+      .withColumn("n_common", size(filter(col("kmin"),
+        x => array_contains(col("ma"), x) && array_contains(col("mb"), x))))
+      .select(col("set_a"), col("set_b"), col("exact_a"), col("exact_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_intersect"),
+        expr("n_common * 1000000L div kk").as("jaccard_ppm"))
+  }
 }

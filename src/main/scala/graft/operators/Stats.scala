@@ -505,6 +505,79 @@ object Stats {
         round(col("n_outliers") / col("n"), 6).as("outlier_pct"))
   }
 
+  /** Frequent-itemset mining, pair stage (the Apriori/FP-growth k=2
+    * workhorse of market-basket / co-occurrence analysis): support,
+    * directional confidence, and lift for every item pair co-occurring
+    * in at least `minSupportPpt` per-mille of baskets.
+    *
+    * Scale shape: the pair expansion is a BASKET-LOCAL self equi join
+    * (on the basket id, `item_a < item_b`), so candidate volume is
+    * Σ_b C(k_b, 2) — bounded by basket width, never corpus². Everything
+    * downstream of the pair count is item-vocabulary-bounded. The
+    * support gate is an integer cross-multiplication
+    * (`supp_ab * 1000 >= ppt * n_baskets` — no float boundary);
+    * confidence/lift are single divisions of exact-integer doubles
+    * (products < 2^53), rounded at 6 — IEEE-portable. */
+  def frequentItemPairs(
+      df: DataFrame, basket: Column, item: Column,
+      minSupportPpt: Int): DataFrame = {
+    val bi = df.select(basket.as("__b"), item.as("__i")).distinct()
+    val nB = bi.agg(countDistinct(col("__b")).as("n_baskets"))
+    val singles = bi.groupBy(col("__i")).agg(count(lit(1)).as("supp"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .crossJoin(broadcast(nB))
+      .filter(col("supp_ab") * 1000 >= col("n_baskets") * minSupportPpt)
+    pairs
+      .join(singles.select(col("__i").as("item_a"), col("supp").as("supp_a")),
+        Seq("item_a"))
+      .join(singles.select(col("__i").as("item_b"), col("supp").as("supp_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("supp_ab"),
+        col("supp_a"), col("supp_b"), col("n_baskets"),
+        round(col("supp_ab").cast("double") / col("supp_a"), 6)
+          .as("conf_a_b"),
+        round(col("supp_ab").cast("double") / col("supp_b"), 6)
+          .as("conf_b_a"),
+        round((col("supp_ab").cast("double") * col("n_baskets"))
+          / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
+  }
+
+  /** Gini coefficient of a nonnegative integer-valued distribution — the
+    * concentration/inequality audit (how concentrated is revenue over
+    * customers, token mass over documents, traffic over shards). Uses
+    * the rank formula over the ascending total order:
+    * `G = (2 Σ r_i x_i − (n+1) Σ x_i) / (n Σ x_i)`.
+    *
+    * Scale + portability: ranks come from [[Windows.globalRowNumber]]
+    * (bucketed two-pass — never the single-partition sort a bare
+    * `row_number() OVER (ORDER BY …)` plans); every sum is an exact
+    * integer in DECIMAL(38,0), so the only float operation is the final
+    * division (numerator/denominator each converted once, IEEE-exact to
+    * replay), rounded at 6. `value` must already be integral (cents,
+    * counts); `tiebreak` totalizes the order among equal values — ranks
+    * of ties differ but Σ r·x over a tie BLOCK is order-invariant, so
+    * the coefficient itself never depends on the tiebreak.
+    *
+    * Returns 1 row: (n, total, gini). */
+  def giniCoefficient(df: DataFrame, value: Column, tiebreak: Column): DataFrame = {
+    val base = df.select(value.cast("long").as("__x"), tiebreak.as("__tb"))
+    val ranked = Windows.globalRowNumber(base, "__x", Seq(col("__tb")), "__r")
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(19,0)")).as("__sx"),
+        sum(col("__r").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+          .as("__srx"))
+      .select(col("n"),
+        col("__sx").cast("double").as("total"),
+        round(
+          (col("__srx") * 2 - col("__sx") * (col("n") + 1)).cast("double")
+            / (col("__sx") * col("n")).cast("double"), 6).as("gini"))
+  }
+
   /** A/B experiment readout with CUPED variance reduction — Welch's
     * t-test on a per-user conversion metric plus the standard
     * pre-period-covariate adjustment (Deng et al., WSDM'13): the

@@ -126,4 +126,48 @@ class ComponentsSpec extends SparkSpec {
       Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
     assert(got.forall(_._3 == 1))
   }
+
+  test("linkPrediction: two wedges score CN/Jaccard/Adamic-Adar; edges excluded") {
+    // u=1, v=2 share neighbors z1=10 (deg 2) and z2=11 (deg 3, also
+    // touching 3); (1,2) is NOT an edge -> predicted. (11,3) IS an edge
+    // via wedge... no wedge connects them twice; and the (1,3)/(2,3)
+    // pairs share only z=11 -> below minCommon=2.
+    val pairs = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L))
+      .toDF("a", "b")
+    val got = Components.linkPrediction(pairs, "a", "b",
+        minCommon = 2, maxHubDeg = 10)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // two predicted pairs: (1,2) via {10,11} and (10,11) via {1,2}
+    assert(got.size == 2)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (_, _, cn12, du12, dv12, jac12, aa12) = got((1L, 2L))
+    assert((cn12, du12, dv12) == ((2L, 2L, 2L)))
+    assert(jac12 == 1.0) // 2 / (2 + 2 - 2)
+    // AA = 1/ln(deg 10) + 1/ln(deg 11) = 1/ln(2) + 1/ln(3)
+    assert(aa12 == r6(q9(1.0 / math.log(2.0)) + q9(1.0 / math.log(3.0))))
+    val (_, _, cnAB, duAB, dvAB, jacAB, aaAB) = got((10L, 11L))
+    assert((cnAB, duAB, dvAB) == ((2L, 2L, 3L)))
+    assert(jacAB == r6(2.0 / 3.0)) // 2 / (2 + 3 - 2)
+    assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
+  }
+
+  test("linkPrediction: existing edges never predicted; hub cap drops wedges") {
+    // triangle 1-2-3 (all edges exist -> nothing at distance 2) plus a
+    // hub 100 connected to 20..24: hub wedges exist, but capping the
+    // hub degree below 5 removes them all
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val hub = (20L to 24L).map(x => (100L, x))
+    val pairs = (tri ++ hub).toDF("a", "b")
+    val all = Components.linkPrediction(pairs, "a", "b",
+      minCommon = 1, maxHubDeg = 10)
+    // triangle contributes nothing (all pairs are edges); hub wedges
+    // predict the C(5,2) spoke pairs
+    assert(all.count() == 10)
+    val capped = Components.linkPrediction(pairs, "a", "b",
+      minCommon = 1, maxHubDeg = 4)
+    assert(capped.count() == 0)
+  }
 }

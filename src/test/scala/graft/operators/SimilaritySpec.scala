@@ -338,4 +338,44 @@ class SimilaritySpec extends SparkSpec {
       got._7 * got._7 + got._8 * got._8)
     assert(math.abs(norm - 1.0) < 1e-3, got) // unit eigenvector
   }
+
+  test("binaryHammingTopK == per-dimension sign-mismatch count (64-dim replay)") {
+    // deterministic pseudo-random signs; replay Hamming in Scala
+    def v(i: Long): Array[Float] =
+      Array.tabulate(64)(dd => if (((i * 31 + dd * 17) % 7) < 3) -1.0f else 1.0f)
+    val ids = (0L until 30L)
+    val e = ids.map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(
+        e.filter(col("vec_id") < 3), e, "vec_id", "embedding", "vec_id",
+        "embedding", dim = 64, k = 4)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.length == 12) // 3 queries x 4
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    // replay: top-4 by (ham, id) per query, excluding self
+    (0L until 3L).foreach { q =>
+      val exp = ids.filter(_ != q)
+        .map(c => (c, ham(v(q), v(c))))
+        .sortBy { case (c, h) => (h, c) }.take(4)
+      val act = got.filter(_._1 == q).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(act == exp, s"query $q")
+      // ranks are 1..4
+      assert(got.filter(_._1 == q).map(_._4).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+  }
+
+  test("binaryHammingTopK: identical sign pattern is distance 0 and rank 1") {
+    val base = Array.tabulate(64)(dd => if (dd % 3 == 0) -2.5f else 0.75f)
+    val e = Seq(
+      (0L, base), (1L, base.map(_ * 2f)), // same signs, different scale
+      (2L, base.map(x => -x))) // all signs flipped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding",
+        "vec_id", "embedding", dim = 64, k = 2)
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._4)
+    assert(got(0) == ((0L, 1L, 0, 1)))   // scale-invariant: ham 0
+    assert(got(1) == ((0L, 2L, 64, 2))) // antipode: all 64 bits differ
+  }
 }

@@ -65,4 +65,55 @@ class SketchesSpec extends SparkSpec {
       .as[Long].head()
     assert(est >= exact)
   }
+
+  private def kmvRow(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Sketches.kmvOverlap(df, col("s"), col("e"), k)
+      .as[(String, String, Long, Long, Double, Double, Double, Double, Long)]
+      .collect()
+
+  test("kmvOverlap: sets below k read out exactly (sketch = whole set)") {
+    // |A| = 30, |B| = 40, |A ∩ B| = 10 — all under k=64, so every
+    // estimate is the exact count and Jaccard is exact over the union
+    val rows = (1 to 30).map(i => ("A", s"e$i")) ++
+      (21 to 60).map(i => ("B", s"e$i"))
+    val got = kmvRow(rows.toDF("s", "e"), k = 64)
+    assert(got.length == 1)
+    val (_, _, ea, eb, esta, estb, estu, esti, jppm) = got.head
+    assert((ea, eb) == ((30L, 40L)))
+    assert((esta, estb, estu, esti) == ((30.0, 40.0, 60.0, 10.0)))
+    assert(jppm == 10L * 1000000L / 60L)
+  }
+
+  test("kmvOverlap: bottom-k estimates land within 15% on overlapping big sets") {
+    // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (true union 5000) at k=256
+    val rows = (1 to 3000).map(i => ("A", s"x$i")) ++
+      (2001 to 5000).map(i => ("B", s"x$i"))
+    val got = kmvRow(rows.toDF("s", "e"), k = 256)
+    val (_, _, ea, eb, esta, estb, estu, esti, jppm) = got.head
+    assert((ea, eb) == ((3000L, 3000L)))
+    assert(math.abs(esta - 3000) / 3000 < 0.15, s"est_a=$esta")
+    assert(math.abs(estb - 3000) / 3000 < 0.15, s"est_b=$estb")
+    assert(math.abs(estu - 5000) / 5000 < 0.15, s"est_union=$estu")
+    // intersection inherits union+set errors; true 1000, J = 0.2
+    assert(esti > 400 && esti < 1600, s"est_intersect=$esti")
+    assert(jppm > 100000L && jppm < 320000L, s"jaccard_ppm=$jppm")
+  }
+
+  test("kmvOverlap: disjoint sets estimate an empty-ish intersection") {
+    val rows = (1 to 2000).map(i => ("A", s"a$i")) ++
+      (1 to 2000).map(i => ("B", s"b$i"))
+    val (_, _, _, _, esta, estb, estu, esti, jppm) = kmvRow(rows.toDF("s", "e"), 256).head
+    // union estimate ~= est_a + est_b when disjoint
+    assert(math.abs(esti) <= 0.2 * (esta + estb), s"est_intersect=$esti")
+    assert(jppm == 0L)
+  }
+
+  test("kmvOverlap: sketch is insertion-order independent (shuffled twice)") {
+    val base = (1 to 1500).map(i => ("A", s"v$i")) ++
+      (1000 to 2500).map(i => ("B", s"v$i"))
+    val r1 = kmvRow(base.toDF("s", "e"), 128).head
+    val r2 = kmvRow(scala.util.Random.shuffle(base.toVector)
+      .toDF("s", "e").repartition(7), 128).head
+    assert(r1 == r2)
+  }
 }

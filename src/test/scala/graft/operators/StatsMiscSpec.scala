@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gini / market-basket / PMI-collocation contracts (round-12 additions). */
+class StatsMiscSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gini(xs: Seq[Long]): (Long, Double, Double) =
+    Stats.giniCoefficient(
+      xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id"),
+      col("x"), col("id"))
+      .as[(Long, Double, Double)].collect().head
+
+  test("gini: perfectly equal distribution scores 0") {
+    val (n, total, g) = gini(Seq.fill(40)(25L))
+    assert(n == 40L && total == 1000.0 && g == 0.0)
+  }
+
+  test("gini: one-hot concentration scores (n-1)/n") {
+    val (n, _, g) = gini(Seq.fill(19)(0L) :+ 1000L)
+    assert(n == 20L)
+    assert(g == 0.95) // (n-1)/n exactly, no rounding residue
+  }
+
+  test("gini matches the O(n^2) mean-absolute-difference definition") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L)
+    val (_, _, g) = gini(xs)
+    val n = xs.size
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum.toDouble
+    val exp = mad / (2.0 * n * n * (xs.sum.toDouble / n))
+    // operator rounds at 6 -> half-ulp-of-round-6 tolerance
+    assert(math.abs(g - exp) < 5e-7, s"got $g expected $exp")
+  }
+
+  test("gini is tiebreak-invariant (tied values permuted)") {
+    val a = Seq(5L, 5L, 5L, 2L, 2L, 9L)
+    val g1 = gini(a)._3
+    val g2 = gini(a.reverse)._3
+    assert(g1 == g2)
+  }
+
+  test("frequentItemPairs: hand-computed support / confidence / lift") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b,c} 5:{a,b,c} 6:{d}
+    val bi = Seq(
+      (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+      (4, "b"), (4, "c"), (5, "a"), (5, "b"), (5, "c"), (6, "d"))
+      .toDF("b", "i")
+    val got = Stats.frequentItemPairs(bi, col("b"), col("i"), minSupportPpt = 1)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 3)
+    val (_, _, sab, sa, sb, nb, cab, cba, lift) = got(("a", "b"))
+    assert((sab, sa, sb, nb) == ((3L, 4L, 4L, 6L)))
+    assert(cab == 0.75 && cba == 0.75)
+    assert(lift == 1.125) // 3*6 / (4*4)
+    assert(got(("a", "c"))._3 == 3L && got(("b", "c"))._3 == 3L)
+  }
+
+  test("frequentItemPairs: support gate is an exact integer cross-multiply") {
+    // pair appears in 1 of 10 baskets = 100 ppt: ppt=100 keeps, 101 drops
+    val bi = (Seq((0, "x"), (0, "y")) ++
+      (1 to 9).map(b => (b, "z"))).toDF("b", "i")
+    assert(Stats.frequentItemPairs(bi, col("b"), col("i"), 100).count() == 1)
+    assert(Stats.frequentItemPairs(bi, col("b"), col("i"), 101).count() == 0)
+  }
+
+  test("frequentItemPairs: duplicate items in a basket count once") {
+    val bi = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"))
+      .toDF("b", "i")
+    val got = Stats.frequentItemPairs(bi, col("b"), col("i"), 1)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(got.length == 1)
+    assert(got.head._3 == 2L) // both baskets, not three pair instances
+  }
+
+  test("pmiCollocations ranks the glued pair above independent fillers") {
+    // "san francisco" always adjacent; fillers vary their neighbors
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"san francisco w$i the of w${i % 3} the a${i % 5} of")
+    }.toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .pmiCollocations(docs, col("doc_id"), col("text"), minCount = 5L, topN = 5)
+      .as[(Int, String, String, Long, Long, Long, Double)].collect()
+    val sf = got.find(r => (r._2, r._3) == (("san", "francisco"))).get
+    // c_xy = c_x = c_y = 30 for the glued pair; N = 8 bigrams x 30 docs
+    assert((sf._4, sf._5, sf._6) == ((30L, 30L, 30L)))
+    // PMI replay: ln 30 + ln 240 - ln 30 - ln 30, rounded at 6
+    val exp = BigDecimal(math.log(30.0) + math.log(240.0)
+        - math.log(30.0) - math.log(30.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sf._7 == exp)
+    // the glued pair sits in the maximal-PMI tie group
+    assert(sf._7 == got.head._7)
+    // rank column is 1..N in (pmi desc, w1, w2) order
+    assert(got.map(_._1).toSeq == (1 to got.length).toSeq)
+  }
+
+  test("pmiCollocations: the count threshold drops rare pairs") {
+    val docs = Seq((1L, "p q p q p q p q p q rare pair")).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .pmiCollocations(docs, col("doc_id"), col("text"), minCount = 4L, topN = 10)
+      .as[(Int, String, String, Long, Long, Long, Double)].collect()
+    // (p,q) x5 and (q,p) x4 survive; (q,rare)/(rare,pair) have count 1
+    assert(got.map(r => (r._2, r._3)).toSet == Set(("p", "q"), ("q", "p")))
+  }
+}
