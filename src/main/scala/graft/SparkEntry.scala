@@ -9016,6 +9016,129 @@ object SparkEntry {
                      round(cn / (du.d + dv.d - cn)::DOUBLE, 6) AS jaccard,
                      round(aa::DOUBLE, 6) AS adamic_adar
               FROM cand JOIN deg du ON wu = du.x JOIN deg dv ON wv = dv.x""")),
+
+    Q("x_heaps_law", (s, d) =>
+      // vocabulary-growth (Heaps'-law) fit over n/2^j doc-count
+      // prefixes: V(N) ~ K*N^beta via closed-form OLS of ln V on ln N;
+      // terms enter at their FIRST doc rank so prefixes never re-scan
+      graft.operators.InvertedIndex.heapsLaw(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH tp AS MATERIALIZED (
+                SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+                  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                  FROM documents) t
+                WHERE term <> '' GROUP BY 1, 2),
+              dt AS (SELECT doc_id, sum(tf)::BIGINT AS ntok FROM tp GROUP BY 1),
+              dr AS MATERIALIZED (SELECT doc_id, ntok,
+                      row_number() OVER (ORDER BY doc_id) AS rank FROM dt),
+              nn AS (SELECT count(*)::BIGINT AS n FROM dr),
+              cp AS MATERIALIZED (SELECT DISTINCT (n // pow2) AS c
+                FROM nn CROSS JOIN (VALUES (1), (2), (4), (8), (16), (32)) p(pow2)
+                WHERE n // pow2 >= 2),
+              fr AS (SELECT fr, count(*)::BIGINT AS nt FROM (
+                       SELECT term, min(rank) AS fr FROM tp
+                       JOIN dr USING (doc_id) GROUP BY 1) f GROUP BY 1),
+              nc AS (SELECT c, sum(ntok)::BIGINT AS ntoks FROM dr
+                     JOIN cp ON rank <= c GROUP BY 1),
+              vc AS (SELECT c, sum(nt)::BIGINT AS v FROM fr
+                     JOIN cp ON fr <= c GROUP BY 1),
+              pts AS MATERIALIZED (SELECT c, ntoks, v,
+                       round(ln(ntoks), 9) AS x, round(ln(v), 9) AS y
+                     FROM nc JOIN vc USING (c)),
+              fit AS (SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+                        sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts),
+              fin AS (SELECT
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+                round(exp((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                      / k), 6) AS k_factor FROM fit)
+              SELECT c AS checkpoint_docs, ntoks AS n_tokens, v AS n_terms,
+                     beta, k_factor
+              FROM pts CROSS JOIN fin""")),
+
+    Q("x_rouge_overlap", (s, d) =>
+      // ROUGE-1/ROUGE-2 between consecutive-id doc pairs: clipped n-gram
+      // overlap, P/R and harmonic-identity F1 (2*ov/(|c|+|r|) — single
+      // divisions only); the pair-local equi join never goes corpus^2
+      TextFunctions.rougeOverlap(doc(s, d), col("doc_id"), col("text"), 1)
+        .unionByName(
+          TextFunctions.rougeOverlap(doc(s, d), col("doc_id"), col("text"), 2)),
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              gg AS (SELECT doc_id, gn,
+                       unnest(list_transform(range(1, len(toks) - gn + 2),
+                         i -> array_to_string(toks[i:i+gn-1], ' '))) AS g
+                     FROM tk CROSS JOIN (VALUES (1), (2)) nn(gn)
+                     WHERE len(toks) >= gn),
+              gc AS MATERIALIZED (SELECT doc_id, gn, g, count(*)::BIGINT AS tf
+                FROM gg GROUP BY 1, 2, 3),
+              tot AS MATERIALIZED (SELECT doc_id, gn, sum(tf)::BIGINT AS tot
+                FROM gc GROUP BY 1, 2),
+              ov AS (SELECT c.doc_id AS pair_id, c.gn,
+                       sum(least(c.tf, r.tf))::BIGINT AS overlap
+                     FROM gc c JOIN gc r ON r.doc_id = c.doc_id + 1
+                       AND r.gn = c.gn AND r.g = c.g
+                     WHERE c.doc_id % 2 = 0 GROUP BY 1, 2)
+              SELECT tc.doc_id AS cand_id, tc.doc_id + 1 AS ref_id,
+                     tc.gn AS gram_n, tc.tot AS n_cand, tr.tot AS n_ref,
+                     coalesce(ov.overlap, 0)::BIGINT AS overlap,
+                     round(coalesce(ov.overlap, 0) / tc.tot::DOUBLE, 6) AS rouge_p,
+                     round(coalesce(ov.overlap, 0) / tr.tot::DOUBLE, 6) AS rouge_r,
+                     round(coalesce(ov.overlap, 0) * 2
+                           / (tc.tot + tr.tot)::DOUBLE, 6) AS rouge_f1
+              FROM tot tc JOIN tot tr ON tr.doc_id = tc.doc_id + 1 AND tr.gn = tc.gn
+              LEFT JOIN ov ON ov.pair_id = tc.doc_id AND ov.gn = tc.gn
+              WHERE tc.doc_id % 2 = 0""")),
+
+    Q("d_lpa_communities", (s, d) => {
+      // synchronous label propagation (4 fixed rounds, count-desc /
+      // min-label winner) over the sparsified part co-occurrence graph —
+      // deterministic community detection between components and
+      // modularity methods
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      graft.operators.Components.labelPropagation(pairs, "u", "v", iters = 4)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              e AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e),
+              l1 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l2 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l3 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l4 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l3 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              sz AS (SELECT lab, count(*)::BIGINT AS community_size
+                     FROM l4 GROUP BY 1)
+              SELECT node, l4.lab AS community, community_size
+              FROM l4 JOIN sz USING (lab)""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

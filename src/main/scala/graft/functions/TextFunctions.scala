@@ -205,6 +205,50 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** ROUGE-N overlap between consecutive-id document pairs (candidate =
+    * even doc_id, reference = doc_id+1) — the summarization/copy-overlap
+    * metric as a relational operator: clipped n-gram precision, recall,
+    * and F1, where overlap = Σ_g min(tf_cand(g), tf_ref(g)) (Lin 2004).
+    * A training-data pipeline runs this shape to score generated-vs-
+    * source pairs or detect near-verbatim continuations.
+    *
+    * Scale shape: per-doc n-gram counts are one explode + hash
+    * aggregate; the overlap is an equi join on (pair, gram) — pair-local,
+    * never corpus×corpus. All counts integer; P/R/F1 are single
+    * divisions (F1 via the harmonic identity 2·ov/(|c|+|r|) — no nested
+    * float ops), rounded at 6. */
+  def rougeOverlap(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val grams = df.select(id.cast("long").as("doc_id"),
+        split(trim(text), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    val totals = grams.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+    val c = grams.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("pair_id"), col("g"), col("tf").as("tfc"))
+    val r = grams.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("g"), col("tf").as("tfr"))
+    val ov = c.join(r, Seq("pair_id", "g"))
+      .groupBy(col("pair_id"))
+      .agg(sum(least(col("tfc"), col("tfr"))).as("overlap"))
+    val tc = totals.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("pair_id"), col("tot").as("n_cand"))
+    val tr = totals.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("tot").as("n_ref"))
+    tc.join(tr, Seq("pair_id"))
+      .join(ov, Seq("pair_id"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .select(col("pair_id").as("cand_id"), (col("pair_id") + 1).as("ref_id"),
+        lit(n).as("gram_n"), col("n_cand"), col("n_ref"), col("overlap"),
+        round(col("overlap").cast("double") / col("n_cand"), 6).as("rouge_p"),
+        round(col("overlap").cast("double") / col("n_ref"), 6).as("rouge_r"),
+        round(col("overlap").cast("double") * 2
+          / (col("n_cand") + col("n_ref")), 6).as("rouge_f1"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990) — the phrase-discovery
     * pass a tokenizer-training pipeline runs to promote "new york"-style
     * multiword units: for every adjacent token pair,

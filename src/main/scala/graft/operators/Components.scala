@@ -276,6 +276,52 @@ object Components {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) — the cheap non-overlapping community pass between plain
+    * connectivity ([[connectedComponents]]) and modularity methods:
+    * every node starts as its own label; each round it adopts the most
+    * frequent label among its NEIGHBORS (tie → smallest label), all
+    * nodes updating simultaneously for `iters` fixed rounds.
+    *
+    * Determinism: synchronous updates + the (count desc, label asc)
+    * total-order winner make every round a pure function of the last —
+    * no RNG, no visit order, engine-replayable round by round. (Classic
+    * async LPA is order-dependent; the synchronous variant can
+    * oscillate on bipartite structures, which a fixed even `iters`
+    * budget absorbs.)
+    *
+    * Scale shape: one equi join (edges × labels on the neighbor id) +
+    * one (node, label) hash aggregate + one top-1-per-node window per
+    * round — all keyed on node id, no driver data reads. Label frames
+    * route through [[graft.Mat]] per round (consumed by the next join
+    * AND the final rollup; lazy plans double per round otherwise — the
+    * d_hits lesson). Returns (node, community, community_size). */
+  def labelPropagation(
+      pairs: DataFrame, a: String, b: String, iters: Int): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = graft.Mat(
+      e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+    var labels = graft.Mat(
+      dir.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")))
+    for (_ <- 1 to iters) {
+      val nbr = dir
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("__c"))
+      labels = graft.Mat(
+        Joins.top1PerGroup(nbr, Seq(col("src")),
+            Seq(col("__c").desc, col("lab").asc))
+          .select(col("src").as("node"), col("lab")))
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("node"), col("lab").as("community"), col("community_size"))
+  }
+
   /** Topological link prediction — score NON-edges at distance 2 by the
     * three classical neighborhood indices (Liben-Nowell & Kleinberg '03):
     * common-neighbor count, Jaccard over the neighbor sets, and

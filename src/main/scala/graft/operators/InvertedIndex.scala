@@ -113,6 +113,53 @@ object InvertedIndex {
     * into the sums.
     *
     * Returns 1 row: (n_terms, alpha, intercept, r2). */
+  /** Heaps'-law vocabulary-growth fit — the [[zipfFit]] companion corpus
+    * health check: V(N) ≈ K·N^β (β ~ 0.4-0.6 for natural text; β near 1
+    * = unbounded novel vocabulary, near 0 = templated). Checkpoints are
+    * the n/2^j doc-count prefixes of the doc_id order; for each, the
+    * cumulative token count N(c) and distinct-term count V(c) (a term
+    * counts from its FIRST doc rank — one min-aggregate, so prefixes
+    * never re-scan), then closed-form OLS of ln V on ln N, the zipfFit
+    * regression discipline (log terms round at 9).
+    *
+    * Scale shape: doc ranks ride [[Windows.globalRowNumber]]; the
+    * checkpoint frame is ≤ 6 rows (broadcast), so prefix aggregation is
+    * two small fan-out joins — never a running sort. Returns one row per
+    * checkpoint: (checkpoint_docs, n_tokens, n_terms, beta, k_factor). */
+  def heapsLaw(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tp = termPairs(df, id, text)
+    val perDoc = tp.groupBy(col("doc_id")).agg(sum(col("tf")).as("ntok"))
+    val ranked = Windows.globalRowNumber(perDoc, "doc_id", Nil, "rank")
+    val cps = broadcast(ranked.agg(count(lit(1)).as("n"))
+      .select(explode(array((0 to 5).map(j => lit(1L << j)): _*)).as("p"),
+        col("n"))
+      .select(expr("n div p").as("c")).filter(col("c") >= 2).distinct())
+    val nC = ranked.crossJoin(cps).filter(col("rank") <= col("c"))
+      .groupBy(col("c")).agg(sum(col("ntok")).as("ntoks"))
+    // first-rank histogram (one row per distinct first rank — ≤ n docs)
+    // keeps the vocabulary out of the checkpoint fan-out
+    val frHist = tp.join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
+      .groupBy(col("term")).agg(min(col("rank")).as("fr"))
+      .groupBy(col("fr")).agg(count(lit(1)).as("nt"))
+    val vC = frHist.crossJoin(cps).filter(col("fr") <= col("c"))
+      .groupBy(col("c")).agg(sum(col("nt")).as("v"))
+    val pts = graft.Mat(nC.join(vC, Seq("c"))
+      .select(col("c"), col("ntoks"), col("v"),
+        round(log(col("ntoks").cast("double")), 9).as("x"),
+        round(log(col("v").cast("double")), 9).as("y")))
+    val fit = pts.agg(count(lit(1)).cast("double").as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    pts.crossJoin(broadcast(fit.select(
+        round(slope, 6).as("beta"),
+        round(exp((col("sy") - slope * col("sx")) / col("k")), 6).as("k_factor"))))
+      .select(col("c").as("checkpoint_docs"), col("ntoks").as("n_tokens"),
+        col("v").as("n_terms"), col("beta"), col("k_factor"))
+  }
+
   def zipfFit(df: DataFrame, id: Column, text: Column): DataFrame = {
     val freq = termPairs(df, id, text)
       .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))

@@ -418,4 +418,33 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toMap
     nums.foreach(n => assert(got(n) == luhnRef(n), n))
   }
+
+  test("rougeOverlap: hand-computed clipped unigram and bigram P/R/F1") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the cat lay on the mat"),
+      (2L, "alpha beta gamma"), (3L, "alpha beta gamma"),
+      (4L, "totally different words"), (5L, "nothing shared here"))
+      .toDF("doc_id", "text")
+    def run(n: Int) = TextFunctions
+      .rougeOverlap(docs, col("doc_id"), col("text"), n)
+      .as[(Long, Long, Int, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val r1 = run(1)
+    // clipped unigrams: min(the:2, the:2)+cat+on+mat = 5 of 6 each side
+    assert(r1(0L) == ((0L, 1L, 1, 6L, 6L, 5L, 0.833333, 0.833333, 0.833333)))
+    assert(r1(2L) == ((2L, 3L, 1, 3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    assert(r1(4L)._6 == 0L && r1(4L)._9 == 0.0) // disjoint pair
+    val r2 = run(2)
+    // shared bigrams: "the cat", "on the", "the mat" = 3 of 5 each side
+    assert(r2(0L) == ((0L, 1L, 2, 5L, 5L, 3L, 0.6, 0.6, 0.6)))
+    assert(r2(2L)._9 == 1.0)
+  }
+
+  test("rougeOverlap: a side too short for the gram order drops the pair") {
+    val docs = Seq((0L, "one"), (1L, "one two three")).toDF("doc_id", "text")
+    assert(TextFunctions.rougeOverlap(docs, col("doc_id"), col("text"), 2)
+      .count() == 0) // candidate has no bigrams
+    assert(TextFunctions.rougeOverlap(docs, col("doc_id"), col("text"), 1)
+      .count() == 1)
+  }
 }

@@ -154,6 +154,31 @@ class ComponentsSpec extends SparkSpec {
     assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
   }
 
+  test("labelPropagation: two bridged triangles settle into two communities") {
+    // K3 {1,2,3} -- bridge (3,10) -- K3 {10,11,12}; hand-simulated
+    // synchronous rounds converge by t=4 to labels 1 and 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Components.labelPropagation(pairs, "a", "b", iters = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 6)
+    Seq(1L, 2L, 3L).foreach(n => assert(got(n) == ((1L, 3L)), s"node $n"))
+    Seq(10L, 11L, 12L).foreach(n => assert(got(n) == ((3L, 3L)), s"node $n"))
+  }
+
+  test("labelPropagation is a pure function of the round budget (replay-stable)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (20L, 21L)).toDF("a", "b")
+    val r1 = Components.labelPropagation(pairs, "a", "b", iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val r2 = Components.labelPropagation(
+        pairs.orderBy(col("b")).repartition(5), "a", "b", iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r1 == r2)
+    // community sizes partition the node set
+    assert(r1.map(_._1).distinct.size == 7)
+  }
+
   test("linkPrediction: existing edges never predicted; hub cap drops wedges") {
     // triangle 1-2-3 (all edges exist -> nothing at distance 2) plus a
     // hub 100 connected to 20..24: hub wedges exist, but capping the

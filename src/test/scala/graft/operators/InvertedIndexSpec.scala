@@ -98,4 +98,30 @@ class InvertedIndexSpec extends SparkSpec {
     // a frequency spectrum decaying by rank fits with a POSITIVE alpha
     assert(got._2 > 0 && got._4 >= 0 && got._4 <= 1)
   }
+
+  test("heapsLaw: checkpoints, prefix counts, and the OLS fit replay by hand") {
+    import spark.implicits._
+    // doc i = "t{i} common": every doc adds 1 novel term + 2 tokens, so
+    // N(c) = 2c and V(c) = c + 1; n = 8 -> checkpoints {2, 4, 8}
+    val docs = (1 to 8).map(i => (i.toLong, s"t$i common")).toDF("doc_id", "text")
+    val got = InvertedIndex.heapsLaw(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((2L, 4L, 3L), (4L, 8L, 5L), (8L, 16L, 9L)))
+    // OLS replay with the operator's rounding (ln at 9)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val pts = Seq((4L, 3L), (8L, 5L), (16L, 9L))
+      .map { case (nt, v) => (q9(math.log(nt.toDouble)), q9(math.log(v.toDouble))) }
+    val k = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(got.head._4 - slope) < 1e-6, got.head)
+    assert(math.abs(got.head._5 - math.exp((sy - slope * sx) / k)) < 1e-6)
+    // beta/k_factor identical across checkpoint rows
+    assert(got.map(_._4).distinct.length == 1)
+    // near-linear vocabulary growth: beta close to 1, bounded by it
+    assert(got.head._4 > 0.7 && got.head._4 <= 1.0)
+  }
 }
