@@ -9139,6 +9139,153 @@ object SparkEntry {
                      FROM l4 GROUP BY 1)
               SELECT node, l4.lab AS community, community_size
               FROM l4 JOIN sz USING (lab)""")),
+
+    Q("v_graph_search", (s, d) =>
+      // greedy best-first routing over the mutual k-NN graph (the HNSW
+      // layer-0 primitive): fixed entry node, hop to the most-similar
+      // neighbor while strictly improving, 4-hop budget. State frame =
+      // |queries| rows per hop; nlist pinned 16 for oracle replay
+      Similarity.greedyGraphSearch(
+        emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, nlist = 16, hops = 4),
+      Some("""WITH e AS MATERIALIZED (
+                SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vid = m.mvid),
+              asg AS MATERIALIZED (SELECT vid, v, cell FROM (
+                SELECT e.vid, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vid
+                         ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                  c.cell) AS rn
+                FROM e CROSS JOIN cent c) z WHERE rn = 1),
+              dg AS (SELECT a.vid AS src, b.vid AS dst,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                     FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid <> b.vid),
+              tk AS MATERIALIZED (SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (PARTITION BY src
+                  ORDER BY cos DESC, dst ASC) AS rn FROM dg) z WHERE rn <= 3),
+              mu AS MATERIALIZED (SELECT x.src AS id_a, x.dst AS id_b
+                FROM tk x JOIN tk y
+                  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst),
+              ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mu
+                UNION ALL SELECT id_b, id_a FROM mu),
+              ent AS (SELECT min(vid) AS cur FROM e),
+              q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 20),
+              s0 AS MATERIALIZED (SELECT query_id, qv, cur,
+                      round(list_cosine_similarity(qv, ev.v), 6) AS sim, 0 AS moves
+                    FROM q CROSS JOIN ent JOIN e ev ON ev.vid = cur),
+              s1 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s0 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s0 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s2 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s1 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s1 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s3 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s2 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s2 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s4 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s3 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s3 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id))
+              SELECT query_id, cur AS node_id, sim, moves FROM s4""")),
+
+    Q("x_stupid_backoff", (s, d) =>
+      // stupid-backoff trigram scoring of the odd-doc half under counts
+      // from the even-doc half — held-out LM evaluation with real
+      // backoff tier traffic (full trigram / 0.4 bigram / 0.16 unigram /
+      // OOV counted not scored)
+      TextFunctions.stupidBackoffScore(
+        doc(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        doc(s, d).filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text")),
+      Some("""WITH tk AS MATERIALIZED (SELECT doc_id, w, pos FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                FROM documents) z WHERE w <> ''),
+              tr AS MATERIALIZED (SELECT doc_id, w AS w1,
+                      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+                    FROM tk),
+              c1 AS (SELECT w AS u, count(*)::BIGINT AS c1 FROM tk
+                     WHERE doc_id % 2 = 0 GROUP BY 1),
+              nt AS (SELECT count(*)::BIGINT AS n_tok FROM tk WHERE doc_id % 2 = 0),
+              c2 AS MATERIALIZED (SELECT w1 AS u, w2 AS u2, count(*)::BIGINT AS c2
+                FROM tr WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
+              c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tr
+                     WHERE doc_id % 2 = 0 AND w3 IS NOT NULL GROUP BY 1, 2, 3),
+              tst AS (SELECT doc_id, w1, w2, w3 FROM tr
+                      WHERE doc_id % 2 = 1 AND w3 IS NOT NULL),
+              sc AS (SELECT t.doc_id,
+                       CASE WHEN c3.c3 IS NOT NULL THEN 3
+                            WHEN c23.c2 IS NOT NULL THEN 2
+                            WHEN c1c.c1 IS NOT NULL THEN 1 ELSE 0 END AS tier,
+                       CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / c2a.c2::DOUBLE
+                            WHEN c23.c2 IS NOT NULL
+                              THEN (c23.c2 / c1b.c1::DOUBLE) * 0.4
+                            WHEN c1c.c1 IS NOT NULL
+                              THEN ((c1c.c1 / nt.n_tok::DOUBLE) * 0.4) * 0.4
+                       END AS s
+                     FROM tst t
+                     LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+                     LEFT JOIN c2 c2a ON c2a.u = t.w1 AND c2a.u2 = t.w2
+                     LEFT JOIN c2 c23 ON c23.u = t.w2 AND c23.u2 = t.w3
+                     LEFT JOIN c1 c1b ON c1b.u = t.w2
+                     LEFT JOIN c1 c1c ON c1c.u = t.w3
+                     CROSS JOIN nt)
+              SELECT doc_id, count(*)::BIGINT AS n_tri,
+                sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END)::BIGINT AS n_hit3,
+                sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END)::BIGINT AS n_hit2,
+                sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit1,
+                sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                round(sum(CASE WHEN tier > 0 THEN round(ln(s), 9)::DECIMAL(28,9)
+                               ELSE 0::DECIMAL(28,9) END)::DOUBLE, 6) AS sb_logscore
+              FROM sc GROUP BY 1""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -205,6 +205,81 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007 — the web-scale
+    * LM smoothing that skips discount mass entirely): each heldout
+    * trigram scores `c(w1w2w3)/c(w1w2)`, backing off to
+    * `0.4·c(w2w3)/c(w2)` then `0.16·c(w3)/N`; out-of-vocabulary target
+    * words are counted, not scored. Completes the n-gram LM family
+    * ([[bigramLm]] MLE → [[kneserNeyBigram]] → this, the third smoothing
+    * strategy and the first with held-out evaluation tiers).
+    *
+    * Relational shape: n-gram counting is the one corpus-wide pass
+    * (exploded positions + two `lead` windows per side); scoring is five
+    * LEFT equi joins of the test trigram frame against vocabulary-
+    * bounded count frames plus one broadcast token total. Per-trigram
+    * log-scores round at 9 and sum per doc as DECIMAL(28,9)
+    * (order-independent), the doc score rounds at 6; each tier's S is
+    * built by one division then explicit 0.4 multiplies so any engine
+    * replays the IEEE sequence.
+    *
+    * Returns per test doc: (doc_id, n_tri, n_hit3, n_hit2, n_hit1,
+    * n_oov, sb_logscore). */
+  def stupidBackoffScore(
+      train: DataFrame, test: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame): DataFrame =
+      df.select(id.as("doc_id"),
+          posexplode(split(trim(text), "\\s+")).as(Seq("pos", "w1")))
+        .filter(col("w1") =!= "")
+    def tris(df: DataFrame): DataFrame = {
+      val win = w.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks(df)
+        .withColumn("w2", lead(col("w1"), 1).over(win))
+        .withColumn("w3", lead(col("w1"), 2).over(win))
+        .filter(col("w3").isNotNull)
+    }
+    val trainToks = toks(train)
+    val c1 = trainToks.groupBy(col("w1").as("u")).agg(count(lit(1)).as("c1"))
+    val nTok = trainToks.agg(count(lit(1)).as("n_tok"))
+    val c2 = trainToks
+      .withColumn("u2", lead(col("w1"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("u2").isNotNull)
+      .groupBy(col("w1").as("u"), col("u2")).agg(count(lit(1)).as("c2"))
+    val c3 = tris(train)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val scored = tris(test)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("u").as("w1"), col("u2").as("w2"),
+        col("c2").as("c2a")), Seq("w1", "w2"), "left")
+      .join(c2.select(col("u").as("w2"), col("u2").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("u").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .join(c1.select(col("u").as("w3"), col("c1").as("c1c")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTok))
+      .withColumn("tier",
+        when(col("c3").isNotNull, 3)
+          .when(col("c23").isNotNull, 2)
+          .when(col("c1c").isNotNull, 1).otherwise(0))
+      .withColumn("s",
+        when(col("tier") === 3, col("c3").cast("double") / col("c2a"))
+          .when(col("tier") === 2,
+            (col("c23").cast("double") / col("c1b")) * 0.4)
+          .when(col("tier") === 1,
+            ((col("c1c").cast("double") / col("n_tok")) * 0.4) * 0.4))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(when(col("tier") === 0, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("tier") > 0, round(log(col("s")), 9).cast("decimal(28,9)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)"))).as("__sc"))
+      .select(col("doc_id"), col("n_tri"), col("n_hit3"), col("n_hit2"),
+        col("n_hit1"), col("n_oov"),
+        round(col("__sc").cast("double"), 6).as("sb_logscore"))
+  }
+
   /** ROUGE-N overlap between consecutive-id document pairs (candidate =
     * even doc_id, reference = doc_id+1) — the summarization/copy-overlap
     * metric as a relational operator: clipped n-gram precision, recall,

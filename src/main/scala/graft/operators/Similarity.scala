@@ -513,6 +513,63 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
   }
 
+  /** Greedy best-first search over the mutual k-NN graph — the routing
+    * primitive graph-based ANN indexes (HNSW layer 0 / NSG) are built
+    * on: start every query at a fixed entry node, repeatedly hop to the
+    * neighbor most similar to the query, stop when no neighbor improves
+    * (a fixed `hops` budget bounds the walk; the strictly-improving gate
+    * makes cycles impossible, so a converged walk just stays put).
+    *
+    * Scale shape: the graph build is [[mutualKnnGraph]] (IVF-cell
+    * blocked); each hop is ONE equi join of the query-state frame
+    * against the edge list plus a top-1-per-query window — the state
+    * frame is |queries| rows, never corpus-sized. State routes through
+    * [[graft.Mat]] per hop (consumed by the candidate join and the
+    * merge — the iterative-frame discipline).
+    *
+    * Determinism: similarities round at 6 with min-id tiebreaks (the
+    * [[mutualKnnGraph]] contract), the entry node is the min corpus id,
+    * and a query whose current node has no mutual edges stays put
+    * (null-safe improvement gate). Returns one row per query:
+    * (query_id, node_id, sim, moves). */
+  def greedyGraphSearch(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int, hops: Int): DataFrame = {
+    val cos = cosineCol(corpus) _
+    val e = corpus.select(col(cId).cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("v"))
+    val mut = mutualKnnGraph(corpus, col(cId), col(cVec), k, nlist)
+    val ed = graft.Mat(
+      mut.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(mut.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val entry = e.agg(min(col("vid")).as("cur"))
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
+    var st = graft.Mat(q.crossJoin(broadcast(entry))
+      .join(e.select(col("vid").as("cur"), col("v")), Seq("cur"))
+      .select(col("query_id"), col("qv"), col("cur"),
+        round(cos(col("qv"), col("v")), 6).as("sim"),
+        lit(0).as("moves")))
+    for (_ <- 1 to hops) {
+      val cand = st.join(ed, col("cur") === col("src"))
+        .join(e.select(col("vid").as("dst"), col("v").as("nv")), Seq("dst"))
+        .withColumn("bsim", round(cos(col("qv"), col("nv")), 6))
+      val best = Joins.top1PerGroup(cand, Seq(col("query_id")),
+          Seq(col("bsim").desc, col("dst").asc))
+        .select(col("query_id"), col("dst").as("bnode"), col("bsim"))
+      st = graft.Mat(st.join(best, Seq("query_id"), "left")
+        .select(col("query_id"), col("qv"),
+          when(col("bsim") > col("sim"), col("bnode")).otherwise(col("cur"))
+            .as("cur"),
+          when(col("bsim") > col("sim"), col("bsim")).otherwise(col("sim"))
+            .as("sim"),
+          (col("moves") + when(col("bsim") > col("sim"), 1).otherwise(0))
+            .as("moves")))
+    }
+    st.select(col("query_id"), col("cur").as("node_id"), col("sim"), col("moves"))
+  }
+
   /** Binary (sign) quantization ANN — the most aggressive embedding
     * compression in the FAISS family (`BinaryFlat` / sign-LSH readout):
     * each dimension contributes ONE bit (sign of the component), packed

@@ -440,6 +440,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r2(2L)._9 == 1.0)
   }
 
+  test("stupidBackoffScore: all four tiers fire and the log-score replays by hand") {
+    // train "a b c a b d": c3(a,b,c)=1, c2(a,b)=2, c1(a)=2, N=6
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    // test trigrams: (a,b,c) tier3 s=1/2; (b,c,x) OOV; (c,x,a) tier1
+    // s=((2/6)*0.4)*0.4; (x,a,b) tier2 s=(2/2)*0.4
+    val test = Seq((1L, "a b c x a b")).toDF("doc_id", "text")
+    val got = TextFunctions.stupidBackoffScore(
+        train, test, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert((got._2, got._3, got._4, got._5, got._6) == ((4L, 1L, 1L, 1L, 1L)))
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val exp = BigDecimal(
+        q9(math.log(1.0 / 2.0)) + q9(math.log((2.0 / 2.0) * 0.4))
+          + q9(math.log(((2.0 / 6.0) * 0.4) * 0.4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._7 == exp, s"got ${got._7} expected $exp")
+  }
+
+  test("stupidBackoffScore: a fully in-LM test doc has only tier-3 hits") {
+    val train = Seq((0L, "u v w u v w u v w")).toDF("doc_id", "text")
+    val test = Seq((1L, "u v w u v")).toDF("doc_id", "text")
+    val got = TextFunctions.stupidBackoffScore(
+        train, test, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got._2 == 3L && got._3 == 3L && got._6 == 0L)
+  }
+
   test("rougeOverlap: a side too short for the gram order drops the pair") {
     val docs = Seq((0L, "one"), (1L, "one two three")).toDF("doc_id", "text")
     assert(TextFunctions.rougeOverlap(docs, col("doc_id"), col("text"), 2)

@@ -365,6 +365,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("greedyGraphSearch walks the angular chain to the true nearest node") {
+    // unit vectors at 0..90 degrees (ids 0..9): the mutual 3-NN graph is
+    // a near-chain, so greedy routing from entry node 0 must climb to
+    // node 9, the nearest to an 87-degree query, improving every hop
+    // (87, not 85: a query equidistant between two nodes cannot pass
+    // the strict-improvement gate and the walk stops one short)
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = (0 to 9).map(i => (i.toLong, v(i * 10.0))).toDF("vec_id", "embedding")
+    val q = Seq((100L, v(87.0))).toDF("vec_id", "embedding")
+    val got = Similarity.greedyGraphSearch(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, nlist = 1, hops = 10)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(got._1 == 100L)
+    assert(got._2 == 9L, s"ended at ${got._2}")       // nearest to 85 deg
+    assert(got._4 >= 5 && got._4 <= 10, s"moves ${got._4}")
+    assert(math.abs(got._3 - math.cos(math.toRadians(3.0))) < 1e-4)
+  }
+
+  test("greedyGraphSearch with an edgeless graph stays at the entry node") {
+    // 10 vectors, nlist=16 -> every id its own IVF cell -> no candidate
+    // pairs -> no mutual edges -> the walk cannot move
+    val corpus = (0 to 9).map(i =>
+      (i.toLong, Array.tabulate(4)(dd => (i + dd).toFloat))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 7)
+    val got = Similarity.greedyGraphSearch(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, nlist = 16, hops = 3)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(got._2 == 0L && got._4 == 0)
+  }
+
   test("binaryHammingTopK: identical sign pattern is distance 0 and rank 1") {
     val base = Array.tabulate(64)(dd => if (dd % 3 == 0) -2.5f else 0.75f)
     val e = Seq(
