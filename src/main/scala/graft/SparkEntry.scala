@@ -9286,6 +9286,94 @@ object SparkEntry {
                 round(sum(CASE WHEN tier > 0 THEN round(ln(s), 9)::DECIMAL(28,9)
                                ELSE 0::DECIMAL(28,9) END)::DOUBLE, 6) AS sb_logscore
               FROM sc GROUP BY 1""")),
+
+    Q("d_bfs_levels", (s, d) => {
+      // multi-source BFS over the sparsified part co-occurrence graph:
+      // shortest hop distance from the p%997==0 seed parts, 6 synchronous
+      // unit-weight relaxation rounds; `converged` asserts the frontier
+      // emptied inside the budget
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      val sources = li(s, d).select(col("l_partkey").as("node")).distinct()
+        .filter(pmod(col("node"), lit(997)) === 0)
+      graft.operators.Components.bfsLevels(pairs, "u", "v", sources, rounds = 6)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              e AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              d0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node, 0 AS dist
+                FROM lineitem WHERE l_partkey % 997 = 0),
+              d1 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d0 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d0 d ON e.src = d.node) z
+                GROUP BY 1),
+              d2 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d1 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d1 d ON e.src = d.node) z
+                GROUP BY 1),
+              d3 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d2 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d2 d ON e.src = d.node) z
+                GROUP BY 1),
+              d4 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d3 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d3 d ON e.src = d.node) z
+                GROUP BY 1),
+              d5 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d4 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d4 d ON e.src = d.node) z
+                GROUP BY 1),
+              d6 AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM (
+                SELECT node, dist FROM d5 UNION ALL
+                SELECT e.dst, d.dist + 1 FROM e JOIN d5 d ON e.src = d.node) z
+                GROUP BY 1),
+              conv AS (SELECT CASE WHEN (SELECT count(*) FROM d5)
+                  = (SELECT count(*) FROM d6) THEN 1 ELSE 0 END AS converged)
+              SELECT node, dist, converged FROM d6 CROSS JOIN conv""")),
+
+    Q("a51_mann_whitney", (s, d) =>
+      // nonparametric A/B: Mann-Whitney U with midranks + tie-corrected
+      // variance on l_quantity (50 heavily-tied values) between orderkey
+      // parity halves; exact 2x-scaled integer rank sums, one float
+      // z-score chain at the end
+      graft.operators.Stats.mannWhitneyU(li(s, d),
+        col("l_quantity"), pmod(col("l_orderkey"), lit(2))),
+      Some("""WITH per AS (SELECT x,
+                sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+              FROM (SELECT l_quantity::DOUBLE AS x, l_orderkey % 2 AS g
+                    FROM lineitem) z GROUP BY 1),
+              cum AS (SELECT c0, c1,
+                        sum(c0 + c1) OVER (ORDER BY x) - c0 - c1 AS cb
+                      FROM per),
+              agg AS (SELECT sum(c0)::BIGINT AS n_a, sum(c1)::BIGINT AS n_b,
+                        sum((c0 * (cb * 2 + c0 + c1 + 1))::DECIMAL(38,0)) AS r2,
+                        sum((c0 + c1)::DECIMAL(38,0) * (c0 + c1) * (c0 + c1)
+                            - (c0 + c1)) AS tcorr
+                      FROM cum),
+              u AS (SELECT n_a, n_b,
+                      (r2 - (n_a * (n_a + 1))::DECIMAL(38,0))::BIGINT AS u_a_x2,
+                      tcorr, n_a + n_b AS n FROM agg)
+              SELECT n_a, n_b, u_a_x2,
+                round((u_a_x2 - n_a::DOUBLE * n_b)
+                      / (2.0 * sqrt((n_a::DOUBLE * n_b / 12.0)
+                          * ((n + 1) - tcorr::DOUBLE
+                             / (n::DOUBLE * (n - 1))))), 6) AS z
+              FROM u""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -276,6 +276,52 @@ object Components {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Multi-source BFS levels — shortest hop distance from a source set,
+    * the reachability/radius primitive (influence spread, staleness
+    * propagation, "how far is every part from a recalled part"). Each
+    * round relaxes one hop: dist_r(n) = min(dist_{r-1}(n),
+    * 1 + min over neighbors' dist_{r-1}) — synchronous Bellman-Ford on
+    * unit weights, so after R rounds every node within R hops carries
+    * its exact distance.
+    *
+    * Scale shape: one equi join (edges × current distances) + one
+    * min-aggregate per round, all keyed on node id; distance frames
+    * route through [[graft.Mat]] per round (consumed by the next join
+    * and the convergence count). `converged` asserts the frontier
+    * emptied within the budget rather than trusting it. Unreached
+    * nodes are absent (no sentinel rows).
+    *
+    * Returns (node, dist, converged). */
+  def bfsLevels(
+      pairs: DataFrame, a: String, b: String,
+      sources: DataFrame, rounds: Int): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = graft.Mat(
+      e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+    // sources outside the graph still seed with dist 0 (they just have
+    // no edges to relax over)
+    var dist = graft.Mat(sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0)))
+    var prevN = -1L
+    var lastN = dist.count()
+    for (_ <- 1 to rounds) {
+      prevN = lastN
+      val relaxed = dir
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = graft.Mat(dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      lastN = dist.count()
+    }
+    // unit-weight wavefront: a node's first-touch distance IS its
+    // shortest, so an empty last frontier (no new nodes) = converged
+    dist.withColumn("converged", lit(if (prevN == lastN) 1 else 0))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007) — the cheap non-overlapping community pass between plain
     * connectivity ([[connectedComponents]]) and modularity methods:

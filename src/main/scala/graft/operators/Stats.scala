@@ -545,6 +545,57 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Mann–Whitney U rank-sum test (the nonparametric A/B readout — no
+    * normality assumption, robust to the heavy tails that break the
+    * t-test): with midranks for ties, U_A = R_A − n_A(n_A+1)/2, compared
+    * against the null mean n_A·n_B/2 with the tie-corrected variance
+    * σ² = (n_A n_B/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Everything up to the z-score is EXACT integer arithmetic at 2×
+    * scale (a tie block occupying ranks [c+1, c+t] contributes midrank
+    * sums 2R += count_A·(2c + t + 1), dodging the .5): per-value counts
+    * are one hash aggregate, the rank offsets ride
+    * [[Windows.globalRunningSums]] (never a corpus sort), and the tie
+    * correction Σ(t³−t) folds into the same aggregate. The z-score is
+    * the only float work — a fixed +,*,/,sqrt chain over exact-integer
+    * doubles, rounded at 6.
+    *
+    * `group` must map rows to {0, 1}. Returns one row:
+    * (n_a, n_b, u_a_x2, z). */
+  def mannWhitneyU(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val per = graft.Mat(df
+      .select(value.cast("double").as("x"), group.cast("int").as("g"))
+      .groupBy(col("x")).agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1")))
+    val cum = Windows.globalRunningSums(per, "x", Nil,
+      Seq((col("c0") + col("c1")) -> "cumT"))
+    cum
+      .select(col("c0"), col("c1"),
+        (col("cumT") - col("c0") - col("c1")).as("cb"))
+      .agg(
+        sum(col("c0")).as("n_a"), sum(col("c1")).as("n_b"),
+        // 2R_A = Σ c0·(2·cumBefore + t + 1) with t = c0+c1
+        sum((col("c0") * (col("cb") * 2 + col("c0") + col("c1") + 1))
+          .cast("decimal(38,0)")).as("r2"),
+        // cube in DECIMAL: a hot value's t³ overflows BIGINT near t ~ 2e6·10³
+        sum((col("c0") + col("c1")).cast("decimal(38,0)")
+          * (col("c0") + col("c1")) * (col("c0") + col("c1"))
+          - (col("c0") + col("c1"))).as("tcorr"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2") - (col("n_a") * (col("n_a") + 1)).cast("decimal(38,0)"))
+          .cast("long").as("u_a_x2"),
+        col("r2"), col("tcorr"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("sigma2",
+        (col("n_a").cast("double") * col("n_b") / 12.0)
+          * ((col("n") + 1) - col("tcorr").cast("double")
+            / (col("n").cast("double") * (col("n") - 1))))
+      .select(col("n_a"), col("n_b"), col("u_a_x2"),
+        round((col("u_a_x2") - col("n_a").cast("double") * col("n_b"))
+          / (lit(2.0) * sqrt(col("sigma2"))), 6).as("z"))
+  }
+
   /** Gini coefficient of a nonnegative integer-valued distribution — the
     * concentration/inequality audit (how concentrated is revenue over
     * customers, token mass over documents, traffic over shards). Uses

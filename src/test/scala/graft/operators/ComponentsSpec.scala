@@ -154,6 +154,31 @@ class ComponentsSpec extends SparkSpec {
     assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
   }
 
+  test("bfsLevels: path-graph distances, multi-source min, budget truncation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def run(src: Seq[Long], rounds: Int) =
+      Components.bfsLevels(pairs, "a", "b", src.toDF("node"), rounds)
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val one = run(Seq(1L), 5)
+    assert(one.map { case (n, (dd, _)) => n -> dd } ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    assert(one.values.forall(_._2 == 1)) // round 5 adds nothing: converged
+    val short = run(Seq(1L), 2)
+    assert(short.map { case (n, (dd, _)) => n -> dd } ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(short.values.forall(_._2 == 0)) // frontier still moving
+    val multi = run(Seq(1L, 5L), 4)
+    assert(multi.map { case (n, (dd, _)) => n -> dd } ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bfsLevels: off-graph sources still seed; unreached nodes absent") {
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val got = Components.bfsLevels(pairs, "a", "b", Seq(1L, 99L).toDF("node"), 3)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 99L -> 0)) // 10/11 unreached
+  }
+
   test("labelPropagation: two bridged triangles settle into two communities") {
     // K3 {1,2,3} -- bridge (3,10) -- K3 {10,11,12}; hand-simulated
     // synchronous rounds converge by t=4 to labels 1 and 3

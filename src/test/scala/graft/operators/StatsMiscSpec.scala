@@ -76,6 +76,35 @@ class StatsMiscSpec extends SparkSpec {
     assert(got.head._3 == 2L) // both baskets, not three pair instances
   }
 
+  test("mannWhitneyU: midrank/tie-correction replay on a hand case") {
+    // A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 4.5 -> R_A = 8, U_A = 2
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1))
+      .toDF("x", "g")
+    val got = Stats.mannWhitneyU(df, col("x"), col("g"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert((got._1, got._2, got._3) == ((3L, 3L, 4L))) // u_a_x2 = 2*U_A
+    // z = (2U - nA*nB) / (2*sigma), sigma^2 = (9/12)*(7 - 12/30)
+    val sigma2 = (3.0 * 3 / 12.0) * ((6 + 1) - 12.0 / (6.0 * 5))
+    val exp = BigDecimal((4 - 3.0 * 3) / (2.0 * math.sqrt(sigma2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._4 == exp, s"z ${got._4} expected $exp")
+  }
+
+  test("mannWhitneyU: identical distributions score z = 0") {
+    val df = Seq((1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)).toDF("x", "g")
+    val got = Stats.mannWhitneyU(df, col("x"), col("g"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._3 == 4L && got._4 == 0.0) // U_A = null mean exactly
+  }
+
+  test("mannWhitneyU: a stochastically larger arm gets a positive z") {
+    val df = ((1 to 40).map(i => (i.toDouble, 1)) ++
+      (1 to 40).map(i => (i.toDouble + 20, 0))).toDF("x", "g")
+    val z = Stats.mannWhitneyU(df, col("x"), col("g"))
+      .as[(Long, Long, Long, Double)].collect().head._4
+    assert(z > 2.0, s"z=$z") // arm A shifted +20: strongly significant
+  }
+
   test("pmiCollocations ranks the glued pair above independent fillers") {
     // "san francisco" always adjacent; fillers vary their neighbors
     val docs = (1 to 30).map { i =>
