@@ -9374,6 +9374,76 @@ object SparkEntry {
                           * ((n + 1) - tcorr::DOUBLE
                              / (n::DOUBLE * (n - 1))))), 6) AS z
               FROM u""")),
+
+    Q("a52_cramers_v", (s, d) =>
+      // feature-association screen: chi-square independence + Cramer's V
+      // over the returnflag x linestatus contingency; one hash agg,
+      // margins from windows over the category-bounded cell frame,
+      // per-cell terms round-9 into DECIMAL sums
+      graft.operators.Stats.chiSquareCramersV(li(s, d),
+        col("l_returnflag"), col("l_linestatus")),
+      Some("""WITH obs AS (SELECT l_returnflag AS r, l_linestatus AS c,
+                count(*)::BIGINT AS o FROM lineitem GROUP BY 1, 2),
+              cells AS (SELECT rr.r, cc.c, coalesce(obs.o, 0)::BIGINT AS o
+                FROM (SELECT DISTINCT r FROM obs) rr
+                CROSS JOIN (SELECT DISTINCT c FROM obs) cc
+                LEFT JOIN obs ON obs.r = rr.r AND obs.c = cc.c),
+              m AS (SELECT o,
+                      sum(o) OVER (PARTITION BY r) AS rt,
+                      sum(o) OVER (PARTITION BY c) AS ct,
+                      sum(o) OVER () AS n, r, c
+                    FROM cells),
+              t AS (SELECT o, n, r, c,
+                      round((o - rt::DOUBLE * ct / n) * (o - rt::DOUBLE * ct / n)
+                            / (rt::DOUBLE * ct / n), 9) AS term
+                    FROM m),
+              a AS (SELECT max(n)::BIGINT AS n,
+                      count(DISTINCT r)::BIGINT AS n_rows_cat,
+                      count(DISTINCT c)::BIGINT AS n_cols_cat,
+                      sum(term::DECIMAL(28,9)) AS chi2d
+                    FROM t)
+              SELECT n, n_rows_cat, n_cols_cat,
+                ((n_rows_cat - 1) * (n_cols_cat - 1))::BIGINT AS dof,
+                round(chi2d::DOUBLE, 6) AS chi2,
+                round(sqrt(chi2d::DOUBLE
+                  / (n::DOUBLE * (least(n_rows_cat, n_cols_cat) - 1))), 6)
+                  AS cramers_v
+              FROM a""")),
+
+    Q("a53_mutual_info", (s, d) =>
+      // information-theoretic column-pair dependence (the feature-
+      // selection ranking metric): MI + marginal entropies + NMI over
+      // the orderpriority x orderstatus contingency; the corpus-level
+      // expectation of x_pmi_collocations' PMI
+      graft.operators.Stats.mutualInformation(ord(s, d),
+        col("o_orderpriority"), col("o_orderstatus")),
+      Some("""WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+                count(*)::BIGINT AS o FROM orders GROUP BY 1, 2),
+              m AS (SELECT x, y, o,
+                      sum(o) OVER (PARTITION BY x) AS xt,
+                      sum(o) OVER (PARTITION BY y) AS yt,
+                      sum(o) OVER () AS n,
+                      count(*) OVER (PARTITION BY x) AS cells_x,
+                      count(*) OVER (PARTITION BY y) AS cells_y
+                    FROM cells),
+              t AS (SELECT
+                      round((o / n::DOUBLE)
+                        * (ln(o) + ln(n) - ln(xt) - ln(yt)), 9) AS mi_term,
+                      round((xt / n::DOUBLE) * (ln(n) - ln(xt)) / cells_x, 9)
+                        AS hx_term,
+                      round((yt / n::DOUBLE) * (ln(n) - ln(yt)) / cells_y, 9)
+                        AS hy_term,
+                      n
+                    FROM m),
+              a AS (SELECT max(n)::BIGINT AS n,
+                      sum(mi_term::DECIMAL(28,9)) AS mid,
+                      sum(hx_term::DECIMAL(28,9)) AS hxd,
+                      sum(hy_term::DECIMAL(28,9)) AS hyd
+                    FROM t)
+              SELECT n, round(hxd::DOUBLE, 6) AS h_x, round(hyd::DOUBLE, 6) AS h_y,
+                round(mid::DOUBLE, 6) AS mi,
+                round(mid::DOUBLE / sqrt(hxd::DOUBLE * hyd::DOUBLE), 6) AS nmi
+              FROM a""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -545,6 +545,103 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Chi-square independence test + Cramér's V over the full R×C
+    * contingency of two categorical columns — the feature-association
+    * screen (does returnflag predict linestatus?): χ² = Σ (o−e)²/e with
+    * e = rowTot·colTot/n, V = √(χ²/(n·(min(R,C)−1))).
+    *
+    * Scale + portability: the contingency is ONE hash aggregate; margins
+    * come from window sums over the cell frame (R·C rows — category-
+    * bounded metadata, not corpus data). Each cell's (o−e)²/e term is an
+    * IEEE chain over exact-integer doubles, rounded at 9 and summed as
+    * DECIMAL(28,9) (cross-cell double addition would be order-
+    * dependent); χ² and V round at 6. Returns one row:
+    * (n, n_rows_cat, n_cols_cat, dof, chi2, cramers_v). */
+  def chiSquareCramersV(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    val obs = df.groupBy(rowCat.cast("string").as("r"),
+        colCat.cast("string").as("c"))
+      .agg(count(lit(1)).as("o"))
+    // densify: UNOBSERVED cells still contribute (0-e)^2/e = e — a
+    // sparse contingency understates chi-square (caught by spec). The
+    // spine is R x C category-bounded rows, broadcast-crossed.
+    val cells = obs.select(col("r")).distinct()
+      .crossJoin(broadcast(obs.select(col("c")).distinct()))
+      .join(obs, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val w = Window
+    val withMargins = cells
+      .withColumn("rt", sum(col("o")).over(w.partitionBy(col("r"))))
+      .withColumn("ct", sum(col("o")).over(w.partitionBy(col("c"))))
+      .withColumn("n", sum(col("o")).over(w.partitionBy()))
+    val agg = withMargins
+      .withColumn("e",
+        col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term", round(
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9))
+      .agg(
+        max(col("n")).as("n"),
+        countDistinct(col("r")).as("n_rows_cat"),
+        countDistinct(col("c")).as("n_cols_cat"),
+        sum(col("term").cast("decimal(28,9)")).as("__chi2"))
+    agg.select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        round(col("__chi2").cast("double"), 6).as("chi2"),
+        round(sqrt(col("__chi2").cast("double")
+          / (col("n").cast("double")
+            * (least(col("n_rows_cat"), col("n_cols_cat")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Mutual information between two categorical columns (plus their
+    * entropies and the normalized coefficient) — the information-
+    * theoretic sibling of [[chiSquareCramersV]] and the column-pair
+    * dependence measure feature-selection pipelines rank by:
+    * `I(X;Y) = Σ_xy p_xy · (ln c_xy + ln n − ln c_x − ln c_y)` (the
+    * corpus-level expectation of `TextFunctions.pmiCollocations`' PMI).
+    *
+    * Same posture as the χ² test: one contingency hash aggregate,
+    * margins by windows over the category-bounded cell frame, per-cell
+    * terms rounded at 9 into DECIMAL sums, ln over exact-integer
+    * doubles only. NMI = I/√(H(X)·H(Y)) rounds at 6. Returns one row:
+    * (n, h_x, h_y, mi, nmi). */
+  def mutualInformation(df: DataFrame, xCat: Column, yCat: Column): DataFrame = {
+    val cells = df.groupBy(xCat.cast("string").as("x"),
+        yCat.cast("string").as("y"))
+      .agg(count(lit(1)).as("o"))
+    val w = Window
+    val m = cells
+      .withColumn("xt", sum(col("o")).over(w.partitionBy(col("x"))))
+      .withColumn("yt", sum(col("o")).over(w.partitionBy(col("y"))))
+      .withColumn("n", sum(col("o")).over(w.partitionBy()))
+    // p·ln terms as round-9 decimals; H(X)/H(Y) de-duplicate their
+    // margin terms by dividing each cell's row/col contribution by the
+    // number of cells sharing that margin — avoids a second aggregate
+    val agg = m
+      .withColumn("mi_term", round(
+        (col("o").cast("double") / col("n"))
+          * (log(col("o")) + log(col("n")) - log(col("xt")) - log(col("yt"))),
+        9))
+      .withColumn("cells_x", count(lit(1)).over(w.partitionBy(col("x"))))
+      .withColumn("cells_y", count(lit(1)).over(w.partitionBy(col("y"))))
+      .withColumn("hx_term", round(
+        (col("xt").cast("double") / col("n"))
+          * (log(col("n")) - log(col("xt"))) / col("cells_x"), 9))
+      .withColumn("hy_term", round(
+        (col("yt").cast("double") / col("n"))
+          * (log(col("n")) - log(col("yt"))) / col("cells_y"), 9))
+      .agg(max(col("n")).as("n"),
+        sum(col("mi_term").cast("decimal(28,9)")).as("__mi"),
+        sum(col("hx_term").cast("decimal(28,9)")).as("__hx"),
+        sum(col("hy_term").cast("decimal(28,9)")).as("__hy"))
+    agg.select(col("n"),
+      round(col("__hx").cast("double"), 6).as("h_x"),
+      round(col("__hy").cast("double"), 6).as("h_y"),
+      round(col("__mi").cast("double"), 6).as("mi"),
+      round(col("__mi").cast("double")
+        / sqrt(col("__hx").cast("double") * col("__hy").cast("double")), 6)
+        .as("nmi"))
+  }
+
   /** Mann–Whitney U rank-sum test (the nonparametric A/B readout — no
     * normality assumption, robust to the heavy tails that break the
     * t-test): with midranks for ties, U_A = R_A − n_A(n_A+1)/2, compared

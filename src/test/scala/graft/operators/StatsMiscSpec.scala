@@ -76,6 +76,36 @@ class StatsMiscSpec extends SparkSpec {
     assert(got.head._3 == 2L) // both baskets, not three pair instances
   }
 
+  test("chiSquareCramersV: independence scores 0; a diagonal table scores V=1") {
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (r, c)).toDF("r", "c")
+    val gi = Stats.chiSquareCramersV(indep, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(gi == ((20L, 2L, 2L, 1L, 0.0, 0.0)))
+    val diag = (Seq.fill(10)(("a", "p")) ++ Seq.fill(10)(("b", "q")))
+      .toDF("r", "c")
+    val gd = Stats.chiSquareCramersV(diag, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(gd._5 == 20.0) // chi2 = n for a perfect 2x2 association
+    assert(gd._6 == 1.0)  // Cramer's V = 1
+  }
+
+  test("mutualInformation: independent columns 0; identical columns NMI=1") {
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val gi = Stats.mutualInformation(indep, col("x"), col("y"))
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(gi._4 == 0.0 && gi._5 == 0.0)
+    // 50/50 margins: H = ln 2 (round 6)
+    val h2 = BigDecimal(math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) / 1e9 * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gi._2 == h2 && gi._3 == h2)
+    val same = (Seq.fill(7)(("a", "a")) ++ Seq.fill(13)(("b", "b"))).toDF("x", "y")
+    val gs = Stats.mutualInformation(same, col("x"), col("y"))
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(gs._4 == gs._2 && gs._5 == 1.0) // MI = H(X), NMI = 1
+  }
+
   test("mannWhitneyU: midrank/tie-correction replay on a hand case") {
     // A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 4.5 -> R_A = 8, U_A = 2
     val df = Seq((1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1))
