@@ -9444,6 +9444,78 @@ object SparkEntry {
                 round(mid::DOUBLE, 6) AS mi,
                 round(mid::DOUBLE / sqrt(hxd::DOUBLE * hyd::DOUBLE), 6) AS nmi
               FROM a""")),
+
+    Q("a54_yoy_growth", (s, d) => {
+      // period-over-period report: monthly revenue + same-month
+      // prior-year delta via ONE lag window over the year-month frame
+      // (calendar-bounded rows — the corpus is touched by one aggregate);
+      // exact integer cents, one final division
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("m")).orderBy(col("y"))
+      ord(s, d)
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("y"), col("m")).agg(sum(col("cents")).as("rev_cents"))
+        .withColumn("prior_cents", lag(col("rev_cents"), 1).over(w))
+        .filter(col("prior_cents").isNotNull)
+        .select(col("y"), col("m"), col("rev_cents"), col("prior_cents"),
+          round((col("rev_cents") - col("prior_cents")).cast("double")
+            / col("prior_cents"), 6).as("yoy_pct"))
+    },
+      Some("""WITH mo AS (SELECT year(o_orderdate)::INT AS y,
+                month(o_orderdate)::INT AS m,
+                sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS rev_cents
+              FROM orders GROUP BY 1, 2),
+              l AS (SELECT y, m, rev_cents,
+                      lag(rev_cents) OVER (PARTITION BY m ORDER BY y) AS prior_cents
+                    FROM mo)
+              SELECT y, m, rev_cents, prior_cents,
+                round((rev_cents - prior_cents) / prior_cents::DOUBLE, 6) AS yoy_pct
+              FROM l WHERE prior_cents IS NOT NULL""")),
+
+    Q("a55_abc_class", (s, d) => {
+      // ABC / Pareto inventory classification: parts by revenue into
+      // A (starts before the 80% cumulative-share boundary), B (<95%),
+      // C (rest); descending-revenue cumulative rides the bucketed
+      // global running sums (no single-partition sort), class gates are
+      // integer cross-multiplications
+      val per = graft.Mat(li(s, d)
+        .select(col("l_partkey").as("p"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("p")).agg(sum(col("cents")).as("rev"))
+        .withColumn("neg", -col("rev")))
+      val cum = graft.operators.Windows.globalRunningSums(
+        per, "neg", Seq(col("p")), Seq(col("rev") -> "cum"))
+      val tot = per.agg(sum(col("rev")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("before", col("cum") - col("rev"))
+        .withColumn("cls",
+          when(col("before") * 100 < col("total") * 80, "A")
+            .when(col("before") * 100 < col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("class_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("cls"), col("n_items"), col("class_cents"),
+          round(col("class_cents").cast("double") / col("total"), 6)
+            .as("share"))
+    },
+      Some("""WITH per AS (SELECT l_partkey AS p,
+                sum((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS rev
+              FROM lineitem GROUP BY 1),
+              t AS (SELECT sum(rev)::BIGINT AS total FROM per),
+              c AS (SELECT rev,
+                      (sum(rev) OVER (ORDER BY rev DESC, p) - rev)::BIGINT AS "before"
+                    FROM per),
+              k AS (SELECT rev, CASE WHEN "before" * 100 < total * 80 THEN 'A'
+                                     WHEN "before" * 100 < total * 95 THEN 'B'
+                                     ELSE 'C' END AS cls
+                    FROM c CROSS JOIN t)
+              SELECT cls, count(*)::BIGINT AS n_items,
+                     sum(rev)::BIGINT AS class_cents,
+                     round(sum(rev) / (SELECT total FROM t)::DOUBLE, 6) AS share
+              FROM k GROUP BY 1""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -135,6 +135,23 @@ class StatsMiscSpec extends SparkSpec {
     assert(z > 2.0, s"z=$z") // arm A shifted +20: strongly significant
   }
 
+  test("ABC classification boundary: an item starting exactly at 80% is B") {
+    // replicate the a55 query shape on a hand distribution:
+    // revs 50/30/15/5 -> cum-before 0/50/80/95 -> A={50,30} B={15} C={5}
+    val per = Seq((1L, 50L), (2L, 30L), (3L, 15L), (4L, 5L)).toDF("p", "rev")
+      .withColumn("neg", -col("rev"))
+    val cum = Windows.globalRunningSums(per, "neg", Seq(col("p")),
+      Seq(col("rev") -> "cum"))
+    val got = cum
+      .withColumn("before", col("cum") - col("rev"))
+      .withColumn("cls",
+        when(col("before") * 100 < lit(100L) * 80, "A")
+          .when(col("before") * 100 < lit(100L) * 95, "B").otherwise("C"))
+      .groupBy(col("cls")).agg(sum(col("rev")).as("r"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("A" -> ((80L, 2L)), "B" -> ((15L, 1L)), "C" -> ((5L, 1L))))
+  }
+
   test("pmiCollocations ranks the glued pair above independent fillers") {
     // "san francisco" always adjacent; fillers vary their neighbors
     val docs = (1 to 30).map { i =>
