@@ -9516,6 +9516,27 @@ object SparkEntry {
                      sum(rev)::BIGINT AS class_cents,
                      round(sum(rev) / (SELECT total FROM t)::DOUBLE, 6) AS share
               FROM k GROUP BY 1""")),
+
+    Q("x_readability", (s, d) =>
+      // Flesch-Kincaid grade + reading ease per doc: three row-local
+      // regex counts (words, [.!?]+ sentence ends, [aeiouy]+ vowel-group
+      // syllables), two exact-int divisions, one multiply-add chain
+      TextFunctions.readability(doc(s, d), col("doc_id"), col("text")),
+      Some("""WITH c AS (SELECT doc_id,
+                len(regexp_extract_all(text, '\S+'))::INT AS n_words,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::INT
+                  AS n_sentences,
+                len(regexp_extract_all(lower(text), '[aeiouy]+'))::INT
+                  AS n_syllables
+              FROM documents),
+              r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                      n_words / n_sentences::DOUBLE AS wps,
+                      n_syllables / n_words::DOUBLE AS spw
+                    FROM c WHERE n_words > 0)
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade,
+                round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS reading_ease
+              FROM r""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

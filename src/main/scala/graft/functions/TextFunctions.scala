@@ -205,6 +205,33 @@ object TextFunctions {
         round(col("cnt") / sum(col("cnt")).over(w.partitionBy(col("w1"))), 6))
   }
 
+  /** Flesch–Kincaid readability (grade level + reading ease) — the
+    * classic surface-statistics quality signal next to [[qualityScore]]
+    * and [[gopherRules]]: grade = 0.39·(words/sentence) +
+    * 11.8·(syllables/word) − 15.59; ease = 206.835 − 1.015·(w/s) −
+    * 84.6·(sy/w). Syllables use the standard vowel-group heuristic
+    * (runs of [aeiouy]); sentence ends are [.!?] runs (floored at 1).
+    *
+    * Fully row-local (three regex counts per row, shuffle-free); the
+    * two ratios are exact-integer divisions and the score a fixed
+    * multiply-add chain — IEEE-replayable, rounded at 6. */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        size(regexp_extract_all(text, lit("\\S+"), lit(0))).as("n_words"),
+        greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - 15.59, 6)
+          .as("fk_grade"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+          .as("reading_ease"))
+
   /** Stupid-backoff trigram scoring (Brants et al. 2007 — the web-scale
     * LM smoothing that skips discount mass entirely): each heldout
     * trigram scores `c(w1w2w3)/c(w1w2)`, backing off to

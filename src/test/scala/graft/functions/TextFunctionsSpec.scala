@@ -440,6 +440,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r2(2L)._9 == 1.0)
   }
 
+  test("readability: hand-counted words/sentences/syllables and the FK chain") {
+    // "the cat sat. it ran!" -> 5 words, 2 sentences, 5 vowel groups
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "xyz")) // 2: no vowels
+      .toDF("doc_id", "text")
+    val got = TextFunctions.readability(docs, col("doc_id"), col("text"))
+      .as[(Long, Int, Int, Int, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, w, sn, sy, fk, ease) = got(1L)
+    assert((w, sn, sy) == ((5, 2, 5)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fk == r6(0.39 * 2.5 + 11.8 * 1.0 - 15.59))
+    assert(ease == r6(206.835 - 1.015 * 2.5 - 84.6 * 1.0))
+    // no sentence punctuation floors at 1 sentence; zero syllables fine
+    assert(got(2L)._2 == 1 && got(2L)._3 == 1 && got(2L)._4 == 1)
+  }
+
   test("stupidBackoffScore: all four tiers fire and the log-score replays by hand") {
     // train "a b c a b d": c3(a,b,c)=1, c2(a,b)=2, c1(a)=2, N=6
     val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
