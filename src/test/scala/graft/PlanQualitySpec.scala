@@ -395,4 +395,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("HashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("label propagation / BFS rounds join on node id, never all-pairs") {
+    // every round is one equi join + one hash aggregate; a cartesian
+    // product would mean a label/distance frame lost its join key.
+    // (BFS rounds run eagerly behind Mat, so only the final projection
+    // is visible in its executedPlan — the no-cartesian assert still
+    // covers the whole visible plan; LPA's final sizes join is lazy.)
+    Seq("d_lpa_communities", "d_bfs_levels").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    assert(plan("d_lpa_communities").contains("HashAggregate"))
+  }
+
+  test("link prediction wedges are equi joins; candidates leave via anti join") {
+    val p = plan("d_link_predict")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p) // known edges must be anti-joined out
+  }
+
+  test("readability and PMI scoring stay off corpus-scale nested loops") {
+    // readability is a pure row-local projection; PMI's joins are all
+    // vocabulary-keyed equi joins (the 1-row totals crossJoin broadcast
+    // is the only legitimate nesting)
+    val pr = plan("x_readability")
+    assert(!pr.contains("Exchange") && !pr.contains("Generate"), pr)
+    val pp = plan("x_pmi_collocations")
+    assert(!pp.contains("CartesianProduct"), pp)
+  }
+
+  test("binary-Hamming ANN broadcasts the query side; packing is scan-local") {
+    // the corpus side must stream through ONE projection (the packing
+    // HOF) into a broadcast join against the 20-query side — a shuffle
+    // of the packed corpus or a cartesian product would break the
+    // 100 TB posture
+    val p = plan("v_binary_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
