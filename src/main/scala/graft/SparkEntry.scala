@@ -9140,19 +9140,26 @@ object SparkEntry {
               SELECT node, l4.lab AS community, community_size
               FROM l4 JOIN sz USING (lab)""")),
 
-    Q("v_graph_search", (s, d) =>
+    Q("v_graph_search", (s, d) => {
       // greedy best-first routing over the mutual k-NN graph (the HNSW
       // layer-0 primitive): fixed entry node, hop to the most-similar
       // neighbor while strictly improving, 4-hop budget. State frame =
-      // |queries| rows per hop; nlist pinned 16 for oracle replay
+      // |queries| rows per hop; nlist corpus-ADAPTIVE (the v_knn_graph
+      // lesson: a pinned cell count makes within-cell pairs quadratic —
+      // the oracle replays the same sqrt(n/2) formula)
+      val e = emb(s, d)
       Similarity.greedyGraphSearch(
-        emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+        e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", "vec_id", "embedding",
-        k = 3, nlist = 16, hops = 4),
+        k = 3, nlist = Similarity.adaptiveNlist(e.count()), hops = 4)
+    },
       Some("""WITH e AS MATERIALIZED (
                 SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              nl AS (SELECT greatest(16, floor(sqrt(count(*) / 2.0))::BIGINT)
+                       AS nlist FROM e),
               cent AS (SELECT m.cell, e.v AS centroid
-                       FROM (SELECT vid % 16 AS cell, min(vid) AS mvid
+                       FROM (SELECT vid % (SELECT nlist FROM nl) AS cell,
+                               min(vid) AS mvid
                              FROM e GROUP BY 1) m
                        JOIN e ON e.vid = m.mvid),
               asg AS MATERIALIZED (SELECT vid, v, cell FROM (
@@ -9537,6 +9544,120 @@ object SparkEntry {
                 round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade,
                 round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS reading_ease
               FROM r""")),
+
+    Q("d_assortativity", (s, d) =>
+      // degree assortativity (Newman r) over the supplier co-supply
+      // graph: Pearson of endpoint degrees across directed edge
+      // instances — hubs-to-hubs vs hub-and-spoke in one number; all
+      // five sums exact DECIMAL from one edge aggregate
+      graft.operators.Components.assortativity(
+        li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("a")
+          .join(li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb")),
+        "sa", "sb"),
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                          WHERE l_orderkey % 20 = 0),
+              e0 AS (SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                            greatest(a.l_suppkey, b.l_suppkey) AS v
+                     FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                        AND a.l_suppkey < b.l_suppkey),
+              ee AS (SELECT u AS src, v AS dst FROM e0
+                     UNION ALL SELECT v, u FROM e0),
+              deg AS (SELECT src AS x, count(*)::BIGINT AS d FROM ee GROUP BY 1),
+              j AS (SELECT ee.src, dx.d AS dx, dy.d AS dy
+                    FROM ee JOIN deg dx ON ee.src = dx.x
+                    JOIN deg dy ON ee.dst = dy.x),
+              a AS (SELECT count(DISTINCT src)::BIGINT AS n_nodes,
+                      (count(*) / 2)::BIGINT AS n_edges, count(*)::BIGINT AS m,
+                      sum(dx::DECIMAL(38,0)) AS sx, sum(dy::DECIMAL(38,0)) AS sy,
+                      sum(dx::DECIMAL(38,0) * dy) AS sxy,
+                      sum(dx::DECIMAL(38,0) * dx) AS sxx,
+                      sum(dy::DECIMAL(38,0) * dy) AS syy
+                    FROM j)
+              SELECT n_nodes, n_edges,
+                CASE WHEN sqrt((m * sxx - sx * sx)::DOUBLE)
+                       * sqrt((m * syy - sy * sy)::DOUBLE) > 0
+                     THEN round((m * sxy - sx * sy)::DOUBLE
+                       / (sqrt((m * sxx - sx * sx)::DOUBLE)
+                         * sqrt((m * syy - sy * sy)::DOUBLE)), 6)
+                END AS r
+              FROM a""")),
+
+    Q("d_clustering_coeff", (s, d) =>
+      // transitivity readout over the supplier co-supply graph: global
+      // C = 3T/W and the Watts-Strogatz average local coefficient;
+      // triangles ride the degree-oriented wedge join (m^1.5 bound)
+      graft.operators.Components.clusteringCoefficient(
+        li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("a")
+          .join(li(s, d).filter(pmod(col("l_orderkey"), lit(20)) === 0).as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb")),
+        "sa", "sb"),
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                          WHERE l_orderkey % 20 = 0),
+              e0 AS MATERIALIZED (
+                SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                       greatest(a.l_suppkey, b.l_suppkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_suppkey < b.l_suppkey),
+              deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS d
+                FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) z
+                GROUP BY 1),
+              o AS (SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+                           CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+                    FROM e0 JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+              w AS (SELECT a.s AS x, a.t AS y, b.t AS z
+                    FROM o a JOIN o b ON a.t = b.s),
+              tri AS (SELECT x, y, z FROM w JOIN o ON o.s = w.x AND o.t = w.z),
+              pv AS (SELECT vertex AS x, count(*)::BIGINT AS t
+                     FROM (SELECT unnest([x, y, z]) AS vertex FROM tri) z
+                     GROUP BY 1),
+              per AS (SELECT deg.d, coalesce(pv.t, 0)::BIGINT AS t,
+                        (deg.d * (deg.d - 1) // 2)::BIGINT AS w
+                      FROM deg LEFT JOIN pv ON deg.x = pv.x)
+              SELECT count(*)::BIGINT AS n_vertices,
+                (sum(t) / 3)::BIGINT AS n_triangles,
+                sum(w)::BIGINT AS n_wedges,
+                round(sum(t)::DOUBLE / sum(w), 6) AS global_cc,
+                round(sum(CASE WHEN d >= 2
+                      THEN round(t / w::DOUBLE, 9)::DECIMAL(28,9)
+                      ELSE 0::DECIMAL(28,9) END)::DOUBLE
+                  / sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END), 6) AS avg_local_cc
+              FROM per""")),
+
+    Q("a56_gains_table", (s, d) =>
+      // decile gains/lift table for a propensity score (acctbal scoring
+      // "will this customer order?"): equi-depth deciles without a
+      // global sort, per-decile response rate, cumulative capture, lift
+      graft.operators.Stats.gainsTable(
+        cst(s, d).join(
+            ord(s, d).select(col("o_custkey").as("k")).distinct()
+              .withColumn("has", lit(1L)),
+            col("c_custkey") === col("k"), "left")
+          .select(col("c_custkey"), col("c_acctbal"),
+            coalesce(col("has"), lit(0L)).as("y")),
+        col("c_acctbal"), col("y"), col("c_custkey"), k = 10),
+      Some("""WITH lbl AS (SELECT c_custkey, c_acctbal,
+                CASE WHEN o.k IS NULL THEN 0 ELSE 1 END AS y
+              FROM customer LEFT JOIN
+                (SELECT DISTINCT o_custkey AS k FROM orders) o
+                ON c_custkey = o.k),
+              b AS (SELECT (ntile(10) OVER (ORDER BY -c_acctbal::DOUBLE,
+                      c_custkey))::INT AS decile, y FROM lbl),
+              bins AS (SELECT decile, count(*)::BIGINT AS n,
+                         sum(y)::BIGINT AS n_pos FROM b GROUP BY 1),
+              t AS (SELECT sum(n)::BIGINT AS nt, sum(n_pos)::BIGINT AS pt
+                    FROM bins)
+              SELECT decile, n, n_pos,
+                round(n_pos / n::DOUBLE, 6) AS rate,
+                (sum(n_pos) OVER (ORDER BY decile))::BIGINT AS cum_pos,
+                round((sum(n_pos) OVER (ORDER BY decile)) / pt::DOUBLE, 6)
+                  AS capture,
+                round((n_pos::DOUBLE * nt) / (n::DOUBLE * pt), 6) AS lift
+              FROM bins CROSS JOIN t""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

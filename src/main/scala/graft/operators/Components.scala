@@ -276,6 +276,85 @@ object Components {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Degree assortativity (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over all directed edge instances: positive =
+    * hubs attach to hubs (social nets), negative = hub-and-spoke
+    * (dependency/infrastructure graphs). A one-number structure probe
+    * next to [[triangleCounts]] / [[clusteringCoefficient]].
+    *
+    * Exact posture: both endpoints' degrees are integers, so all five
+    * correlation sums accumulate in DECIMAL(38,0) from ONE edge-frame
+    * aggregate (after two degree equi joins); the Pearson ratio is one
+    * float chain, rounded at 6. A degree-regular graph has zero
+    * variance → r is null. Returns 1 row: (n_nodes, n_edges, r). */
+  def assortativity(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val j = dir
+      .join(deg.select(col("x").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("x").as("dst"), col("d").as("dy")), Seq("dst"))
+    j.agg(
+        countDistinct(col("src")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        count(lit(1)).as("m"),
+        sum(d38(col("dx"))).as("sx"), sum(d38(col("dy"))).as("sy"),
+        sum(d38(col("dx")) * col("dy")).as("sxy"),
+        sum(d38(col("dx")) * col("dx")).as("sxx"),
+        sum(d38(col("dy")) * col("dy")).as("syy"))
+      .withColumn("__den",
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("n_nodes"), col("n_edges"),
+        // a degree-regular graph has zero degree variance: r undefined
+        when(col("__den") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / col("__den"), 6)).as("r"))
+  }
+
+  /** Clustering coefficients — how much of the graph's wedge capacity
+    * closes into triangles: global C = 3T/W (W = Σ_v deg(deg−1)/2,
+    * 3T = Σ_v tri(v)), and the average LOCAL coefficient over vertices
+    * with deg ≥ 2 (Watts–Strogatz). The transitivity readout that
+    * separates community-structured graphs from random ones at equal
+    * density.
+    *
+    * Builds on [[triangleCounts]] (degree-oriented wedge join, m^1.5
+    * bound); everything after it is degree-frame equi joins and one
+    * aggregate. Per-vertex local ratios round at 9 into a DECIMAL sum;
+    * the two global divisions round at 6. Returns 1 row:
+    * (n_vertices, n_triangles, n_wedges, global_cc, avg_local_cc). */
+  def clusteringCoefficient(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(e0, col("u"), col("v"))
+      .select(col("vertex").as("x"), col("n_tri"))
+    val per = deg.join(tri, Seq("x"), "left")
+      .withColumn("t", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("w", expr("d * (d - 1) div 2"))
+    per.agg(
+        count(lit(1)).as("n_vertices"),
+        (sum(col("t")) / 3).cast("long").as("n_triangles"),
+        sum(col("w")).as("n_wedges"),
+        sum(col("t")).as("__t3"),
+        sum(when(col("d") >= 2,
+          round(col("t").cast("double") / col("w"), 9).cast("decimal(28,9)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)"))).as("__lsum"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).as("__ln"))
+      .select(col("n_vertices"), col("n_triangles"), col("n_wedges"),
+        round(col("__t3").cast("double") / col("n_wedges"), 6).as("global_cc"),
+        round(col("__lsum").cast("double") / col("__ln"), 6).as("avg_local_cc"))
+  }
+
   /** Multi-source BFS levels — shortest hop distance from a source set,
     * the reachability/radius primitive (influence spread, staleness
     * propagation, "how far is every part from a recalled part"). Each

@@ -545,6 +545,43 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Gains / decile-lift table — the model-evaluation staple for a
+    * propensity score: rank the population by score descending, cut
+    * into k equi-depth bins, and report each bin's response rate,
+    * cumulative capture, and lift vs the base rate. "Does the top
+    * decile really hold 3× its share of converters?"
+    *
+    * Scale + portability: binning rides [[Windows.equiDepthBin]] (exact
+    * ntile semantics without the single-partition sort); per-bin counts
+    * are one hash aggregate; the cumulative runs over the k-row bin
+    * frame (bounded metadata). Rate/capture/lift are single divisions
+    * of exact-integer doubles (products < 2^53), rounded at 6. `id`
+    * must totalize the order among tied scores. Returns k rows:
+    * (decile, n, n_pos, rate, cum_pos, capture, lift). */
+  def gainsTable(
+      df: DataFrame, score: Column, label: Column, id: Column,
+      k: Int): DataFrame = {
+    val base = df.select(score.cast("double").as("__s"),
+        label.cast("long").as("__y"), id.as("__id"))
+      .withColumn("__neg", -col("__s"))
+    val binned = Windows.equiDepthBin(base, k, "__neg",
+      Seq(col("__id")), "decile")
+    val bins = binned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = Window.partitionBy().orderBy(col("decile"))
+    val tot = bins.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("pt"))
+    bins
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+        col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("pt"), 6).as("capture"),
+        round((col("n_pos").cast("double") * col("nt"))
+          / (col("n").cast("double") * col("pt")), 6).as("lift"))
+  }
+
   /** Chi-square independence test + Cramér's V over the full R×C
     * contingency of two categorical columns — the feature-association
     * screen (does returnflag predict linestatus?): χ² = Σ (o−e)²/e with

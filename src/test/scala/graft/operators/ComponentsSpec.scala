@@ -154,6 +154,33 @@ class ComponentsSpec extends SparkSpec {
     assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
   }
 
+  test("assortativity: a star is perfectly disassortative; regular graphs null") {
+    // hub 0 with 4 spokes: every edge joins deg-4 to deg-1 -> r = -1
+    val star = (1L to 4L).map(x => (0L, x)).toDF("a", "b")
+    val gs = Components.assortativity(star, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(gs == ((5L, 4L, Some(-1.0))))
+    // a single edge: both endpoints deg 1 -> zero variance -> null
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    val gp = Components.assortativity(pair, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(gp == ((2L, 1L, None)))
+  }
+
+  test("clusteringCoefficient: triangle + pendant replays by hand") {
+    // triangle {1,2,3} + pendant 4-3: degs 2,2,3,1; T=1; wedges 1,1,3,0
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Components.clusteringCoefficient(pairs, "a", "b")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert((got._1, got._2, got._3) == ((4L, 1L, 5L)))
+    assert(got._4 == 0.6) // 3T/W = 3/5
+    // locals: 1/1, 1/1, round9(1/3); pendant excluded (deg 1)
+    val third = math.floor(1.0 / 3.0 * 1e9 + 0.5) / 1e9
+    val exp = BigDecimal((1.0 + 1.0 + third) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._5 == exp, s"avg_local ${got._5} expected $exp")
+  }
+
   test("bfsLevels: path-graph distances, multi-source min, budget truncation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     def run(src: Seq[Long], rounds: Int) =

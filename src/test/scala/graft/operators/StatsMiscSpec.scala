@@ -135,6 +135,23 @@ class StatsMiscSpec extends SparkSpec {
     assert(z > 2.0, s"z=$z") // arm A shifted +20: strongly significant
   }
 
+  test("gainsTable: a perfect score ranks all converters into the top bins") {
+    // scores 1..20, converters = scores 17..20 and 16 (top 5): k=5 bins
+    // of 4 -> bin1 captures 4/5, bin2 the rest; lift(bin1) = 4x
+    val df = (1 to 20).map(i =>
+      (i.toLong, i.toDouble, if (i > 15) 1L else 0L)).toDF("id", "s", "y")
+    val got = Stats.gainsTable(df, col("s"), col("y"), col("id"), k = 5)
+      .as[(Int, Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 5)
+    val b1 = got(1)
+    assert((b1._2, b1._3, b1._4, b1._5, b1._6, b1._7)
+      == ((4L, 4L, 1.0, 4L, 0.8, 4.0))) // lift = (4*20)/(4*5)
+    val b2 = got(2)
+    assert((b2._3, b2._5, b2._6) == ((1L, 5L, 1.0)))
+    assert((3 to 5).forall(got(_)._3 == 0L))
+  }
+
   test("ABC classification boundary: an item starting exactly at 80% is B") {
     // replicate the a55 query shape on a hand distribution:
     // revs 50/30/15/5 -> cum-before 0/50/80/95 -> A={50,30} B={15} C={5}
