@@ -9658,6 +9658,74 @@ object SparkEntry {
                   AS capture,
                 round((n_pos::DOUBLE * nt) / (n::DOUBLE * pt), 6) AS lift
               FROM bins CROSS JOIN t""")),
+
+    Q("d_modularity", (s, d) => {
+      // partition quality for the LPA communities on the sparsified
+      // part co-occurrence graph: Newman-Girvan Q from two label equi
+      // joins + one community aggregate — closes the community loop
+      // (detect with d_lpa_communities, score here)
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      val lab = graft.operators.Components
+        .labelPropagation(pairs, "u", "v", iters = 4)
+        .select(col("node"), col("community"))
+      graft.operators.Components.modularity(pairs, "u", "v", lab)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              e AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e),
+              l1 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l2 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l3 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              l4 AS MATERIALIZED (SELECT node, lab FROM (
+                SELECT e.src AS node, l.lab, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lab) AS rn
+                FROM e JOIN l3 l ON e.dst = l.node GROUP BY 1, 2) q WHERE rn = 1),
+              tg AS MATERIALIZED (SELECT b.u, b.v, lu.lab AS cu, lv.lab AS cv
+                FROM b JOIN l4 lu ON b.u = lu.node
+                JOIN l4 lv ON b.v = lv.node),
+              mm AS (SELECT count(*)::BIGINT AS m FROM tg),
+              wi AS (SELECT cu AS c, count(*)::BIGINT AS win FROM tg
+                     WHERE cu = cv GROUP BY 1),
+              dc AS (SELECT c, count(*)::BIGINT AS degc FROM (
+                       SELECT cu AS c FROM tg UNION ALL SELECT cv FROM tg) z
+                     GROUP BY 1),
+              t AS (SELECT round(coalesce(win, 0) / m::DOUBLE
+                      - (degc / (m * 2)::DOUBLE) * (degc / (m * 2)::DOUBLE), 9)
+                      AS term, m
+                    FROM dc LEFT JOIN wi USING (c) CROSS JOIN mm)
+              SELECT count(*)::BIGINT AS n_communities,
+                max(m)::BIGINT AS n_edges,
+                round(sum(term::DECIMAL(28,9))::DOUBLE, 6) AS modularity
+              FROM t""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -276,6 +276,50 @@ object Components {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Newman–Girvan modularity of a node partition — the quality score
+    * for [[labelPropagation]] / [[connectedComponents]] output:
+    * `Q = Σ_c (within_c/m − (deg_c/2m)²)` over communities, where
+    * within_c counts undirected edges inside c and deg_c sums member
+    * degrees. Q ≈ 0 = no better than random; Q > 0.3 = real structure.
+    *
+    * Exact posture: within-edge and degree sums are integers from two
+    * equi joins of the edge list against the (node → community) map and
+    * one community-keyed aggregate; per-community terms evaluate as one
+    * IEEE chain over exact-integer doubles, round at 9, and sum as
+    * DECIMAL(28,9); Q rounds at 6. Returns 1 row:
+    * (n_communities, n_edges, modularity). */
+  def modularity(
+      pairs: DataFrame, a: String, b: String, labels: DataFrame): DataFrame = {
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("c"))
+    val tagged = e0
+      .join(lab.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val within = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("win"))
+    val degC = tagged
+      .select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("degc"))
+    val terms = degC.join(within, Seq("c"), "left")
+      .withColumn("win", coalesce(col("win"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("term", round(
+        col("win").cast("double") / col("m")
+          - (col("degc").cast("double") / (col("m") * 2))
+          * (col("degc").cast("double") / (col("m") * 2)), 9))
+    terms.agg(
+        count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges"),
+        sum(col("term").cast("decimal(28,9)")).as("__q"))
+      .select(col("n_communities"), col("n_edges"),
+        round(col("__q").cast("double"), 6).as("modularity"))
+  }
+
   /** Degree assortativity (Newman 2002) — the Pearson correlation of
     * endpoint degrees over all directed edge instances: positive =
     * hubs attach to hubs (social nets), negative = hub-and-spoke

@@ -154,6 +154,30 @@ class ComponentsSpec extends SparkSpec {
     assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
   }
 
+  test("modularity: two cliques under their own labels score high; one-blob zero") {
+    // two K3s, no bridge: perfect partition. m=6; per community:
+    // within=3, deg=6 -> term = 3/6 - (6/12)^2 = 0.25; Q = 0.5
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val goodLab = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("node", "community")
+    val q = Components.modularity(pairs, "a", "b", goodLab)
+      .as[(Long, Long, Double)].collect().head
+    assert(q == ((2L, 6L, 0.5)))
+    // everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly
+    val oneLab = (Seq(1L, 2L, 3L, 10L, 11L, 12L)).map(n => (n, 0L))
+      .toDF("node", "community")
+    val q1 = Components.modularity(pairs, "a", "b", oneLab)
+      .as[(Long, Long, Double)].collect().head
+    assert(q1 == ((1L, 6L, 0.0)))
+    // splitting a clique (worse partition) scores LOWER than the truth
+    val badLab = Seq((1L, 1L), (2L, 7L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("node", "community")
+    val qb = Components.modularity(pairs, "a", "b", badLab)
+      .as[(Long, Long, Double)].collect().head
+    assert(qb._3 < 0.5)
+  }
+
   test("assortativity: a star is perfectly disassortative; regular graphs null") {
     // hub 0 with 4 spokes: every edge joins deg-4 to deg-1 -> r = -1
     val star = (1L to 4L).map(x => (0L, x)).toDF("a", "b")
