@@ -61,6 +61,39 @@ object SparkEntry {
     * length replaying the DP step (extend best paths at positions
     * `p-maxPieceLen..p-1` by the connecting vocab piece, keep the
     * rounded-score / longest-piece winner per word). */
+  /** Generated Poisson-bootstrap oracle: one uniform + one inverse-CDF
+    * weight column per resample, 2B conditional sums, in-row sort of the
+    * B means — mirrors `Stats.poissonBootstrapCi` expression for
+    * expression (same md5 derivation, same double literals). */
+  private def bootstrapCiOracle(b: Int): String = {
+    val ladder = (u: String) =>
+      s"""CASE WHEN $u < 0.36787944117144233 THEN 0
+         |     WHEN $u < 0.7357588823428847 THEN 1
+         |     WHEN $u < 0.9196986029286058 THEN 2
+         |     WHEN $u < 0.9810118431238462 THEN 3
+         |     WHEN $u < 0.9963401531726563 THEN 4
+         |     WHEN $u < 0.9994058151824183 THEN 5 ELSE 6 END""".stripMargin
+    val us = (0 until b).map(i =>
+      s"('0x' || substr(md5(id || ':$i'), 1, 13))::BIGINT" +
+        s" / 4503599627370496.0 AS u$i").mkString(", ")
+    val ws = (0 until b).map(i => s"${ladder(s"u$i")} AS w$i").mkString(", ")
+    val sums = (0 until b).map(i =>
+      s"sum(w$i::DECIMAL(38,0) * x) AS swx$i, sum(w$i)::BIGINT AS sw$i")
+      .mkString(", ")
+    val ms = (0 until b).map(i => s"round(swx$i::DOUBLE / sw$i, 6)")
+      .mkString(", ")
+    s"""WITH base AS (SELECT (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS x,
+       |                     o_orderkey::VARCHAR AS id FROM orders),
+       |u AS (SELECT x, $us FROM base),
+       |w AS (SELECT x, $ws FROM u),
+       |a AS (SELECT count(*)::BIGINT AS n, sum(x::DECIMAL(38,0)) AS sx,
+       |        $sums FROM w),
+       |m AS (SELECT n, sx, list_sort([$ms]) AS ms FROM a)
+       |SELECT n, round(sx::DOUBLE / n, 6) AS point_mean,
+       |       ms[2] AS boot_lo, ms[${b - 1}] AS boot_hi,
+       |       $b AS n_resamples FROM m""".stripMargin
+  }
+
   private def unigramHeadCtes(pLen: Int, vSize: Int, wLen: Int): String =
     s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
        |  FROM documents),
@@ -9726,6 +9759,18 @@ object SparkEntry {
                 max(m)::BIGINT AS n_edges,
                 round(sum(term::DECIMAL(28,9))::DOUBLE, 6) AS modularity
               FROM t""")),
+
+    Q("a57_bootstrap_ci", (s, d) =>
+      // Poisson-bootstrap CI for mean order value (the fleet-scale
+      // metric-CI pattern: per-row independent Poisson(1) weights from
+      // md5 uniforms, 32 resamples as 64 conditional sums in ONE
+      // aggregate, no row duplication; CI = 2nd/31st order statistics)
+      graft.operators.Stats.poissonBootstrapCi(
+        ord(s, d).select(
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"), col("o_orderkey")),
+        col("cents"), col("o_orderkey"), b = 32),
+      Some(bootstrapCiOracle(32))),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -545,6 +545,54 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (the distributed
+    * bootstrap: true multinomial resampling needs coordinated draws, so
+    * each row instead enters resample b with an independent Poisson(1)
+    * weight — the streaming-friendly variant used for metric CIs at
+    * fleet scale). B resamples ride ONE aggregate with 2B conditional
+    * sum columns — no explode, no row duplication; the B means sort
+    * in-row (array_sort over a B-length array) and the CI reads the
+    * 2nd / (B−1)th order statistics (a ~93.75% band at B = 32).
+    *
+    * Deterministic + portable: weights come from a md5-derived 52-bit
+    * uniform pushed through the Poisson(1) inverse-CDF ladder (exact
+    * double literal thresholds, same comparisons in any engine);
+    * weighted sums are exact integers in DECIMAL; each mean is one IEEE
+    * division rounded at 6. Returns 1 row:
+    * (n, point_mean, boot_lo, boot_hi, n_resamples). */
+  def poissonBootstrapCi(
+      df: DataFrame, value: Column, id: Column, b: Int = 32): DataFrame = {
+    require(b >= 4, "need at least 4 resamples for the order-statistic CI")
+    val base = df.select(value.cast("long").as("__x"),
+      id.cast("string").as("__id"))
+    def weight(i: Int): Column = {
+      val u = conv(substring(md5(concat(col("__id"), lit(":" + i))), 1, 13),
+        16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+      when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+    }
+    val aggs = (0 until b).flatMap { i =>
+      val w = weight(i)
+      Seq(sum((w * col("__x")).cast("decimal(38,0)")).as(s"__swx$i"),
+        sum(w).as(s"__sw$i"))
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until b).map(i =>
+      round(col(s"__swx$i").cast("double") / col(s"__sw$i"), 6)): _*)
+    one.withColumn("__ms", array_sort(means))
+      .select(col("n"),
+        round(col("__sx").cast("double") / col("n"), 6).as("point_mean"),
+        element_at(col("__ms"), 2).as("boot_lo"),
+        element_at(col("__ms"), b - 1).as("boot_hi"),
+        lit(b).as("n_resamples"))
+  }
+
   /** Gains / decile-lift table — the model-evaluation staple for a
     * propensity score: rank the population by score descending, cut
     * into k equi-depth bins, and report each bin's response rate,

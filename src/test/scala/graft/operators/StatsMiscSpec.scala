@@ -135,6 +135,24 @@ class StatsMiscSpec extends SparkSpec {
     assert(z > 2.0, s"z=$z") // arm A shifted +20: strongly significant
   }
 
+  test("poissonBootstrapCi: band brackets the mean and narrows with n") {
+    def run(n: Int) = Stats.poissonBootstrapCi(
+      (1 to n).map(i => (100L + (i % 21) - 10, i.toLong)).toDF("x", "id"),
+      col("x"), col("id"), b = 32)
+      .as[(Long, Double, Double, Double, Int)].collect().head
+    val small = run(60)
+    assert(small._1 == 60L && small._5 == 32)
+    // CI must bracket the point estimate and be a proper interval
+    assert(small._3 <= small._2 && small._2 <= small._4, small)
+    val big = run(2000)
+    assert(big._3 <= big._2 && big._2 <= big._4, big)
+    // 33x more data -> materially tighter band
+    assert(big._4 - big._3 < (small._4 - small._3) / 2,
+      s"small width ${small._4 - small._3}, big width ${big._4 - big._3}")
+    // deterministic: same input -> identical CI
+    assert(run(60) == small)
+  }
+
   test("gainsTable: a perfect score ranks all converters into the top bins") {
     // scores 1..20, converters = scores 17..20 and 16 (top 5): k=5 bins
     // of 4 -> bin1 captures 4/5, bin2 the rest; lift(bin1) = 4x
