@@ -9771,6 +9771,32 @@ object SparkEntry {
             .as("cents"), col("o_orderkey")),
         col("cents"), col("o_orderkey"), b = 32),
       Some(bootstrapCiOracle(32))),
+
+    Q("v_ood_outliers", (s, d) =>
+      // embedding-quality outlier screen: diagonal-Mahalanobis OOD score
+      // (sum of per-dim z^2 vs corpus mean/std), top-20; stats are one
+      // posexplode aggregate, scoring a row-local HOF fold
+      Similarity.oodOutliers(emb(s, d), "vec_id", "embedding", k = 20),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              st AS (SELECT i AS pos,
+                       sum(round(v[i + 1], 9)::DECIMAL(28,9)) AS s,
+                       sum(round(v[i + 1] * v[i + 1], 9)::DECIMAL(28,9)) AS ss,
+                       count(*)::BIGINT AS n
+                     FROM e CROSS JOIN unnest(range(0, 64)) t(i) GROUP BY 1),
+              ms AS (SELECT pos, s::DOUBLE / n AS m,
+                       sqrt(greatest(ss::DOUBLE / n
+                         - (s::DOUBLE / n) * (s::DOUBLE / n), 1e-12)) AS sd
+                     FROM st),
+              arr AS (SELECT list(m ORDER BY pos) AS means,
+                             list(sd ORDER BY pos) AS stds FROM ms),
+              sc AS (SELECT vec_id, round(list_sum(list_transform(range(0, 64),
+                       i -> round(((v[i + 1] - means[i + 1]) / stds[i + 1])
+                         * ((v[i + 1] - means[i + 1]) / stds[i + 1]), 9))), 6)
+                       AS ood_score
+                     FROM e CROSS JOIN arr)
+              SELECT vec_id, ood_score,
+                (row_number() OVER (ORDER BY ood_score DESC, vec_id))::INT AS rank
+              FROM sc ORDER BY ood_score DESC, vec_id LIMIT 20""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -513,6 +513,50 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
   }
 
+  /** Per-dimension-z OOD scoring — the embedding-quality outlier screen
+    * (encoder glitches, wrong-modality rows, adversarial inputs): score
+    * every vector by Σ_d z_d² against the corpus's per-dimension
+    * mean/std (the diagonal-covariance Mahalanobis distance), report
+    * the top-k outliers.
+    *
+    * Scale shape: per-dim stats are ONE posexplode aggregate to a
+    * dim-row frame (64 rows), collected into two broadcast arrays; the
+    * score is a row-local HOF fold (round-9 per-term, sequential
+    * in-array order — the engine-parity fold contract); top-k is
+    * TakeOrdered. Zero corpus shuffles beyond the stats aggregate.
+    * Variance floors at 1e-12 so constant dims score 0 instead of
+    * dividing by zero. Returns (vec_id, ood_score, rank). */
+  def oodOutliers(
+      corpus: DataFrame, cId: String, cVec: String, k: Int): DataFrame = {
+    val e = corpus.select(col(cId).cast("long").as("vec_id"),
+      VectorFunctions.toDoubleArray(col(cVec)).as("v"))
+    val perDim = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x"), 9).cast("decimal(28,9)")).as("s"),
+        sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("ss"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt(greatest(
+        col("ss").cast("double") / col("n") - col("m") * col("m"),
+        lit(1e-12))))
+    val stats = perDim.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("means"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sd")))),
+          p => p.getField("sd")).as("stds"))
+    val scored = e.crossJoin(broadcast(stats))
+      .withColumn("ood_score", round(aggregate(
+        zip_with(
+          zip_with(col("v"), col("means"), (x, m) => x - m),
+          col("stds"), (dx, s) => round((dx / s) * (dx / s), 9)),
+        lit(0.0), (acc, t) => acc + t), 6))
+    val w = Window.orderBy(col("ood_score").desc, col("vec_id").asc)
+    scored.orderBy(col("ood_score").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("vec_id", "ood_score", "rank")
+  }
+
   /** Greedy best-first search over the mutual k-NN graph — the routing
     * primitive graph-based ANN indexes (HNSW layer 0 / NSG) are built
     * on: start every query at a fixed entry node, repeatedly hop to the

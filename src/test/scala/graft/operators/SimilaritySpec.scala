@@ -365,6 +365,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("oodOutliers ranks the planted outlier first; constant dims score 0") {
+    // 30 inliers near (1, 2, 5, 5) with tiny jitter on dims 0-1; one
+    // far-away vector; dims 2-3 CONSTANT (variance floor must not NaN)
+    val vecs = ((0L until 30L).map(i =>
+      (i, Array(1.0f + 0.01f * (i % 3), 2.0f - 0.01f * (i % 5), 5.0f, 5.0f)))
+      :+ (99L, Array(50.0f, -40.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.oodOutliers(vecs, "vec_id", "embedding", k = 5)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.length == 5)
+    assert(got.head._1 == 99L && got.head._3 == 1)
+    assert(got.head._2 > got(1)._2 * 10, got.mkString(","))
+    assert(got.forall(r => !r._2.isNaN && r._2 >= 0.0))
+  }
+
   test("greedyGraphSearch walks the angular chain to the true nearest node") {
     // unit vectors at 0..90 degrees (ids 0..9): the mutual 3-NN graph is
     // a near-chain, so greedy routing from entry node 0 must climb to
