@@ -9797,6 +9797,39 @@ object SparkEntry {
               SELECT vec_id, ood_score,
                 (row_number() OVER (ORDER BY ood_score DESC, vec_id))::INT AS rank
               FROM sc ORDER BY ood_score DESC, vec_id LIMIT 20""")),
+
+    Q("a58_trimmed_means", (s, d) =>
+      // robust-center report: 5%-trimmed and winsorized means of order
+      // value in exact integer cents — order statistics from per-value
+      // counts + the bucketed running sums (no sort); the only float
+      // work is three final divisions
+      graft.operators.Stats.trimmedMeans(
+        ord(s, d).select((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents")),
+        col("cents"), trimPct = 5),
+      Some("""WITH per AS (SELECT (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS x,
+                count(*)::BIGINT AS c FROM orders GROUP BY 1),
+              cum AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum FROM per),
+              tot AS (SELECT sum(c)::BIGINT AS n,
+                        sum(x::DECIMAL(38,0) * c) AS sx FROM per),
+              base AS (SELECT x, c, cum, cum - c AS cb, n, sx,
+                         (n * 5 // 100)::BIGINT AS k
+                       FROM cum CROSS JOIN tot),
+              inner_s AS (SELECT max(n)::BIGINT AS n, max(k)::BIGINT AS k,
+                            max(sx) AS sx,
+                            sum(x::DECIMAL(38,0) * greatest(0,
+                              least(cum, n - k)
+                              - greatest(cb + 1, k + 1) + 1)) AS tsum
+                          FROM base),
+              lo AS (SELECT min(x)::BIGINT AS v_lo FROM base WHERE cum >= k + 1),
+              hi AS (SELECT min(x)::BIGINT AS v_hi FROM base WHERE cum >= n - k)
+              SELECT n, k AS k_trim,
+                round(sx::DOUBLE / n, 6) AS mean,
+                round(tsum::DOUBLE / (n - k * 2), 6) AS trimmed_mean,
+                round((tsum + v_lo::DECIMAL(38,0) * k
+                       + v_hi::DECIMAL(38,0) * k)::DOUBLE / n, 6)
+                  AS winsorized_mean
+              FROM inner_s CROSS JOIN lo CROSS JOIN hi""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

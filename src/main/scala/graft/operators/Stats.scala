@@ -545,6 +545,54 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Trimmed and winsorized means — the robust-center completion of the
+    * family ([[madOutliers]] for spread, this for location): trim drops
+    * the k = ⌊n·pct⌋ smallest and largest observations; winsorize clamps
+    * them to the surviving boundary values. The heavy-tail-resistant
+    * aggregate a metrics pipeline reports next to the raw mean.
+    *
+    * EXACT order statistics without any sort: per-value counts + the
+    * bucketed global running sums give each distinct value its rank
+    * interval (cb, cum]; the trimmed sum is Σ value·overlap with
+    * [k+1, n−k] (pure integer interval arithmetic), the boundary values
+    * are min-value-with-cum≥rank lookups, and every sum is exact in
+    * DECIMAL — the only float work is three final divisions (round 6).
+    * `value` must be integral (cents/counts). Returns 1 row:
+    * (n, k_trim, mean, trimmed_mean, winsorized_mean). */
+  def trimmedMeans(df: DataFrame, value: Column, trimPct: Int): DataFrame = {
+    require(trimPct > 0 && trimPct < 50, "trim percent must be in (0, 50)")
+    val per = graft.Mat(df.select(value.cast("long").as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c")))
+    val cum = Windows.globalRunningSums(per, "x", Nil, Seq(col("c") -> "cum"))
+    val tot = per.agg(sum(col("c")).as("n"),
+      sum(col("x").cast("decimal(38,0)") * col("c")).as("sx"))
+    val base = cum.crossJoin(broadcast(tot))
+      .withColumn("k", expr("n * " + trimPct + "L div 100L"))
+      .withColumn("cb", col("cum") - col("c"))
+    // interior overlap of each value's rank interval with [k+1, n-k]
+    val inner = base.withColumn("ov",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("k"))
+            - greatest(col("cb") + 1, col("k") + 1) + 1))
+      .agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        max(col("sx")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("ov")).as("tsum"))
+    val vLo = base.filter(col("cum") >= col("k") + 1)
+      .agg(min(col("x")).as("v_lo"))
+    val vHi = base.filter(col("cum") >= col("n") - col("k"))
+      .agg(min(col("x")).as("v_hi"))
+    inner.crossJoin(broadcast(vLo)).crossJoin(broadcast(vHi))
+      .select(col("n"), col("k").as("k_trim"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round(col("tsum").cast("double") / (col("n") - col("k") * 2), 6)
+          .as("trimmed_mean"),
+        round((col("tsum")
+          + col("v_lo").cast("decimal(38,0)") * col("k")
+          + col("v_hi").cast("decimal(38,0)") * col("k")).cast("double")
+          / col("n"), 6).as("winsorized_mean"))
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (the distributed
     * bootstrap: true multinomial resampling needs coordinated draws, so
     * each row instead enters resample b with an independent Poisson(1)

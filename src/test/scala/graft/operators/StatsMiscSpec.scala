@@ -135,6 +135,34 @@ class StatsMiscSpec extends SparkSpec {
     assert(z > 2.0, s"z=$z") // arm A shifted +20: strongly significant
   }
 
+  test("trimmedMeans: hand replay with ties across the trim boundary") {
+    // 21 values: 1, 2..19 (10 twice), 1000 -> k = 2 at 10%
+    // sorted: 1,2,...,9,10,10,11,...,19,1000 (n=21)
+    val xs = Seq(1L, 1000L, 10L) ++ (2L to 19L)
+    val got = Stats.trimmedMeans(xs.toDF("x"), col("x"), trimPct = 10)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert((got._1, got._2) == ((21L, 2L)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._3 == r6(xs.sum.toDouble / 21))
+    // trim ranks 1-2 and 20-21: drop {1, 2} and {19, 1000};
+    // interior = ranks 3..19 = {3..18} plus the duplicate 10
+    val interior = (3L to 18L) :+ 10L
+    assert(got._4 == r6(interior.sum.toDouble / 17))
+    // winsorize: clamp to v_lo = 3 (rank 3) and v_hi = 18 (rank 19)
+    assert(got._5 == r6((interior.sum + 2 * 3 + 2 * 18).toDouble / 21))
+  }
+
+  test("trimmedMeans: a huge outlier moves the mean but not the trimmed mean") {
+    val base = (1L to 99L) :+ 1000000L
+    val got = Stats.trimmedMeans(base.toDF("x"), col("x"), trimPct = 5)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._3 > 10000.0)           // raw mean dragged by the outlier
+    assert(got._4 > 49.0 && got._4 < 53.0) // trimmed mean stays central
+    assert(got._5 < got._3 && got._5 >= got._4) // winsorized in between
+    // (equal here: the symmetric 6..95 interior makes both exactly 50.5)
+  }
+
   test("poissonBootstrapCi: band brackets the mean and narrows with n") {
     def run(n: Int) = Stats.poissonBootstrapCi(
       (1 to n).map(i => (100L + (i % 21) - 10, i.toLong)).toDF("x", "id"),
