@@ -9830,6 +9830,67 @@ object SparkEntry {
                        + v_hi::DECIMAL(38,0) * k)::DOUBLE / n, 6)
                   AS winsorized_mean
               FROM inner_s CROSS JOIN lo CROSS JOIN hi""")),
+
+    Q("d_ppr_seeds", (s, d) => {
+      // personalized PageRank from the p%997==0 seed parts over the
+      // sparsified co-occurrence graph (random walk with restart — the
+      // graph-retrieval relevance primitive): 3 iterations, per-edge
+      // contributions round-9 into DECIMAL sums, restart mass 1/|S|
+      val p = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pairs = p.as("x").join(p.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .filter(pmod(graft.operators.Dedup.md5Int(
+          concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(1000)) < 40)
+      val seeds = li(s, d).select(col("l_partkey").as("node")).distinct()
+        .filter(pmod(col("node"), lit(997)) === 0)
+      graft.operators.Components.personalizedPageRank(
+        pairs, "u", "v", seeds, iters = 3)
+    },
+      Some("""WITH p AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              b AS MATERIALIZED (
+                SELECT u, v FROM (
+                  SELECT DISTINCT least(x.p, y.p) AS u, greatest(x.p, y.p) AS v
+                  FROM p x JOIN p y ON x.o = y.o AND x.p < y.p) b0
+                WHERE ('0x' || substring(md5(u::VARCHAR || ':' || v::VARCHAR),
+                  1, 8))::BIGINT % 1000 < 40),
+              ed AS MATERIALIZED (
+                SELECT u AS src, v AS dst FROM b
+                UNION ALL SELECT v, u FROM b),
+              dg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+              nd AS (SELECT DISTINCT src AS node FROM ed),
+              sd AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+                     WHERE l_partkey % 997 = 0),
+              ns AS (SELECT floor(1.0::DOUBLE / count(*) * 1e9 + 0.5) / 1e9 AS sm FROM sd),
+              bs AS MATERIALIZED (SELECT nd.node,
+                      (CASE WHEN sd.node IS NOT NULL THEN ns.sm ELSE 0.0 END)::DOUBLE AS e
+                    FROM nd LEFT JOIN sd ON nd.node = sd.node CROSS JOIN ns),
+              r0 AS MATERIALIZED (SELECT node, e AS rank FROM bs),
+              r1 AS MATERIALIZED (SELECT b2.node,
+                  floor((0.15 * b2.e + 0.85 * coalesce(c.insum, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
+                FROM bs b2 LEFT JOIN (
+                  SELECT ed.dst AS node,
+                    sum((floor(r.rank / dg.outdeg * 1e9 + 0.5) / 1e9)::DECIMAL(28,9))::DOUBLE AS insum
+                  FROM ed JOIN r0 r ON ed.src = r.node
+                  JOIN dg ON dg.src = ed.src GROUP BY 1) c USING (node)),
+              r2 AS MATERIALIZED (SELECT b2.node,
+                  floor((0.15 * b2.e + 0.85 * coalesce(c.insum, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
+                FROM bs b2 LEFT JOIN (
+                  SELECT ed.dst AS node,
+                    sum((floor(r.rank / dg.outdeg * 1e9 + 0.5) / 1e9)::DECIMAL(28,9))::DOUBLE AS insum
+                  FROM ed JOIN r1 r ON ed.src = r.node
+                  JOIN dg ON dg.src = ed.src GROUP BY 1) c USING (node)),
+              r3 AS MATERIALIZED (SELECT b2.node,
+                  floor((0.15 * b2.e + 0.85 * coalesce(c.insum, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
+                FROM bs b2 LEFT JOIN (
+                  SELECT ed.dst AS node,
+                    sum((floor(r.rank / dg.outdeg * 1e9 + 0.5) / 1e9)::DECIMAL(28,9))::DOUBLE AS insum
+                  FROM ed JOIN r2 r ON ed.src = r.node
+                  JOIN dg ON dg.src = ed.src GROUP BY 1) c USING (node))
+              SELECT node, rank FROM r3""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -56,6 +56,64 @@ object Components {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart) from a SEED set —
+    * the seed-biased relevance primitive behind graph-based retrieval
+    * and related-item expansion: restart mass (1−d) returns to the
+    * seeds (1/|S| each) instead of spreading uniformly, so scores rank
+    * nodes by proximity to the seed neighborhood.
+    *
+    * Same engine-replayable discipline as [[pageRank]]/[[hits]], but
+    * TIGHTER: per-edge contributions round at 9 and sum as
+    * DECIMAL(28,9) (order-independent grouped sums), each iteration's
+    * scores round at 9. One equi join + one grouped sum per iteration
+    * over the undirected edge list; the seed mass is a 1-row broadcast.
+    * Returns (node, rank) for every edge-touched node. */
+  def personalizedPageRank(
+      pairs: DataFrame, a: String, b: String, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85,
+      restart: Double = 0.15): DataFrame = {
+    // restart is a SEPARATE literal, not 1-damping: the double
+    // `1.0 - 0.85` is 0.15000000000000002, and that last-ulp gap flipped
+    // a round-9 boundary against the oracle's literal 0.15 at sf0.1
+    val e0 = pairs
+      .select(least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = graft.Mat(
+      e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+    val outDeg = dir.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = dir.select(col("src").as("node")).distinct()
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+    // q9: floor(x*1e9 + 0.5)/1e9 — the a41 portability trick. Engine
+    // round() implementations disagree in the last printed digit for a
+    // handful of values (4/20k nodes flipped at sf0.1); an explicit
+    // multiply/floor/divide is the SAME IEEE op sequence everywhere.
+    def q9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+    val sm = sd.agg(q9(lit(1.0) / count(lit(1))).as("seed_mass"))
+    val base = graft.Mat(nodes
+      .join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(sm))
+      .select(col("node"),
+        when(col("__s").isNotNull, col("seed_mass")).otherwise(lit(0.0))
+          .as("e")))
+    var ranks = base.select(col("node"), col("e").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((floor(col("rank") / col("outdeg") * 1e9 + 0.5) / 1e9)
+          .cast("decimal(28,9)")).cast("double").as("insum"))
+      ranks = graft.Mat(base.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (floor((lit(restart) * col("e")
+            + lit(damping) * coalesce(col("insum"), lit(0.0))) * 1e9 + 0.5)
+            / 1e9).as("rank")))
+    }
+    ranks
+  }
+
   /** `pairs` must carry two long-typed id columns `a` and `b` (undirected
     * edges). Returns (node, component) where component = the smallest node
     * id in the cluster — so `node === component` marks the canonical

@@ -154,6 +154,37 @@ class ComponentsSpec extends SparkSpec {
     assert(aaAB == r6(q9(1.0 / math.log(2.0)) * 2)) // centers 1 and 2, both deg 2
   }
 
+  test("personalizedPageRank: mass concentrates near the seed, decays with hops") {
+    // path 1-2-3-4-5-6, seed {1}. Synchronous iteration oscillates by
+    // walk parity on a path (hand-traced: r4(3) > r4(2) is CORRECT at
+    // iters=4), so decay is asserted within each parity class
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Components.personalizedPageRank(pairs, "a", "b",
+        Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 6)
+    assert(got(1L) > got(3L) && got(3L) > got(5L), got.toSeq.sorted.mkString(","))
+    assert(got(2L) > got(4L) && got(4L) > got(6L), got.toSeq.sorted.mkString(","))
+    // restart mass keeps the seed on top of its class and of everything
+    assert(got(1L) > 0.1 && got.values.max == got(1L))
+    // deterministic across partitionings
+    val again = Components.personalizedPageRank(
+        pairs.repartition(5), "a", "b", Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
+  test("personalizedPageRank: multiple seeds split the restart mass") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b") // two components
+    val got = Components.personalizedPageRank(pairs, "a", "b",
+        Seq(1L, 3L).toDF("node"), iters = 2)
+      .as[(Long, Double)].collect().toMap
+    // symmetric components with one seed each: identical score profiles
+    assert(got(1L) == got(3L) && got(2L) == got(4L))
+    assert(got(1L) > got(2L))
+  }
+
   test("modularity: two cliques under their own labels score high; one-blob zero") {
     // two K3s, no bridge: perfect partition. m=6; per community:
     // within=3, deg=6 -> term = 3/6 - (6/12)^2 = 0.25; Q = 0.5
