@@ -8673,6 +8673,75 @@ object SparkEntry {
               FROM tk x JOIN tk y
                 ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""")),
 
+    Q("v_nn_descent", (s, d) => {
+      // NN-descent k-NN graph (Dong 2011) — the LINEAR-build scale path
+      // for the graph-ANN family: md5-seeded random init, then 2 rounds
+      // of neighbor-of-neighbor refinement with a k-capped reverse
+      // adjacency, ≤ 4k²·N candidates per round (the mutual-kNN IVF
+      // build is N·√N — 409.6 s at the 100× replica; this replaces it
+      // at scale). Oracle replays init + both rounds CTE-for-CTE.
+      val e = emb(s, d)
+      Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"),
+        k = 3, rounds = 2, n = e.count())
+    },
+      Some("""WITH e AS MATERIALIZED (
+                SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              nn AS (SELECT count(*) AS n FROM e),
+              c0 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT e.vid,
+                         ('0x' || substr(md5(e.vid::VARCHAR || '#nnd' || j::VARCHAR), 1, 8))::BIGINT
+                           % (SELECT n FROM nn) AS cand
+                       FROM e CROSS JOIN range(1, 4) t(j)) z
+                     WHERE cand <> vid),
+              sc0 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c0 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g0 AS MATERIALIZED (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc0) z WHERE rn <= 3),
+              u1 AS (SELECT DISTINCT src, dst FROM (
+                       SELECT vid AS src, cand AS dst FROM g0
+                       UNION ALL
+                       SELECT cand AS src, vid AS dst FROM (
+                         SELECT vid, cand, row_number() OVER (
+                           PARTITION BY cand ORDER BY cos DESC, vid) AS rr
+                         FROM g0) z WHERE rr <= 3) w),
+              c1 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT x.src AS vid, y.dst AS cand FROM u1 x JOIN u1 y
+                         ON x.dst = y.src AND x.src <> y.dst
+                       UNION ALL SELECT vid, cand FROM g0) w),
+              sc1 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c1 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g1 AS MATERIALIZED (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc1) z WHERE rn <= 3),
+              u2 AS (SELECT DISTINCT src, dst FROM (
+                       SELECT vid AS src, cand AS dst FROM g1
+                       UNION ALL
+                       SELECT cand AS src, vid AS dst FROM (
+                         SELECT vid, cand, row_number() OVER (
+                           PARTITION BY cand ORDER BY cos DESC, vid) AS rr
+                         FROM g1) z WHERE rr <= 3) w),
+              c2 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT x.src AS vid, y.dst AS cand FROM u2 x JOIN u2 y
+                         ON x.dst = y.src AND x.src <> y.dst
+                       UNION ALL SELECT vid, cand FROM g1) w),
+              sc2 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c2 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g2 AS (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc2) z WHERE rn <= 3)
+              SELECT vid AS src_id, cand AS nbr_id, cos, rn::INT AS rank
+              FROM g2""")),
+
     Q("a28_ks_drift", (s, d) => {
       // two-sample Kolmogorov-Smirnov drift statistic between the two
       // halves of the fact stream: per-value counts (one hash agg), then
@@ -8989,9 +9058,11 @@ object SparkEntry {
                       least(256, len(merged))::BIGINT AS kk,
                       merged[1:256] AS kmin,
                       CASE WHEN exact_a < 256 THEN exact_a::DOUBLE
+                           WHEN len(ma) < 256 THEN round((len(ma) - 1)::DOUBLE * 4503599627370496::DOUBLE / ma[len(ma)]::DOUBLE, 4)
                            ELSE round((255 * 4503599627370496::BIGINT)::DOUBLE / ma[256]::DOUBLE, 4)
                       END AS est_a,
                       CASE WHEN exact_b < 256 THEN exact_b::DOUBLE
+                           WHEN len(mb) < 256 THEN round((len(mb) - 1)::DOUBLE * 4503599627370496::DOUBLE / mb[len(mb)]::DOUBLE, 4)
                            ELSE round((255 * 4503599627370496::BIGINT)::DOUBLE / mb[256]::DOUBLE, 4)
                       END AS est_b,
                       CASE WHEN len(merged) < 256 THEN len(merged)::DOUBLE
@@ -9212,6 +9283,143 @@ object SparkEntry {
                   ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst),
               ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mu
                 UNION ALL SELECT id_b, id_a FROM mu),
+              ent AS (SELECT min(vid) AS cur FROM e),
+              q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 20),
+              s0 AS MATERIALIZED (SELECT query_id, qv, cur,
+                      round(list_cosine_similarity(qv, ev.v), 6) AS sim, 0 AS moves
+                    FROM q CROSS JOIN ent JOIN e ev ON ev.vid = cur),
+              s1 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s0 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s0 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s2 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s1 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s1 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s3 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s2 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s2 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id)),
+              s4 AS MATERIALIZED (SELECT s.query_id, s.qv,
+                  CASE WHEN b.bsim > s.sim THEN b.bnode ELSE s.cur END AS cur,
+                  CASE WHEN b.bsim > s.sim THEN b.bsim ELSE s.sim END AS sim,
+                  s.moves + CASE WHEN b.bsim > s.sim THEN 1 ELSE 0 END AS moves
+                FROM s3 s LEFT JOIN (
+                  SELECT query_id, bnode, bsim FROM (
+                    SELECT t.query_id, ev.vid AS bnode,
+                      round(list_cosine_similarity(t.qv, ev.v), 6) AS bsim,
+                      row_number() OVER (PARTITION BY t.query_id
+                        ORDER BY round(list_cosine_similarity(t.qv, ev.v), 6) DESC,
+                                 ev.vid) AS rn
+                    FROM s3 t JOIN ed ON ed.src = t.cur
+                    JOIN e ev ON ev.vid = ed.dst) z WHERE rn = 1) b
+                USING (query_id))
+              SELECT query_id, cur AS node_id, sim, moves FROM s4""")),
+
+    Q("v_nnd_search", (s, d) => {
+      // greedy best-first routing over the NN-DESCENT graph — the same
+      // walk as v_graph_search but on the linear-build index
+      // (v_nn_descent), proving the search quality survives swapping
+      // the N·√N mutual-kNN build for the scale path. Edges are the
+      // NND digraph bidirected; oracle replays build + all 4 hops.
+      val e = emb(s, d)
+      val g = Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"),
+        k = 3, rounds = 2, n = e.count())
+      val ed = g.select(col("src_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(g.select(col("nbr_id").as("src"), col("src_id").as("dst")))
+        .distinct()
+      Similarity.greedySearchOverEdges(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", "vec_id", "embedding", ed, hops = 4)
+    },
+      Some("""WITH e AS MATERIALIZED (
+                SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+              nn AS (SELECT count(*) AS n FROM e),
+              c0 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT e.vid,
+                         ('0x' || substr(md5(e.vid::VARCHAR || '#nnd' || j::VARCHAR), 1, 8))::BIGINT
+                           % (SELECT n FROM nn) AS cand
+                       FROM e CROSS JOIN range(1, 4) t(j)) z
+                     WHERE cand <> vid),
+              sc0 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c0 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g0 AS MATERIALIZED (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc0) z WHERE rn <= 3),
+              u1 AS (SELECT DISTINCT src, dst FROM (
+                       SELECT vid AS src, cand AS dst FROM g0
+                       UNION ALL
+                       SELECT cand AS src, vid AS dst FROM (
+                         SELECT vid, cand, row_number() OVER (
+                           PARTITION BY cand ORDER BY cos DESC, vid) AS rr
+                         FROM g0) z WHERE rr <= 3) w),
+              c1 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT x.src AS vid, y.dst AS cand FROM u1 x JOIN u1 y
+                         ON x.dst = y.src AND x.src <> y.dst
+                       UNION ALL SELECT vid, cand FROM g0) w),
+              sc1 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c1 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g1 AS MATERIALIZED (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc1) z WHERE rn <= 3),
+              u2 AS (SELECT DISTINCT src, dst FROM (
+                       SELECT vid AS src, cand AS dst FROM g1
+                       UNION ALL
+                       SELECT cand AS src, vid AS dst FROM (
+                         SELECT vid, cand, row_number() OVER (
+                           PARTITION BY cand ORDER BY cos DESC, vid) AS rr
+                         FROM g1) z WHERE rr <= 3) w),
+              c2 AS (SELECT DISTINCT vid, cand FROM (
+                       SELECT x.src AS vid, y.dst AS cand FROM u2 x JOIN u2 y
+                         ON x.dst = y.src AND x.src <> y.dst
+                       UNION ALL SELECT vid, cand FROM g1) w),
+              sc2 AS (SELECT c.vid, c.cand,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                      FROM c2 c JOIN e a ON a.vid = c.vid
+                                JOIN e b ON b.vid = c.cand),
+              g2 AS MATERIALIZED (SELECT vid, cand, cos, rn FROM (
+                      SELECT vid, cand, cos, row_number() OVER (
+                        PARTITION BY vid ORDER BY cos DESC, cand) AS rn
+                      FROM sc2) z WHERE rn <= 3),
+              ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                      SELECT vid AS src, cand AS dst FROM g2
+                      UNION ALL
+                      SELECT cand AS src, vid AS dst FROM g2) w),
               ent AS (SELECT min(vid) AS cur FROM e),
               q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 20),
               s0 AS MATERIALIZED (SELECT query_id, qv, cur,

@@ -74,7 +74,11 @@ object Components {
       restart: Double = 0.15): DataFrame = {
     // restart is a SEPARATE literal, not 1-damping: the double
     // `1.0 - 0.85` is 0.15000000000000002, and that last-ulp gap flipped
-    // a round-9 boundary against the oracle's literal 0.15 at sf0.1
+    // a round-9 boundary against the oracle's literal 0.15 at sf0.1.
+    // The pair must still SUM to 1 (rank mass conservation) — a caller
+    // overriding one without the other would silently leak/inflate mass.
+    require(math.abs(damping + restart - 1.0) < 1e-12,
+      s"damping + restart must equal 1.0 exactly, got $damping + $restart")
     val e0 = pairs
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))

@@ -513,6 +513,78 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"), col("x.cos").as("cos"))
   }
 
+  /** NN-descent k-NN graph construction (Dong et al., WWW 2011) — the
+    * scale path for graph-based ANN indexes. [[mutualKnnGraph]]'s
+    * IVF-cell blocking generates within-cell pairs: with the adaptive
+    * √(n/2) cell count that is an N·√N build (measured 409.6 s at the
+    * 100× replica — prohibitive another decade out). NN-descent instead
+    * iterates "a neighbor of a neighbor is likely a neighbor": start
+    * from k pseudo-random candidates per node, then each round score
+    * only neighbor-of-neighbor candidates and keep the k best. Cost per
+    * round is ≤ 4k²·N candidate pairs — LINEAR in the corpus for fixed
+    * k, the sub-N^1.5 contract the graph family needs at 100 TB.
+    *
+    * Determinism (the LPA/BFS iterative discipline): the init candidates
+    * are md5-derived partner ids (`md5(vid#nndj) mod n` — RNG-free,
+    * engine-replayable; ids must be dense 0..n-1, the embeddings-table
+    * contract), similarities round at 6 with (cos desc, id asc)
+    * tiebreaks, each round's graph routes through [[graft.Mat]] (it is
+    * consumed by BOTH the forward and reverse legs next round), and the
+    * reverse adjacency is CAPPED at k per node (top-cos, the
+    * deterministic stand-in for NN-descent's reverse sampling) so every
+    * node's join adjacency is ≤ 2k and candidate volume stays bounded.
+    * A hub node's in-degree can still skew one join key; at cluster
+    * scale AQE skew-join splits it — total volume is what matters.
+    *
+    * Monotone by construction: the current edges join every round's
+    * candidate set, so a node's k-th best similarity never regresses.
+    * Returns the DIRECTED graph (src_id, nbr_id, cos, rank ≤ k). */
+  def nnDescentGraph(
+      df: DataFrame, id: Column, vec: Column, k: Int, rounds: Int,
+      n: Long): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    require(n > 1, s"need at least 2 vectors, got $n")
+    val cos = cosineCol(df) _
+    val e = graft.Mat(df.select(id.cast("long").as("vid"),
+      VectorFunctions.toDoubleArray(vec).as("v")))
+    val init = e.select(col("vid"), explode(array((1 to k).map(j =>
+        pmod(Dedup.md5Int(concat(col("vid").cast("string"),
+          lit("#nnd" + j))), lit(n))): _*)).as("cand"))
+      .filter(col("cand") =!= col("vid")).distinct()
+    // score a candidate frame and keep each node's k nearest
+    def topk(cands: DataFrame): DataFrame = {
+      val scored = cands
+        .join(e.select(col("vid"), col("v").as("sv")), Seq("vid"))
+        .join(e.select(col("vid").as("cand"), col("v").as("cv")), Seq("cand"))
+        .select(col("vid"), col("cand"),
+          round(cos(col("sv"), col("cv")), 6).as("cos"))
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("vid"))
+            .orderBy(col("cos").desc, col("cand").asc)))
+        .filter(col("__rn") <= k)
+        .select(col("vid"), col("cand"), col("cos"),
+          col("__rn").cast("int").as("rank"))
+    }
+    var g = graft.Mat(topk(init))
+    for (_ <- 1 to rounds) {
+      val fwd = g.select(col("vid").as("src"), col("cand").as("dst"))
+      val rev = g.withColumn("__rr", row_number().over(
+          Window.partitionBy(col("cand"))
+            .orderBy(col("cos").desc, col("vid").asc)))
+        .filter(col("__rr") <= k)
+        .select(col("cand").as("src"), col("vid").as("dst"))
+      val und = graft.Mat(fwd.unionByName(rev).distinct())
+      val non = und.as("x").join(und.as("y"),
+          col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("vid"), col("y.dst").as("cand"))
+      val cands = non.unionByName(g.select(col("vid"), col("cand"))).distinct()
+      g = graft.Mat(topk(cands))
+    }
+    g.select(col("vid").as("src_id"), col("cand").as("nbr_id"),
+      col("cos"), col("rank"))
+  }
+
   /** Per-dimension-z OOD scoring — the embedding-quality outlier screen
     * (encoder glitches, wrong-modality rows, adversarial inputs): score
     * every vector by Σ_d z_d² against the corpus's per-dimension
@@ -580,13 +652,26 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int, hops: Int): DataFrame = {
+    val mut = mutualKnnGraph(corpus, col(cId), col(cVec), k, nlist)
+    greedySearchOverEdges(queries, corpus, qId, qVec, cId, cVec,
+      mut.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(mut.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      hops)
+  }
+
+  /** The routing loop of [[greedyGraphSearch]] over a CALLER-SUPPLIED
+    * directed edge list (src, dst) — the graph build and the walk are
+    * independent concerns: the same greedy routine serves the mutual-kNN
+    * graph (small corpora) and [[nnDescentGraph]] (the linear-build
+    * scale path). Edge frame is Mat'd here (consumed once per hop). */
+  def greedySearchOverEdges(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      edges: DataFrame, hops: Int): DataFrame = {
     val cos = cosineCol(corpus) _
     val e = corpus.select(col(cId).cast("long").as("vid"),
       VectorFunctions.toDoubleArray(col(cVec)).as("v"))
-    val mut = mutualKnnGraph(corpus, col(cId), col(cVec), k, nlist)
-    val ed = graft.Mat(
-      mut.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(mut.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val ed = graft.Mat(edges.select(col("src"), col("dst")))
     val entry = e.agg(min(col("vid")).as("cur"))
     val q = queries.select(col(qId).cast("long").as("query_id"),
       VectorFunctions.toDoubleArray(col(qVec)).as("qv"))
@@ -638,6 +723,12 @@ object Similarity {
       dim: Int, k: Int): DataFrame = {
     require(dim % 32 == 0, s"dim must pack into 32-bit words, got $dim")
     val words = dim / 32
+    // element_at past the array end yields null and IF would pack a
+    // silent 0 bit — a short vector must FAIL, not quietly mis-distance
+    val sized = when(size(col("__v")) === dim, col("__v"))
+      .otherwise(raise_error(concat(
+        lit(s"binaryHammingTopK: vector has "), size(col("__v")).cast("string"),
+        lit(s" dims, expected $dim"))))
     def packed(prefix: String): Seq[Column] = (0 until words).map { w =>
       expr(s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
         s"acc + IF(element_at(__v, ${w * 32} + i + 1) > 0.0D, " +
@@ -645,9 +736,11 @@ object Similarity {
     }
     val c = corpus.select(Seq(col(cId).cast("long").as("neighbor_id"),
       VectorFunctions.toDoubleArray(col(cVec)).as("__v")): _*)
+      .select(col("neighbor_id"), sized.as("__v"))
       .select(Seq(col("neighbor_id")) ++ packed("cw"): _*)
     val q = queries.select(Seq(col(qId).cast("long").as("query_id"),
       VectorFunctions.toDoubleArray(col(qVec)).as("__v")): _*)
+      .select(col("query_id"), sized.as("__v"))
       .select(Seq(col("query_id")) ++ packed("qw"): _*)
     val ham = (0 until words).map(w =>
         bit_count(col(s"cw$w").bitwiseXOR(col(s"qw$w"))))

@@ -103,10 +103,19 @@ object Sketches {
     val sk = hashed.groupBy(col("sid"))
       .agg(bottomK(col("h")).as("mins"), count(lit(1)).as("exact_n"))
     val two52 = 4503599627370496.0 // 2^52
-    def est(minsC: Column, exactC: Column): Column =
+    // 52-bit hash collisions can leave FEWER than k distinct hashes even
+    // when the set has >= k distinct elements; element_at(mins, k) would
+    // be null and silently null the whole estimate chain. Degrade to the
+    // (j-1)/h_j estimator at the sketch's actual size j instead.
+    def est(minsC: Column, exactC: Column): Column = {
+      val j = size(minsC)
       when(exactC < k, exactC.cast("double")).otherwise(
-        round(lit((k - 1).toDouble * two52)
-          / element_at(minsC, k).cast("double"), 4))
+        when(j < k,
+          round((j - 1).cast("double") * lit(two52)
+            / element_at(minsC, j).cast("double"), 4))
+        .otherwise(round(lit((k - 1).toDouble * two52)
+          / element_at(minsC, k).cast("double"), 4)))
+    }
     val pairs = sk.as("a").crossJoin(sk.as("b"))
       .filter(col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("set_a"), col("b.sid").as("set_b"),

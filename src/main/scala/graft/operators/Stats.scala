@@ -611,11 +611,18 @@ object Stats {
   def poissonBootstrapCi(
       df: DataFrame, value: Column, id: Column, b: Int = 32): DataFrame = {
     require(b >= 4, "need at least 4 resamples for the order-statistic CI")
-    val base = df.select(value.cast("long").as("__x"),
-      id.cast("string").as("__id"))
+    // bind each resample's uniform to a PROJECTED column so the md5 is
+    // evaluated once per (row, resample) — the 6-branch CASE below would
+    // otherwise re-derive it per branch absent common-subexpression
+    // elimination (up to 6 md5+conv per weight, 192 per row at b=32)
+    val base = df.select(Seq(value.cast("long").as("__x"),
+      id.cast("string").as("__id")) ++ (0 until b).map { i =>
+        (conv(substring(md5(concat(id.cast("string"), lit(":" + i))), 1, 13),
+          16, 10).cast("long").cast("double") / lit(4503599627370496.0))
+          .as(s"__u$i")
+      }: _*)
     def weight(i: Int): Column = {
-      val u = conv(substring(md5(concat(col("__id"), lit(":" + i))), 1, 13),
-        16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+      val u = col(s"__u$i")
       when(u < 0.36787944117144233, 0L)
         .when(u < 0.7357588823428847, 1L)
         .when(u < 0.9196986029286058, 2L)

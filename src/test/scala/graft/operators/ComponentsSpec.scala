@@ -302,4 +302,13 @@ class ComponentsSpec extends SparkSpec {
       minCommon = 1, maxHubDeg = 4)
     assert(capped.count() == 0)
   }
+
+  test("personalizedPageRank rejects damping/restart that do not sum to 1") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    intercept[IllegalArgumentException] {
+      Components.personalizedPageRank(pairs, "a", "b", seeds,
+        iters = 1, damping = 0.9) // restart left at 0.15 -> mass leak
+    }
+  }
 }

@@ -427,4 +427,88 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0) == ((0L, 1L, 0, 1)))   // scale-invariant: ham 0
     assert(got(1) == ((0L, 2L, 64, 2))) // antipode: all 64 bits differ
   }
+
+  test("binaryHammingTopK fails loudly on a short vector instead of packing 0 bits") {
+    val e = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.fill(32)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.binaryHammingTopK(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", "vec_id", "embedding", dim = 64, k = 1)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // deterministic pseudo-random cloud shared by the NN-descent tests
+  private def nndVec(i: Long): Array[Float] =
+    Array.tabulate(8)(dd => (((i * 37 + dd * 13) % 19) - 9).toFloat)
+
+  test("nnDescentGraph: recall vs brute force improves with rounds") {
+    val n = 60L
+    val e = (0L until n).map(i => (i, nndVec(i))).toDF("vec_id", "embedding")
+    val k = 3
+    // exact kNN replay in Scala with the operator's round-6 + (cos desc,
+    // id asc) contract
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 8).foreach { d =>
+        dot += a(d).toDouble * b(d); na += a(d).toDouble * a(d)
+        nb += b(d).toDouble * b(d)
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val truth = (0L until n).flatMap { i =>
+      (0L until n).filter(_ != i)
+        .map(j => (j, cos(nndVec(i), nndVec(j))))
+        .sortBy { case (j, c) => (-c, j) }.take(k)
+        .map { case (j, _) => (i, j) }
+    }.toSet
+    def recall(rounds: Int): Double = {
+      val got = Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"),
+          k = k, rounds = rounds, n = n)
+        .select(col("src_id"), col("nbr_id")).as[(Long, Long)].collect().toSet
+      got.count(truth.contains).toDouble / truth.size
+    }
+    val r0 = recall(0); val r3 = recall(3)
+    assert(r3 > r0, s"descent must improve recall: $r0 -> $r3")
+    assert(r3 >= 0.8, s"3 rounds on 60 vectors should near-converge: $r3")
+  }
+
+  test("nnDescentGraph: contract (no self, rank 1..k, monotone best)") {
+    val n = 40L
+    val e = (0L until n).map(i => (i, nndVec(i))).toDF("vec_id", "embedding")
+    def best(rounds: Int): Map[Long, Double] =
+      Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"),
+          k = 3, rounds = rounds, n = n)
+        .filter(col("rank") === 1)
+        .select(col("src_id"), col("cos")).as[(Long, Double)].collect().toMap
+    val g = Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"),
+        k = 3, rounds = 2, n = n)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(g.forall { case (s, d2, _, _) => s != d2 })
+    g.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._4).sorted.toSeq
+      assert(ranks == (1 to rows.length).toSeq, s"dense ranks: $ranks")
+      assert(rows.length <= 3)
+    }
+    // monotone: including current edges in every candidate round means a
+    // node's best similarity never regresses as rounds grow
+    val b1 = best(1); val b2 = best(2)
+    b2.foreach { case (id, c2) =>
+      b1.get(id).foreach(c1 => assert(c2 >= c1, s"node $id: $c1 -> $c2"))
+    }
+  }
+
+  test("nnDescentGraph parameter validation") {
+    val e = Seq((0L, Array(1.0f)), (1L, Array(2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"), 0, 1, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"), 1, -1, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.nnDescentGraph(e, col("vec_id"), col("embedding"), 1, 1, 1L)
+    }
+  }
 }
