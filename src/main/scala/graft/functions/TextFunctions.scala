@@ -844,6 +844,89 @@ object TextFunctions {
           .as("kept_text"))
   }
 
+  /** HTML→text extraction with boilerplate stripping — the FIRST stage
+    * of every web-crawl corpus pipeline (the trafilatura/jusText
+    * posture, regex-shaped so the same ops run identically under Java
+    * regex and RE2): a crawl document must become clean block text
+    * BEFORE [[gopherRules]]/[[qualityScore]]/[[lineCorrections]] mean
+    * anything.
+    *
+    * Pipeline (all row-local; shuffle-free; whole-stage codegen):
+    *   1. drop `<script>`/`<style>` elements and `<!-- -->` comments
+    *      (content and all);
+    *   2. mark anchor spans (`<a …>`→\u0001, `</a>`→\u0002) so link
+    *      density survives tag stripping;
+    *   3. block segmentation: `<br>` and open/close of the block-level
+    *      tags (p, div, h1-h6, li, ul, ol, tr, table, section, article,
+    *      header, footer, nav, blockquote, pre) become newlines;
+    *   4. strip every remaining tag; decode the six common entities
+    *      (&amp;nbsp; &amp;lt; &amp;gt; &amp;quot; &amp;#39; — &amp;amp;
+    *      LAST, the standard order);
+    *   5. per block: word count and LINK-word count (words inside
+    *      matched \u0001…\u0002 spans; a span left open by interleaved
+    *      block tags counts as plain text — documented tolerance);
+    *   6. boilerplate gate (jusText-style): keep a block iff it has at
+    *      least `minWords` words AND link words are at most `maxLinkPct`
+    *      percent of its words.
+    *
+    * Returns one row per doc: (doc_id, n_blocks, n_kept_blocks, n_words,
+    * n_kept_words, n_link_words, text) where `text` is the kept blocks'
+    * whitespace-normalized words, blocks joined by newlines. Blocks with
+    * zero words are not counted. Source newlines are whitespace (only
+    * TAG-derived newlines segment blocks — the HTML rendering model) and
+    * a `<` not followed by a letter/`!`/`/` is literal text, never a tag
+    * start (the HTML5 tokenizer rule — `2 < 3` survives extraction).
+    * Extraction is total: malformed markup degrades, never fails. */
+  def htmlExtract(
+      df: DataFrame, id: Column, html: Column,
+      minWords: Int = 3, maxLinkPct: Int = 50): DataFrame = {
+    require(minWords >= 1, s"minWords must be positive, got $minWords")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100, s"maxLinkPct in [0,100]: $maxLinkPct")
+    val oneLine = regexp_replace(html, "[\\r\\n\\t]", " ")
+    val noScript = regexp_replace(oneLine, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val aOpen = regexp_replace(noComment, "(?i)<a\\b[^>]*>", "\u0001")
+    val aClose = regexp_replace(aOpen, "(?i)</a>", "\u0002")
+    val br = regexp_replace(aClose, "(?i)<br\\b[^>]*>", "\n")
+    val seg = regexp_replace(br,
+      "(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|nav|blockquote|pre)\\b[^>]*>",
+      "\n")
+    val stripped = regexp_replace(seg, "(?s)</?[A-Za-z][^>]*>|<![^>]*>", " ")
+    // entity decode AFTER stripping (decoded &lt;div&gt; must stay text,
+    // not become a strippable tag); &amp; decodes last
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (ent, rep)) => regexp_replace(c, ent, rep) }
+    def words(b: Column): Column =
+      filter(split(regexp_replace(b, "[\u0001\u0002]", ""), "\\s+"),
+        t => t =!= "")
+    def linkWords(b: Column): Column =
+      size(flatten(transform(
+        regexp_extract_all(b, lit("\u0001[^\u0002]*\u0002"), lit(0)),
+        sp => words(sp))))
+    df.select(id.cast("long").as("doc_id"), decoded.as("__dec"))
+      .withColumn("__blk", filter(
+        transform(split(col("__dec"), "\n"),
+          b => struct(words(b).as("w"), linkWords(b).as("lw"))),
+        s => size(s.getField("w")) > 0))
+      .withColumn("__kept", filter(col("__blk"), s =>
+        size(s.getField("w")) >= minWords &&
+          s.getField("lw") * 100 <= size(s.getField("w")) * maxLinkPct))
+      .select(
+        col("doc_id"),
+        size(col("__blk")).as("n_blocks"),
+        size(col("__kept")).as("n_kept_blocks"),
+        aggregate(col("__blk"), lit(0L),
+          (a, s) => a + size(s.getField("w")).cast("long")).as("n_words"),
+        aggregate(col("__kept"), lit(0L),
+          (a, s) => a + size(s.getField("w")).cast("long")).as("n_kept_words"),
+        aggregate(col("__blk"), lit(0L),
+          (a, s) => a + s.getField("lw").cast("long")).as("n_link_words"),
+        array_join(transform(col("__kept"),
+          s => array_join(s.getField("w"), " ")), "\n").as("text"))
+  }
+
   /** PII categories scrubbed by [[piiRedact]], in application order:
     * (name, pattern, replacement token). Patterns avoid lookaround so the
     * same regex runs identically under Java regex and RE2. Order matters —

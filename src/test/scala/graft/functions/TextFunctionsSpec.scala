@@ -491,4 +491,66 @@ class TextFunctionsSpec extends SparkSpec {
     assert(TextFunctions.rougeOverlap(docs, col("doc_id"), col("text"), 1)
       .count() == 1)
   }
+
+  private def extractOne(html: String, minWords: Int = 3, maxLinkPct: Int = 50) =
+    TextFunctions.htmlExtract(
+        Seq((0L, html)).toDF("doc_id", "html"),
+        col("doc_id"), col("html"), minWords, maxLinkPct)
+      .as[(Long, Int, Int, Long, Long, Long, String)].collect().head
+
+  test("htmlExtract strips script/style/comment content, keeps body text") {
+    val got = extractOne(
+      """<html><head><style>body { color: red; }</style>
+        |<script>var x = alert("hidden words here");</script></head>
+        |<body><!-- a comment with words --><p>the visible body text</p>
+        |</body></html>""".stripMargin)
+    assert(got._7 == "the visible body text", got)
+    assert(got._2 == 1 && got._3 == 1 && got._4 == 4L)
+  }
+
+  test("htmlExtract: block tags segment; short and link-dense blocks drop") {
+    val got = extractOne(
+      """<div>Header</div>
+        |<nav><a href="/">Home page</a> <a href="/b">About page</a> now</nav>
+        |<p>the real article body has the words the reader wants</p>""".stripMargin)
+    // "Header" (1 word < 3) dropped; nav = 5 words / 4 linked (80%) dropped;
+    // article kept
+    assert(got._2 == 3 && got._3 == 1, got)
+    assert(got._7.startsWith("the real article"), got)
+    assert(got._6 == 4L, got) // link words counted corpus-wide
+  }
+
+  test("htmlExtract: link-density boundary is inclusive (exactly maxLinkPct keeps)") {
+    // 3 of 6 words linked = exactly 50%
+    val kept = extractOne("""<p>Visit <a href="/s">our great shop</a> today folks</p>""")
+    assert(kept._3 == 1 && kept._5 == 6L, kept)
+    // 2 of 3 linked = 66% > 50% drops
+    val dropped = extractOne("""<p>See <a href="/x">more stuff</a></p>""")
+    assert(dropped._3 == 0 && dropped._2 == 1, dropped)
+  }
+
+  test("htmlExtract decodes entities AFTER stripping (literal <div> survives)") {
+    val got = extractOne(
+      "<p>Tom &amp; Jerry wrote &quot;use a &lt;div&gt; tag&quot; &#39;here&#39;</p>")
+    assert(got._7 == "Tom & Jerry wrote \"use a <div> tag\" 'here'", got._7)
+  }
+
+  test("htmlExtract HTML5 tokenizer rule: '<' before a non-letter is text") {
+    val got = extractOne("<p>the fact that 2 < 3 still holds here</p>")
+    assert(got._7 == "the fact that 2 < 3 still holds here", got._7)
+  }
+
+  test("htmlExtract: source newlines are whitespace, only tags segment") {
+    val got = extractOne("<p>line one\ncontinues</p><p>block two is here</p>")
+    assert(got._2 == 2, got)
+    assert(got._7 == "line one continues\nblock two is here", got._7)
+  }
+
+  test("htmlExtract: tagless/empty docs yield a zero row, never drop the doc") {
+    val got = extractOne("<script>var only = 'code';</script>")
+    assert(got == ((0L, 0, 0, 0L, 0L, 0L, "")), got)
+    // plain text with no markup at all is one block of text
+    val plain = extractOne("just some plain words")
+    assert(plain._2 == 1 && plain._7 == "just some plain words")
+  }
 }

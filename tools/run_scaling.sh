@@ -21,12 +21,18 @@ S100=${3:-/tmp/graft_scale100}
 # r12 deliberate additions: g_entity_resolution (PassJoin segment
 # blocking replaced length buckets — decade ratios prove the posture)
 # and x_textrank_keywords (new iterative graph composite)
+# r13 deliberate additions: v_nn_descent + v_nnd_search (the linear-build
+# kNN-graph path — the decade ratio IS its done-criterion) alongside
+# v_graph_search (the N*sqrt(N) build it replaces, kept for contrast)
+# and d_link_predict (r12 flagged its 4.2x last-decade ratio for a
+# 100x profile)
 SCALING_QUERIES="domain_e2e_gl,g_incremental_gl,docs_e2e_curation,events_e2e_engagement,\
 d_components,d_cluster_canonical,d_dedup_report,d_source_overlap,d_curation_log,\
 d_ngram_jaccard,d_prefix_jaccard,d_containment,d_simhash_pairs,d_triangles,d_pagerank,\
 v_ivf_pq,v_pq_adc,v_power_iteration,x_dedup_eval,x_bpe_encode,x_bpe_deep,x_winnow,\
 a22_join_size_est,a24_woe_binning,a30_mad_outliers,x_unigram_em,\
-g_entity_resolution,x_textrank_keywords"
+g_entity_resolution,x_textrank_keywords,\
+v_nn_descent,v_nnd_search,v_graph_search,d_link_predict"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
