@@ -57,6 +57,20 @@ object Bench {
     // comment line each, for human/log inspection.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     results.foreach { case (k, v) => println(s"#bench $k ${f(v)}") }
+    // full per-query detail as a DIFFABLE FILE artifact (the stdout JSON
+    // line is truncated by the archiver to ~2000 chars; r12's four
+    // phantom 3-4x "regressions" were only dismissible by git
+    // archaeology — a committed per-query file makes round-over-round
+    // diffs mechanical). SPARK_GRAFT_BENCH_OUT overrides the path.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_local/bench_detail_latest.json")
+    try {
+      val detail = results.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // artifact write never fails the bench
     val (slow, fast) = results.sortBy(-_._2).splitAt(25)
     val qs = slow.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
