@@ -10219,6 +10219,229 @@ object SparkEntry {
                   FROM ed JOIN r2 r ON ed.src = r.node
                   JOIN dg ON dg.src = ed.src GROUP BY 1) c USING (node))
               SELECT node, rank FROM r3""")),
+
+    Q("a59_roc_auc", (s, d) =>
+      // classifier-evaluation readout: ROC-AUC of the quality score as a
+      // predictor of "document is English" via the rank-sum identity with
+      // midranks (the same 2x-scaled exact-integer rank machinery as
+      // a51_mann_whitney — AUC = normalized U); one hash agg per distinct
+      // score + the bucketed two-pass running sum, one final division
+      graft.operators.Stats.rocAuc(doc(s, d),
+        TextFunctions.qualityScore(col("text")),
+        (col("lang") === "en").cast("int")),
+      Some("""WITH b AS (SELECT lang,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                length(text) AS n_ch
+              FROM documents),
+              sc AS (SELECT round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN n_ch > 0 THEN n_punct / n_ch::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6) AS x,
+                (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y
+              FROM b),
+              per AS (SELECT x, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+                      FROM sc GROUP BY 1),
+              cum AS (SELECT c0, c1, sum(c0 + c1) OVER (ORDER BY x) - c0 - c1 AS cb
+                      FROM per),
+              agg AS (SELECT sum(c1)::BIGINT AS n_pos, sum(c0)::BIGINT AS n_neg,
+                        sum((c1 * (cb * 2 + c0 + c1 + 1))::DECIMAL(38,0)) AS r2
+                      FROM cum),
+              f AS (SELECT n_pos, n_neg,
+                      round((r2 - (n_pos * (n_pos + 1))::DECIMAL(38,0))::DOUBLE
+                            / (2.0 * n_pos::DOUBLE * n_neg), 6) AS auc
+                    FROM agg)
+              SELECT n_pos, n_neg, auc, round(auc * 2 - 1, 6) AS gini_idx
+              FROM f""")),
+
+    Q("a60_calibration", (s, d) =>
+      // is the quality score CALIBRATED as P(english)? ECE/MCE over 10
+      // equal-width bins + Brier score. ECE telescopes to
+      // sum_bins |sum_p - pos| / N over exact DECIMAL sums ((p-y)^2 exact
+      // at decimal(_,12) since p is 6dp) — each metric is ONE float
+      // division; one hash aggregate over 10 groups
+      graft.operators.Stats.calibrationReport(doc(s, d),
+        TextFunctions.qualityScore(col("text")),
+        (col("lang") === "en").cast("int"), bins = 10),
+      Some("""WITH b AS (SELECT lang,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS n_tok_ws,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::INT AS n_punct,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'))::INT AS n_stop,
+                length(text) AS n_ch
+              FROM documents),
+              sc AS (SELECT round(least(greatest(
+                  least(n_tok_ws / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tok_ws > 0 THEN n_stop / n_tok_ws::DOUBLE ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN n_ch > 0 THEN n_punct / n_ch::DOUBLE ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                  0.0), 1.0), 6)::DECIMAL(8,6) AS p,
+                (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y
+              FROM b),
+              pb AS (SELECT least(floor(p::DOUBLE * 10), 9)::BIGINT AS bin,
+                       count(*)::BIGINT AS n_b,
+                       sum(p)::DECIMAL(38,6) AS sum_p,
+                       sum(y)::BIGINT AS pos,
+                       sum(((p - y) * (p - y))::DECIMAL(38,12)) AS sq
+                     FROM sc GROUP BY 1),
+              g AS (SELECT n_b, pos, sq,
+                      abs(sum_p - pos)::DECIMAL(38,6) AS absgap,
+                      round(abs(sum_p - pos)::DOUBLE / n_b, 6) AS gap_b
+                    FROM pb)
+              SELECT sum(n_b)::BIGINT AS n, count(*)::BIGINT AS n_bins_used,
+                round(sum(absgap)::DOUBLE / sum(n_b), 6) AS ece,
+                max(gap_b) AS mce,
+                round(sum(sq)::DOUBLE / sum(n_b), 6) AS brier
+              FROM g""")),
+
+    Q("a61_cohens_kappa", (s, d) =>
+      // annotator/model agreement QC: Cohen's kappa between the langId
+      // heuristic and the labeled lang column (multi-category, union of
+      // both raters' label sets). kappa = (diag*n - sum ra_k*cb_k) /
+      // (n^2 - sum ra_k*cb_k) — exact integers until ONE division; two
+      // category-bounded margin aggregates, nothing row-scale past the
+      // first agg
+      graft.operators.Stats.cohensKappa(doc(s, d),
+        TextFunctions.langId(col("text")), col("lang")),
+      Some("""WITH p AS (SELECT lang AS b,
+                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                     ELSE 'und' END AS a
+              FROM (SELECT lang,
+                      len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|is|was|that|with)\b')) AS s_en,
+                      len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|las|es|que|con|para)\b')) AS s_es,
+                      len(regexp_extract_all(lower(text),
+                        '\b(le|la|les|est|que|avec|pour|dans)\b')) AS s_fr,
+                      len(regexp_extract_all(lower(text),
+                        '\b(der|die|das|ist|und|mit|nicht)\b')) AS s_de
+                    FROM documents)),
+              cells AS (SELECT a, b, count(*)::BIGINT AS o FROM p GROUP BY 1, 2),
+              tot AS (SELECT sum(o)::BIGINT AS n,
+                        sum(CASE WHEN a = b THEN o ELSE 0 END)::BIGINT AS diag
+                      FROM cells),
+              ra AS (SELECT a AS k, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+              cb AS (SELECT b AS k, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+              pe AS (SELECT sum(coalesce(ra, 0)::DECIMAL(18,0)
+                              * coalesce(cb, 0)::DECIMAL(18,0)) AS pe_num,
+                       count(*)::BIGINT AS n_cats
+                     FROM ra FULL OUTER JOIN cb USING (k))
+              SELECT n, n_cats,
+                round(diag::DOUBLE / n, 6) AS po,
+                round(pe_num::DOUBLE
+                      / (n::DECIMAL(18,0) * n::DECIMAL(18,0))::DOUBLE, 6) AS pe,
+                round((diag::DECIMAL(18,0) * n::DECIMAL(18,0) - pe_num)::DOUBLE
+                      / ((n::DECIMAL(18,0) * n::DECIMAL(18,0)) - pe_num)::DOUBLE,
+                      6) AS kappa
+              FROM tot CROSS JOIN pe""")),
+
+    Q("x_llr_keyness", (s, d) =>
+      // corpus-comparison keyness (Dunning 1993 log-likelihood): the
+      // tokens most characteristic of the ENGLISH slice vs the rest,
+      // G2 from the closed x*ln(x) form over exact integer counts (one
+      // vocabulary-bounded agg + a 1-row totals broadcast); direction
+      // gate is exact integer cross-multiplication, ordering is on the
+      // rounded statistic with a term tiebreak
+      TextFunctions.llrKeyness(doc(s, d), col("text"), col("lang") === "en",
+        minCount = 5L, topN = 20),
+      Some("""WITH toks AS (SELECT
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+                (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS in_a
+              FROM documents),
+              counts AS (SELECT term, sum(in_a)::BIGINT AS c_a,
+                           sum(1 - in_a)::BIGINT AS c_b
+                         FROM toks WHERE term <> '' GROUP BY 1),
+              tot AS (SELECT sum(c_a)::BIGINT AS tot_a, sum(c_b)::BIGINT AS tot_b
+                      FROM counts),
+              g AS (SELECT term, c_a, c_b,
+                      round(2.0 * (
+                        (CASE WHEN c_a > 0 THEN c_a * ln(c_a::DOUBLE) ELSE 0 END)
+                        + (CASE WHEN c_b > 0 THEN c_b * ln(c_b::DOUBLE) ELSE 0 END)
+                        + (CASE WHEN tot_a - c_a > 0 THEN (tot_a - c_a) * ln((tot_a - c_a)::DOUBLE) ELSE 0 END)
+                        + (CASE WHEN tot_b - c_b > 0 THEN (tot_b - c_b) * ln((tot_b - c_b)::DOUBLE) ELSE 0 END)
+                        + (tot_a + tot_b) * ln((tot_a + tot_b)::DOUBLE)
+                        - (CASE WHEN c_a + c_b > 0 THEN (c_a + c_b) * ln((c_a + c_b)::DOUBLE) ELSE 0 END)
+                        - (CASE WHEN tot_a + tot_b - c_a - c_b > 0 THEN (tot_a + tot_b - c_a - c_b) * ln((tot_a + tot_b - c_a - c_b)::DOUBLE) ELSE 0 END)
+                        - tot_a * ln(tot_a::DOUBLE)
+                        - tot_b * ln(tot_b::DOUBLE)), 6) AS g2
+                    FROM counts CROSS JOIN tot
+                    WHERE c_a + c_b >= 5
+                      AND c_a::DECIMAL(18,0) * tot_b::DECIMAL(18,0)
+                        > c_b::DECIMAL(18,0) * tot_a::DECIMAL(18,0))
+              SELECT (row_number() OVER (ORDER BY g2 DESC, term))::INT AS rank,
+                term, c_a, c_b, g2
+              FROM g ORDER BY g2 DESC, term LIMIT 20""")),
+
+    Q("v_filtered_ann", (s, d) => {
+      // FILTERED vector search eval: top-5 under a metadata predicate
+      // (label < 3, ~30% selectivity) answered by the production
+      // overfetch recipe — unfiltered IVF top-20, post-filter, re-rank
+      // to 5 — scored against the exact filtered truth per query. The
+      // predicate is a semi join on corpus metadata (no second corpus
+      // scan); recall_ppm is exact integer division
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val pass = e.filter(col("label") < 3).select(col("vec_id"))
+      val ann = Similarity.ivfCosineTopK(
+        q, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 20, nlist = 16, nprobe = 4)
+      val filtered = Similarity.postFilterTopK(ann, pass, k = 5)
+      Similarity.annRecallEval(filtered, q, e.filter(col("label") < 3),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+              cent AS (SELECT m.cell, e.v AS centroid
+                       FROM (SELECT vec_id % 16 AS cell, min(vec_id) AS mvid
+                             FROM e GROUP BY 1) m
+                       JOIN e ON e.vec_id = m.mvid),
+              asg AS (SELECT vec_id, v, cell FROM (
+                        SELECT e.vec_id, e.v, c.cell,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                          c.cell) AS rn
+                        FROM e CROSS JOIN cent c) WHERE rn = 1),
+              probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+                           SELECT e.vec_id, e.v, c.cell,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                             c.cell) AS rn
+                           FROM e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 4),
+              ivf AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                             round(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+                             (row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+                                         a.vec_id))::INT AS rank
+                      FROM asg a JOIN probes p USING (cell)
+                      WHERE p.query_id <> a.vec_id
+                      QUALIFY rank <= 20),
+              filt AS (SELECT query_id, neighbor_id FROM (
+                         SELECT i.query_id, i.neighbor_id,
+                                row_number() OVER (PARTITION BY i.query_id
+                                  ORDER BY i.cos DESC, i.neighbor_id) AS rn
+                         FROM ivf i JOIN e ON e.vec_id = i.neighbor_id
+                         WHERE e.label < 3) WHERE rn <= 5),
+              truth AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                               (row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                                           e.vec_id))::INT AS rank
+                        FROM (SELECT * FROM e WHERE vec_id < 20) q
+                        JOIN e ON e.vec_id <> q.vec_id AND e.label < 3
+                        QUALIFY rank <= 5)
+              SELECT t.query_id, count(*)::BIGINT AS n_truth,
+                     count(f.neighbor_id)::BIGINT AS n_hits,
+                     (count(f.neighbor_id) * 1000000 // count(*))::BIGINT
+                       AS recall_ppm
+              FROM truth t LEFT JOIN filt f
+                ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+              GROUP BY t.query_id""")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

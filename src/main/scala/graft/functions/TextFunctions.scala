@@ -398,6 +398,59 @@ object TextFunctions {
         col("c_x"), col("c_y"), col("pmi"))
   }
 
+  /** Dunning log-likelihood keyness (Dunning 1993): for each token, the
+    * G² statistic of its rate in sub-corpus A vs sub-corpus B — the
+    * standard "what words characterize THIS slice" screen for corpus
+    * comparison (a source vs the rest, spam vs ham, one language's
+    * contamination in another). `G² = 2·Σ O·ln(O/E)` over the token's
+    * 2×2 contingency, computed in the closed x·ln(x) form so the four
+    * observed cells (a, b, A−a, B−b) and the margins are the ONLY inputs
+    * — all exact integers from one token-count aggregate, with the two
+    * corpus totals broadcast as a 1-row frame.
+    *
+    * Keyness direction is decided by exact integer cross-multiplication
+    * (`a·B > b·A`, no float rate compare); G² itself is one float
+    * expression per token, rounded at 6 with a token tiebreak before the
+    * top-k cut (the PMI/TF-IDF ordering discipline). Scale: everything
+    * past the explode is vocabulary-bounded. Returns the `topN` tokens
+    * over-represented in A: (rank, term, c_a, c_b, g2). */
+  def llrKeyness(
+      df: DataFrame, text: Column, isA: Column,
+      minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // x·ln(x) with the 0·ln(0) = 0 limit — every G² term is this shape
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val toks = df.select(explode(split(trim(lower(text)), "\\s+")).as("term"),
+        when(isA, 1L).otherwise(0L).as("in_a"))
+      .filter(col("term") =!= "")
+    val counts = graft.Mat(toks.groupBy(col("term")).agg(
+      sum(col("in_a")).as("c_a"),
+      sum(lit(1L) - col("in_a")).as("c_b")))
+    val tot = counts.agg(sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
+    counts.filter(col("c_a") + col("c_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      // G² = 2(Σ xlx(cells) + xlx(N) − Σ xlx(margins)); margins tot_a/
+      // tot_b are per-token constants but xlx(tot)−xlx(row margins)
+      // varies with the token's split, so keep all terms per row
+      .withColumn("g2", round(lit(2.0) * (
+        xlx(col("c_a")) + xlx(col("c_b"))
+          + xlx(col("tot_a") - col("c_a")) + xlx(col("tot_b") - col("c_b"))
+          + xlx(col("tot_a") + col("tot_b"))
+          - xlx(col("c_a") + col("c_b"))
+          - xlx(col("tot_a") + col("tot_b") - col("c_a") - col("c_b"))
+          - xlx(col("tot_a")) - xlx(col("tot_b"))), 6))
+      // over-represented in A: a/A > b/B, decided in exact integers
+      // (DECIMAL(18,0) factors keep the products under the precision cap)
+      .filter(col("c_a").cast("decimal(18,0)") * col("tot_b").cast("decimal(18,0)")
+        > col("c_b").cast("decimal(18,0)") * col("tot_a").cast("decimal(18,0)"))
+      .orderBy(col("g2").desc, col("term").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(w.orderBy(
+        col("g2").desc, col("term").asc)).cast("int"))
+      .select(col("rank"), col("term"), col("c_a"), col("c_b"), col("g2"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1999 — the standard n-gram smoothing): for every
     * observed bigram,

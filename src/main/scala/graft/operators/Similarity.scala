@@ -484,6 +484,29 @@ object Similarity {
       .withColumn("recall_ppm", expr("n_hits * 1000000L div n_truth"))
   }
 
+  /** Post-filter step for FILTERED vector search (metadata predicate +
+    * top-k): keep only candidates whose neighbor passes the predicate,
+    * then re-rank to the final k. The standard production recipe is to
+    * OVERFETCH the unfiltered ANN (k × 1/selectivity-ish) and cut here —
+    * this operator is the cut. `annResults` is the common
+    * (query_id, neighbor_id, cos) shape every ANN operator emits;
+    * `passIds` is the (neighbor_id) frame of corpus rows passing the
+    * predicate — at scale a semi join on the corpus's own metadata
+    * columns, which Catalyst pushes to the candidate join, never a
+    * second corpus scan. Rank re-derives from the rounded cosine with
+    * the id tiebreak (the cross-engine ordering discipline). */
+  def postFilterTopK(
+      annResults: DataFrame, passIds: DataFrame, k: Int): DataFrame = {
+    val filtered = annResults.join(
+      passIds.select(col(passIds.columns.head).as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    filtered.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def mutualKnnGraph(
       df: DataFrame, id: Column, vec: Column, k: Int,
       nlist: Int = 16): DataFrame = {

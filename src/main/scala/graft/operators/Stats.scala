@@ -1159,4 +1159,132 @@ object Stats {
         col("n_events"), col("n_censored"),
         round(exp(col("__lf") / lit(1e9)), 6).as("surv"))
   }
+
+  /** ROC-AUC of a score against a binary label via the rank-sum identity
+    * `AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)` with midranks for
+    * tied scores (ties contribute 1/2, the trapezoidal ROC convention) —
+    * the evaluation readout for any scoring stage (quality classifier,
+    * dedup confidence, spam score) without materializing the curve.
+    *
+    * Scale + portability: identical shape to [[mannWhitneyU]] — one hash
+    * aggregate per distinct score, a bucketed two-pass running sum
+    * ([[Windows.globalRunningSums]], never a single-partition window),
+    * and every rank sum held at 2× scale in exact DECIMAL integers
+    * (midrank .5s never touch a float). The ONLY float operation is the
+    * final division, so the value replays bit-exactly cross-engine.
+    *
+    * Returns 1 row: (n_pos, n_neg, auc, gini_idx = 2·AUC − 1). */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val per = graft.Mat(df
+      .select(score.cast("double").as("x"), label.cast("int").as("y"))
+      .groupBy(col("x")).agg(
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 1, 0L).otherwise(1L)).as("c0")))
+    val cum = Windows.globalRunningSums(per, "x", Nil,
+      Seq((col("c0") + col("c1")) -> "cumT"))
+    cum
+      .select(col("c0"), col("c1"),
+        (col("cumT") - col("c0") - col("c1")).as("cb"))
+      .agg(
+        sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
+        // 2·R_pos = Σ c1·(2·cumBefore + t + 1), t = c0+c1 (midranks)
+        sum((col("c1") * (col("cb") * 2 + col("c0") + col("c1") + 1))
+          .cast("decimal(38,0)")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        // AUC = (2R_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) — one division
+        round((col("r2") - (col("n_pos") * (col("n_pos") + 1))
+            .cast("decimal(38,0)")).cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      .withColumn("gini_idx", round(col("auc") * 2 - 1, 6))
+      .select(col("n_pos"), col("n_neg"), col("auc"), col("gini_idx"))
+  }
+
+  /** Calibration report for a probabilistic scorer: Expected / Maximum
+    * Calibration Error over `bins` equal-width probability bins, plus the
+    * Brier score — is the classifier's 0.8 actually right 80% of the
+    * time? The companion to [[rocAuc]] (discrimination) for any model
+    * whose scores gate data (quality classifiers, dedup confidence).
+    *
+    * Exactness: with `prob` quantized at ≤6 decimals (every scorer here
+    * rounds at 6), per-bin Σp is exact in DECIMAL(38,6), (p−y)² is exact
+    * in DECIMAL(38,12), and ECE telescopes to Σ_bins |Σp_b − pos_b| / N —
+    * so ECE and Brier are each ONE float division over exact integers.
+    * MCE divides per-bin before the max (rounded at 6). One hash
+    * aggregate over `bins` groups; no windows, no shuffle beyond the agg.
+    *
+    * Returns 1 row: (n, n_bins_used, ece, mce, brier). */
+  def calibrationReport(
+      df: DataFrame, prob: Column, label: Column, bins: Int = 10): DataFrame = {
+    require(bins > 0, "need bins > 0")
+    // decimal(8,6): probabilities live in [0,1]; the narrow type keeps
+    // (p−y)² at decimal(19,12) — EXACT, below Spark's precision-38 cap
+    // (a wider p would trigger allowPrecisionLoss scale truncation and
+    // break bit-parity with the oracle's exact sums)
+    val p = prob.cast("decimal(8,6)")
+    val y = label.cast("int")
+    val bin = least(floor(p.cast("double") * bins).cast("long"), lit(bins.toLong - 1))
+    val perBin = df
+      .select(p.as("p"), y.as("y"), bin.as("bin"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n_b"),
+        sum(col("p")).cast("decimal(38,6)").as("sum_p"),
+        sum(col("y")).as("pos"),
+        sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast("decimal(38,12)")).as("sq"))
+    perBin
+      .select(col("n_b"), col("pos"), col("sq"),
+        // |Σp_b − pos_b| exact in DECIMAL; per-bin gap for MCE
+        abs(col("sum_p") - col("pos")).cast("decimal(38,6)").as("absgap"),
+        round(abs(col("sum_p") - col("pos")).cast("double")
+          / col("n_b"), 6).as("gap_b"))
+      .agg(
+        sum(col("n_b")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("absgap")).as("ece_num"),
+        max(col("gap_b")).as("mce"),
+        sum(col("sq")).as("brier_num"))
+      .select(col("n"), col("n_bins_used"),
+        round(col("ece_num").cast("double") / col("n"), 6).as("ece"),
+        col("mce"),
+        round(col("brier_num").cast("double") / col("n"), 6).as("brier"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (annotator QC, classifier-vs-ground-truth, heuristic-vs-model
+    * gate comparison): `κ = (p_o − p_e) / (1 − p_e)` with
+    * `p_e = Σ_k rowMargin_k · colMargin_k / n²`.
+    *
+    * Exactness: the identity `κ = (p_o·n² − p_e·n²) / (n² − p_e·n²)`
+    * clears both denominators, so the numerator `diag·n − Σ ra_k·cb_k`
+    * and denominator `n² − Σ ra_k·cb_k` are exact DECIMAL integers and κ
+    * is ONE float division. Two hash aggregates (one per rater margin) +
+    * a category-cardinality-bounded join — nothing scales with rows past
+    * the first agg. Returns 1 row: (n, n_cats, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = graft.Mat(df
+      .select(raterA.cast("string").as("a"), raterB.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
+    val tot  = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("diag"))
+    val ra = cells.groupBy(col("a").as("k")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b").as("k")).agg(sum(col("o")).as("cb"))
+    // DECIMAL(18,0) factors: products stay ≤ decimal(37,0) — exact and
+    // below both engines' precision-38 cap (38-wide factors bind-fail in
+    // the oracle engine and trigger Spark's precision-loss path)
+    val pe = ra.join(cb, Seq("k"), "full_outer")
+      .select(coalesce(col("ra"), lit(0L)).cast("decimal(18,0)").as("ra"),
+        coalesce(col("cb"), lit(0L)).cast("decimal(18,0)").as("cb"))
+      .agg(sum(col("ra") * col("cb")).as("pe_num"),
+        count(lit(1)).as("n_cats"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("n2",
+        col("n").cast("decimal(18,0)") * col("n").cast("decimal(18,0)"))
+      .select(col("n"), col("n_cats"),
+        round(col("diag").cast("double") / col("n"), 6).as("po"),
+        round(col("pe_num").cast("double") / col("n2").cast("double"), 6)
+          .as("pe"),
+        round((col("diag").cast("decimal(18,0)") * col("n").cast("decimal(18,0)")
+            - col("pe_num")).cast("double")
+          / (col("n2") - col("pe_num")).cast("double"), 6).as("kappa"))
+  }
 }
