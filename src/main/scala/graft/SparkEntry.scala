@@ -7738,6 +7738,60 @@ object SparkEntry {
                            / sum(n_rows), 6)
               FROM z2""")),
 
+    Q("s21_mv_rewrite", (s, d) => {
+      // materialized-view matching (plans/MvRewrite.scala): build a
+      // (returnflag, linestatus) summary of lineitem, register it, then
+      // run a REPORT WRITTEN AGAINST THE BASE TABLE — the optimizer rule
+      // must swap the fact scan for the summary scan and decompose
+      // sum/count/min/max/avg onto the partials. At 100 TB this is the
+      // difference between re-scanning the fact table per report and
+      // reading a KB-sized rollup. Plan-guarded: the query raises if the
+      // rewrite didn't fire, so a green row proves both the swap and the
+      // answer. Exactness: l_quantity is integer-valued (1..50), so the
+      // double partial sums are exact and re-aggregation is
+      // order-independent; avg = exact sum / exact count.
+      import graft.plans.{MvDef, MvRegistry}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val mvPath = s"/tmp/graft_mv/${d.replaceAll("[^A-Za-z0-9]", "_")}_li_rf_ls"
+      li(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvPath)
+      val sRel = s.read.parquet(mvPath).queryExecution.analyzed
+        .collectFirst { case r: LogicalRelation => r }.get
+      MvRegistry.register(MvDef(
+        baseTag = "lineitem.parquet",
+        dims = Set("l_returnflag", "l_linestatus"),
+        sumOf = Map("l_quantity" -> "sum_qty"),
+        minOf = Map("l_quantity" -> "min_qty"),
+        maxOf = Map("l_quantity" -> "max_qty"),
+        countCol = "cnt", summary = sRel))
+      val report = li(s, d)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+      val scanned = report.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case o => o.toString
+        }
+      }.mkString("\n")
+      MvRegistry.clear() // never leak the MV into other queries' plans
+      require(scanned.contains(mvPath) && !scanned.contains("lineitem.parquet"),
+        s"MV rewrite did not fire; scans:\n$scanned")
+      report
+    },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                     count(*)::BIGINT AS n,
+                     min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                     round(avg(l_quantity), 6) AS avg_qty
+              FROM lineitem WHERE l_linestatus = 'F'
+              GROUP BY 1""")),
+
     Q("a45_benford", (s, d) =>
       // Benford's-law first-digit audit over order amounts — the
       // data-quality / fraud screen: observed leading-digit shares vs

@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // composable HOF cosine -> native codegen'd expression (bit-exact)
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    // aggregate-over-base -> aggregate-over-summary MV matching (no-op
+    // until an MvDef is registered in graft.plans.MvRegistry)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // plans graft.plans.AsOfJoinPlan as the native sort-merge as-of exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((

@@ -50,7 +50,7 @@ run_one() {
   SPARK_GRAFT_ONLY="$SCALING_QUERIES" \
   java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
-    -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+    -cp "${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" \
     graft.Bench | tee "$outfile.raw" | grep -v '^#bench' | tail -1 > "$outfile"
 }
 

@@ -17,5 +17,5 @@ rm -rf "$OUT"
 # GRAFT_XMX: raise for ScaleGen replica sweeps (100x needs ~32g headroom)
 exec java $ADD_OPENS -Xmx${GRAFT_XMX:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT"
