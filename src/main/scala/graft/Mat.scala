@@ -21,11 +21,24 @@ import org.apache.spark.sql.DataFrame
   * the whole engine between single-JVM and cluster-durable materialization.
   */
 object Mat {
-  def apply(df: DataFrame): DataFrame = sys.env.get("SPARK_GRAFT_MAT") match {
+  /** Mode: the `graft.mat` system property (tests) falls back to the
+    * `SPARK_GRAFT_MAT` env var (the driver's contract). */
+  private def mode: Option[String] =
+    sys.props.get("graft.mat").orElse(sys.env.get("SPARK_GRAFT_MAT"))
+
+  def apply(df: DataFrame): DataFrame = mode match {
     case Some("persist") =>
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count() // eager: a lazy persist consumed by two branches of one
-      p         // action computes twice before the cache fills
+                // action computes twice before the cache fills
+      // Re-root on the execution RDD: without this, iterative operators
+      // nest each round's full catalyst plan inside the next round's and
+      // analysis/optimization cost grows superlinearly in rounds (the
+      // r13 persist sweep OOMed on 30-round BPE and the curation
+      // composite at sf0.001 from plan size alone). The LogicalRDD leaf
+      // truncates the SQL plan; the RDD underneath keeps its lineage, so
+      // executor loss still recomputes instead of failing the job.
+      org.apache.spark.sql.GraftPlanBridge.rddRoot(p)
     case Some("none") => df
     case _ => df.localCheckpoint(true)
   }

@@ -10180,6 +10180,31 @@ object SparkEntry {
                 (row_number() OVER (ORDER BY ood_score DESC, vec_id))::INT AS rank
               FROM sc ORDER BY ood_score DESC, vec_id LIMIT 20""")),
 
+    Q("a62_fd_discovery", (s, d) => {
+      // functional-dependency discovery (TANE level 1) over four orders
+      // columns: which columns determine which — the key-detection /
+      // schema-inference profiling primitive. One shuffle per
+      // determinant (4 groupBys for 12 ordered pairs, never one per
+      // pair); rollups are metadata-sized. o_orderkey is unique so its
+      // three FDs hold; every other pair reports its violation count
+      // and worst fan-out
+      graft.operators.Stats.fdDiscovery(
+        ord(s, d), Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+      Some((for {
+        lhs <- Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        rhs <- Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        if lhs != rhs
+      } yield
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs, count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+               max(d)::BIGINT AS max_fanout,
+               (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+            FROM (SELECT $lhs,
+                    count(distinct $rhs)
+                      + max(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS d
+                  FROM orders GROUP BY 1)""").mkString("\nUNION ALL\n"))),
+
     Q("a58_trimmed_means", (s, d) =>
       // robust-center report: 5%-trimmed and winsorized means of order
       // value in exact integer cents — order statistics from per-value

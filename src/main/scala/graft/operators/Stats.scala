@@ -1287,4 +1287,45 @@ object Stats {
             - col("pe_num")).cast("double")
           / (col("n2") - col("pe_num")).cast("double"), 6).as("kappa"))
   }
+
+  /** Functional-dependency discovery over a column set (TANE level 1:
+    * single-column determinants). For every ordered pair (X, Y) of the
+    * given columns, reports whether X → Y holds exactly, how many X
+    * groups violate it, and the worst fan-out (max distinct Y per X).
+    * The schema-inference / data-quality primitive behind key detection
+    * and denormalization checks.
+    *
+    * Scale shape: ONE shuffle per determinant column, not per pair — a
+    * single groupBy(X) aggregates approx-free exact `count(distinct Y)`
+    * for every other column at once, then a metadata-sized rollup folds
+    * the verdict. NULLs: a null Y counts as one distinct value
+    * (`count(distinct Y) + max(Y is null)` — count(distinct) alone would
+    * drop nulls and call {1 real value, nulls} a clean FD, hiding the
+    * violation); a null X forms its own group, as in SQL GROUP BY.
+    *
+    * Returns (lhs, rhs, n_groups, n_violating, max_fanout, holds). */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val proj = df.select(cols.map(col): _*)
+    def dstct(r: String) =
+      (countDistinct(col(r)) +
+        max(when(col(r).isNull, 1L).otherwise(0L))).as(s"__d_$r")
+    cols.map { lhs =>
+      val rhss = cols.filterNot(_ == lhs)
+      val perGroup = proj.groupBy(col(lhs))
+        .agg(dstct(rhss.head), rhss.tail.map(dstct): _*)
+      val rollup = perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        rhss.flatMap(r => Seq(
+          sum(when(col(s"__d_$r") > 1, 1L).otherwise(0L)).as(s"__v_$r"),
+          max(col(s"__d_$r")).as(s"__m_$r"))): _*)
+      rhss.map { r =>
+        rollup.select(lit(lhs).as("lhs"), lit(r).as("rhs"),
+          col("n_groups"),
+          col(s"__v_$r").as("n_violating"),
+          col(s"__m_$r").as("max_fanout"),
+          (col(s"__v_$r") === 0L).as("holds"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
 }
