@@ -4382,6 +4382,54 @@ object SparkEntry {
                        GROUP BY 1) s USING (node))
               SELECT node, rank FROM r3""")),
 
+    Q("d_redirect_loops", (s, d) => {
+      // redirect-loop detection: a synthetic URL redirect map (1,800
+      // non-canonical variants each pointing at their canonical page;
+      // 200 canonical pages permuted among themselves by an affine map —
+      // the misconfigured-canonicalization case) peeled by synchronous
+      // Kahn rounds. Variants peel in round 1 (nothing points at them),
+      // the canonical permutation never peels — the residual IS the loop
+      // set, exactly, because every node redirects to exactly one target
+      // (functional graph). 3 rounds: the certifying empty round + margin
+      val u = ord(s, d)
+        .select(pmod(col("o_orderkey"), lit(2000)).as("u")).distinct()
+      val edges = u.withColumn("v",
+        when(pmod(col("u"), lit(10)) === 0,
+          expr("((u div 10) * 3 + 7) % 200 * 10")) // u >= 0: % == pmod
+          .otherwise(col("u") - pmod(col("u"), lit(10))))
+      graft.operators.Components.kahnCycleCore(edges, "u", "v", rounds = 3)
+    },
+      Some("""WITH uu AS (SELECT DISTINCT o_orderkey % 2000 AS u FROM orders),
+              e0 AS (SELECT u AS src,
+                       CASE WHEN u % 10 = 0
+                            THEN ((u // 10) * 3 + 7) % 200 * 10
+                            ELSE u - (u % 10) END AS dst
+                     FROM uu),
+              e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+              n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              p1 AS (SELECT node FROM n0 WHERE node NOT IN
+                       (SELECT dst FROM e WHERE src IN (SELECT node FROM n0)
+                                            AND dst IN (SELECT node FROM n0))),
+              l1 AS (SELECT node FROM n0 EXCEPT SELECT node FROM p1),
+              p2 AS (SELECT node FROM l1 WHERE node NOT IN
+                       (SELECT dst FROM e WHERE src IN (SELECT node FROM l1)
+                                            AND dst IN (SELECT node FROM l1))),
+              l2 AS (SELECT node FROM l1 EXCEPT SELECT node FROM p2),
+              p3 AS (SELECT node FROM l2 WHERE node NOT IN
+                       (SELECT dst FROM e WHERE src IN (SELECT node FROM l2)
+                                            AND dst IN (SELECT node FROM l2))),
+              l3 AS (SELECT node FROM l2 EXCEPT SELECT node FROM p3),
+              conv AS (SELECT (SELECT count(*) FROM l2) =
+                              (SELECT count(*) FROM l3) AS c)
+              SELECT node, 1::INT AS peel_round, false AS is_cycle_core,
+                     (SELECT c FROM conv) AS converged FROM p1
+              UNION ALL
+              SELECT node, 2::INT, false, (SELECT c FROM conv) FROM p2
+              UNION ALL
+              SELECT node, 3::INT, false, (SELECT c FROM conv) FROM p3
+              UNION ALL
+              SELECT node, 0::INT, true, (SELECT c FROM conv) FROM l3""")),
+
     Q("d_kcore", (s, d) => {
       // k-core decomposition (k=3) by fixed-round synchronous peeling
       // over a sparsified part co-occurrence graph (parts in the same

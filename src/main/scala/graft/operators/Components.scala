@@ -610,4 +610,61 @@ object Components {
           .as("jaccard"),
         round(col("__aa").cast("double"), 6).as("adamic_adar"))
   }
+
+  /** Cycle-core detection on a DIRECTED graph by synchronous Kahn
+    * peeling: each round removes every node with zero in-degree in the
+    * residual graph. Nodes that never peel form the residual — nodes on
+    * directed cycles plus their descendants; for a FUNCTIONAL graph
+    * (out-degree exactly 1: successor maps, redirect chains, symlink /
+    * next-version pointers) the residual is EXACTLY the set of nodes on
+    * cycles, so this is the redirect-loop detector.
+    *
+    * Scale shape: one semi-join + one distinct-projection per round over
+    * the live edge set — the same linear per-round cost as the k-core
+    * peel; frames Mat'd per round so the plan stays round-bounded.
+    *
+    * Returns (node, peel_round, is_cycle_core, converged): peel_round is
+    * the 1-based round the node left in (0 = never, the cycle core);
+    * `converged` (same value every row) certifies the LAST round peeled
+    * nothing — i.e. the round budget sufficed and the core is exact,
+    * not a truncation artifact. */
+  def kahnCycleCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e0 = graft.Mat(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct()
+    // peeled: (node, peel_round) accumulated; live = nodes not yet peeled
+    var live = graft.Mat(nodes)
+    var prev = live
+    var peeled = graft.Mat(live.filter(lit(false))
+      .withColumn("peel_round", lit(0)))
+    for (r <- 1 to rounds) {
+      // in-degree inside the residual: an edge counts only if BOTH
+      // endpoints are still live
+      val liveEdges = e0
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val hasIncoming = liveEdges.select(col("dst").as("node")).distinct()
+      val peel = graft.Mat(
+        live.join(hasIncoming, Seq("node"), "left_anti")
+          .withColumn("peel_round", lit(r)))
+      prev = live
+      peeled = graft.Mat(peeled.unionByName(peel))
+      live = graft.Mat(live.join(peel.select("node"), Seq("node"), "left_anti"))
+    }
+    // converged iff the LAST round peeled nothing — in-plan count
+    // equality (kCore's convention), never a driver-side read
+    val conv = prev.agg(count(lit(1)).as("__np"))
+      .crossJoin(live.agg(count(lit(1)).as("__nl")))
+      .select((col("__np") === col("__nl")).as("converged"))
+    peeled
+      .unionByName(live.withColumn("peel_round", lit(0)))
+      .withColumn("is_cycle_core", col("peel_round") === 0)
+      .crossJoin(broadcast(conv))
+  }
 }

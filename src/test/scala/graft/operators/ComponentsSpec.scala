@@ -311,4 +311,30 @@ class ComponentsSpec extends SparkSpec {
         iters = 1, damping = 0.9) // restart left at 0.15 -> mass leak
     }
   }
+
+  test("kahnCycleCore: functional graph peels tails, keeps exactly the cycle") {
+    // cycle 1->2->3->1 with a depth-2 tail 5->4->1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 4L)).toDF("s", "t")
+    val out = Components.kahnCycleCore(e, "s", "t", rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(5L) == ((1, false, true)))  // leaf peels first
+    assert(out(4L) == ((2, false, true)))  // exposed once 5 left
+    assert(Seq(1L, 2L, 3L).forall(n => out(n) == ((0, true, true))))
+  }
+
+  test("kahnCycleCore: residual includes cycle descendants; converged flags budget") {
+    // cycle 2<->3 with descendant 4 (2->4) and tail 1->2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 2L), (2L, 4L)).toDF("s", "t")
+    val out = Components.kahnCycleCore(e, "s", "t", rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1, false)))
+    // 4 never peels: its in-edge comes from the live cycle — residual
+    // semantics (cycles + descendants), exact cycles only for out-deg-1
+    assert(Seq(2L, 3L, 4L).forall(n => out(n)._2))
+    // rounds = 1 cannot certify: round 1 peeled node 1, so the last
+    // round did real work and converged must be false
+    val tight = Components.kahnCycleCore(e, "s", "t", rounds = 1)
+    assert(tight.select("converged").distinct().collect().head.getBoolean(0) == false)
+  }
 }
