@@ -4573,7 +4573,9 @@ object SparkEntry {
       // the oracle routes through the SAME mapping. Top-k is
       // TakeOrderedAndProject (distributed heads), never a global sort.
       import org.apache.spark.sql.expressions.Window
-      val toks = doc(s, d)
+      // fanned out: the posexplode + regex token filter runs inside the
+      // (single-task) scan stage before the first window shuffle
+      val toks = Tables.fanOut(doc(s, d))
         .select(col("doc_id"),
           posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w0")))
         .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
@@ -7474,9 +7476,10 @@ object SparkEntry {
       // materialize the 4-column projection once: it feeds `tot` AND the
       // global-rank machinery (which detects the already-materialized
       // frame and shares the same blocks across its three actions)
-      val l = graft.Mat(li(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast("decimal(12,2)").as("x"),
-        (col("l_returnflag") === "R").cast("long").as("y")))
+      val l = graft.Mat(graft.Tables.fanOut(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(12,2)").as("x"),
+          (col("l_returnflag") === "R").cast("long").as("y"))))
       val binned = Windows.equiDepthBin(l, 10,
         "x", Seq(col("l_orderkey"), col("l_linenumber")), "bin")
       // totals are invariant to binning — compute them from the PRE-binned
@@ -10129,12 +10132,16 @@ object SparkEntry {
       // (detect with d_lpa_communities, score here)
       val p = li(s, d).select(col("l_orderkey").as("o"),
         col("l_partkey").as("p")).distinct()
-      val pairs = p.as("x").join(p.as("y"),
+      // materialized: the sparsified wedge-join pair build feeds BOTH the
+      // LPA detection pass and the modularity scorer — left lazy it runs
+      // twice (the r13 before-plan carried the whole self-join lineage in
+      // every modularity aggregate)
+      val pairs = graft.Mat(p.as("x").join(p.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
         .filter(pmod(graft.operators.Dedup.md5Int(
           concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
-          lit(1000)) < 40)
+          lit(1000)) < 40))
       val lab = graft.operators.Components
         .labelPropagation(pairs, "u", "v", iters = 4)
         .select(col("node"), col("community"))

@@ -12,6 +12,44 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a too-coarse frame out to session parallelism — the fix for
+    * per-row-heavy work fused into an under-split scan stage.
+    *
+    * The local fixtures are ONE single-row-group parquet file per table,
+    * so a scan stage — and every per-row expression codegen fuses into it
+    * (md5/sha2 hashing, shingling, window-min fingerprints) — runs as ONE
+    * effective task regardless of core count: Spark splits a file below
+    * the row-group boundary into byte ranges, but all rows of a row group
+    * go to the task owning its midpoint, so the extra splits are empty
+    * (measured: the a22 sketch build ran 1 real task of 3 on local[32]).
+    * Guide §2.5 "input skew: one huge unsplittable file → repartition
+    * immediately after the read": a round-robin exchange of the
+    * (column-pruned, filter-pushed — both push through Repartition) scan
+    * output restores cores-wide parallelism for everything after it.
+    *
+    * OPT-IN per call site, not applied at load(): an interleaved A/B at
+    * sf0.1 showed blanket fan-out WINS only where heavy per-row work
+    * precedes the first shuffle (a22 4.1→2.4 s, a24 4.7→2.7 s) and LOSES
+    * where the first operation is itself a shuffle (flagship
+    * domain_e2e_gl 13.4→14.9 s, d_hits 5.8→6.5 s: the exchange is pure
+    * added cost there). Callers must only use it where the consumer's
+    * result is partitioning-invariant (exact aggregates, global-order
+    * machinery, row-local projections).
+    *
+    * Scale posture: the gate is the frame's own split count — at real
+    * scale a scan has >= cores splits and this is a no-op; it fires only
+    * when the input layout undercuts the session's parallelism. Fan-out
+    * width follows SPARK_GRAFT_CPUS, so the driver's low-core bench run
+    * keeps its contract. SPARK_GRAFT_SCAN_FANOUT=0 disables.
+    * Determinism: round-robin repartition sorts rows before distributing
+    * (spark.sql.execution.sortBeforeRepartition, on by default), so the
+    * row→partition assignment is a pure function of row content. */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")) return df
+    val cpus = GraftSession.cpus.toInt
+    if (df.rdd.getNumPartitions < cpus) df.repartition(cpus) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Materialize an edge frame, optionally hash-partitioned on its
+    * per-round join key ([[graft.Mat.keyed]]) so the layout is
+    * established ONCE at build and every round's join/aggregate keyed
+    * the same way reuses it instead of re-exchanging the frame per
+    * round (guide §2.4).
+    *
+    * `SPARK_GRAFT_EDGE_LAYOUT=keyed` opts in — the CLUSTER posture,
+    * where the per-round score/label frames are node-sized and the
+    * joins run sort-merge/shuffled-hash, so a reusable edge layout
+    * saves one full edge exchange per round. The LOCAL default stays
+    * an unkeyed Mat: at sf0.1 every per-round small side broadcasts
+    * (the edge side never shuffles at all), so the build-time exchange
+    * plus the pinned non-coalescible width only cost — interleaved A/B:
+    * d_components 4.3-4.8 s → 8.4 s, d_ppr_seeds 3.4-4.2 → 4.9 s keyed. */
+  private def keyed(df: DataFrame, key: String): DataFrame =
+    if (sys.props.get("graft.edge.layout")
+        .orElse(sys.env.get("SPARK_GRAFT_EDGE_LAYOUT")).contains("keyed"))
+      graft.Mat.keyed(df, col(key))
+    else graft.Mat(df)
+
+
   /** Simplified PageRank (the original non-normalized formulation:
     * `r' = (1-d) + d * Σ_in r/outdeg`, no dangling-mass redistribution)
     * over a directed edge list, for a FIXED number of iterations —
@@ -36,10 +57,13 @@ object Components {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // edge frame keyed on src once: the per-iteration contribution join
+    // and the out-degree aggregate both key on src (guide §2.4); nodes
+    // materialized so the per-iteration left join rebuilds neither
+    val e = keyed(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct(), "src")
+    val nodes = graft.Mat(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
@@ -83,9 +107,9 @@ object Components {
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val dir = graft.Mat(
+    val dir = keyed(
       e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))), "src")
     val outDeg = dir.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = dir.select(col("src").as("node")).distinct()
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
@@ -155,7 +179,11 @@ object Components {
       if (r.isNullAt(1)) (0L, BigDecimal(0))
       else (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
-    var e = graft.Mat(symmetrize(edges0))
+    // per-round frames keyed on u: both consumers of each round's edge
+    // frame — the per-node min aggregate and the equi join against it —
+    // key on u (guide §2.4)
+    def byU(df: DataFrame): DataFrame = keyed(df, "u")
+    var e = byU(symmetrize(edges0))
     var sig: (Long, BigDecimal) = signature(e)
     var converged = sig._1 == 0L
     var i = 0
@@ -165,7 +193,7 @@ object Components {
       val lm = e.groupBy(col("u"))
         .agg(min(col("v")).as("__mv"))
         .select(col("u"), least(col("u"), col("__mv")).as("m"))
-      val eL = graft.Mat(symmetrize(
+      val eL = byU(symmetrize(
         e.join(lm, Seq("u")).filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))))
@@ -174,7 +202,7 @@ object Components {
       // minimum — flattens the remaining downward chains
       val sm = eL.filter(col("v") < col("u"))
       val smin = sm.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val eS = graft.Mat(symmetrize(
+      val eS = byU(symmetrize(
         sm.join(smin, Seq("u")).filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(smin.select(col("u"), col("m").as("v")))))
@@ -217,6 +245,11 @@ object Components {
       iters: Int): DataFrame = {
     val e = graft.Mat(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct())
+    // NOT pre-keyed per orientation: the half-steps alternate join keys
+    // (src then dst), so one layout cannot serve both, and an A/B at
+    // sf0.1 showed two keyed copies cost more in build materialization
+    // than the per-iteration joins saved (scores frames broadcast at
+    // this scale, so the edge side never shuffles anyway).
     val nodes = graft.Mat(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     def l1norm(df: DataFrame, c: String): DataFrame = {
@@ -274,9 +307,9 @@ object Components {
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val dir = graft.Mat(
+    val dir = keyed(
       e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))), "src")
     def survivors(alive: DataFrame): DataFrame =
       dir
         .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -358,9 +391,13 @@ object Components {
       .filter(col("u") =!= col("v")).distinct()
     val lab = labels.select(col("node").cast("long").as("node"),
       col("community").cast("long").as("c"))
-    val tagged = e0
+    // materialized: tagged feeds THREE aggregates (edge total, within-
+    // community counts, community degrees) — left lazy, each one re-runs
+    // the full edge build plus both label joins (the r13 before-plan
+    // carried 6 copies of the pair-build lineage, 12 parquet scans)
+    val tagged = graft.Mat(e0
       .join(lab.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
-      .join(lab.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+      .join(lab.select(col("node").as("v"), col("c").as("cv")), Seq("v")))
     val m = tagged.agg(count(lit(1)).as("m"))
     val within = tagged.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("c")).agg(count(lit(1)).as("win"))
@@ -484,9 +521,9 @@ object Components {
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val dir = graft.Mat(
+    val dir = keyed(
       e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))), "src")
     // sources outside the graph still seed with dist 0 (they just have
     // no edges to relax over)
     var dist = graft.Mat(sources.select(col("node").cast("long").as("node"))
@@ -533,9 +570,9 @@ object Components {
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val dir = graft.Mat(
+    val dir = keyed(
       e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))), "dst")
     var labels = graft.Mat(
       dir.select(col("src").as("node")).distinct()
         .withColumn("lab", col("node")))
@@ -543,10 +580,17 @@ object Components {
       val nbr = dir
         .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("__c"))
+      // winner by ONE hash aggregate instead of a row_number window:
+      // the (count desc, label asc) total order is exactly max over the
+      // struct (count, -label) — same winner bit-for-bit, but with a
+      // map-side partial max (the shuffle carries at most one candidate
+      // per node per partition) and no per-round partition sort
+      // (guide §2.3 "aggregate before you shuffle")
       labels = graft.Mat(
-        Joins.top1PerGroup(nbr, Seq(col("src")),
-            Seq(col("__c").desc, col("lab").asc))
-          .select(col("src").as("node"), col("lab")))
+        nbr.groupBy(col("src"))
+          .agg(max(struct(col("__c").as("c"), negate(col("lab")).as("nl")))
+            .as("__w"))
+          .select(col("src").as("node"), negate(col("__w")("nl")).as("lab")))
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("lab"))
@@ -581,9 +625,9 @@ object Components {
       .select(least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val dir = graft.Mat(
+    val dir = keyed(
       e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"))), "src")
     val deg = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
     val centers = dir
       .join(deg.select(col("x").as("src"), col("d").as("dz")), Seq("src"))
@@ -632,10 +676,13 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e0 = graft.Mat(edges
+    // keyed on src: the per-round live-src semi join reuses the layout;
+    // only the dst-side membership check re-exchanges, and the
+    // hasIncoming distinct then rides that dst layout for free
+    val e0 = keyed(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+      .filter(col("src") =!= col("dst")).distinct(), "src")
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct()
     // peeled: (node, peel_round) accumulated; live = nodes not yet peeled

@@ -25,7 +25,11 @@ object Sketches {
   /** Build the sketch: one (row, cell, cnt) tuple per non-empty cell —
     * at most depth*width rows total. */
   def countMinSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
-    df.select(key.cast("string").as("__k"))
+    // fan the single-column key frame out before the depth-way explode:
+    // the md5 per (row, hash-row) otherwise runs inside the scan stage,
+    // whose parallelism is the input's row-group count (1 for the local
+    // fixtures) — results are exact cell counts, partitioning-invariant
+    graft.Tables.fanOut(df.select(key.cast("string").as("__k")))
       .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("__r"))
       .groupBy(col("__r"), cell(col("__r"), col("__k"), width).as("__c"))
       .agg(count(lit(1)).as("cnt"))

@@ -14,6 +14,13 @@ object Windows {
     val isLeaf = df.queryExecution.logical
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
     if (isLeaf || df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    // NOT fanned out (Tables.fanOut) before materializing: measured at
+    // sf0.1, the extra exchange lost more than the added parallelism won
+    // on every globalRank/RunningSums consumer except a27 (a17 1.0→1.6 s,
+    // a37 1.9→2.5 s, x_vocab_coverage 0.5→0.8 s) — these inputs are
+    // either already aggregated (post-shuffle) or feed one cheap pass.
+    // Callers with provably hash-heavy single-task inputs fan out at the
+    // call site instead (a24_woe_binning does).
     else graft.Mat(df)
   }
 

@@ -43,6 +43,40 @@ class MatSpec extends SparkSpec {
     assert(a == 5050L && b == 50L)
   }
 
+  test("keyed: layout visible to the planner, rows identical, all modes") {
+    val base = (1 to 1000).toDF("v")
+      .select((col("v") % 97).as("k"), col("v").as("x"))
+    val expect = base.groupBy("k").agg(sum("x")).collect().toSet
+    for (mode <- Seq(None, Some("persist"), Some("none"))) {
+      def run() = {
+        val m = Mat.keyed(base, col("k"))
+        // the whole point of keyed: downstream ops clustered on k plan
+        // WITHOUT a fresh Exchange (plain Mat comes back UnknownPartitioning)
+        val agg = m.groupBy("k").agg(sum("x"))
+        val hasExchange = agg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning")
+        (agg.collect().toSet, hasExchange)
+      }
+      val (rows, hasExchange) = mode.map(withMode(_)(run())).getOrElse(run())
+      assert(rows == expect, s"rows diverged in mode $mode")
+      if (mode != Some("none")) // none keeps the lazy repartition in-plan
+        assert(!hasExchange, s"mode $mode re-exchanged a keyed frame")
+    }
+  }
+
+  test("components edge layout: keyed mode replays the default bit-for-bit") {
+    val pairs = (1 to 400).flatMap(i => Seq((i.toLong, (i % 37).toLong)))
+      .toDF("u", "v")
+    val dflt = graft.operators.Components
+      .labelPropagation(pairs, "u", "v", iters = 3).collect().toSet
+    sys.props("graft.edge.layout") = "keyed"
+    try {
+      val keyed = graft.operators.Components
+        .labelPropagation(pairs, "u", "v", iters = 3).collect().toSet
+      assert(keyed == dflt)
+    } finally sys.props.remove("graft.edge.layout")
+  }
+
   test("default (localCheckpoint) and none modes still compute correctly") {
     val (d1, _) = iterate(5) // default
     assert(d1.agg(sum("v")).as[Long].head == (1 to 64).map(_ + 5L).sum)
