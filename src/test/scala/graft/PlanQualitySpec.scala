@@ -167,7 +167,10 @@ class PlanQualitySpec extends SparkSpec {
   test("simhash fingerprints are projection-only (native kernel in the plan)") {
     val p = plan("d_simhash")
     assert(p.contains("simhash_sig"), p)
-    assert(!p.contains("Exchange"), p) // whole query: scan -> project
+    // whole query: scan -> (optional round-robin input respread; the r13
+    // Tables.fanOut for under-split local scans) -> project. The real
+    // contract is NO KEYED shuffle: nothing groups or joins by doc.
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("triangle counting: orientation + wedge + closing joins are all equi") {
